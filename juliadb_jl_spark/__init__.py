@@ -1,0 +1,57 @@
+"""juliadb_jl_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of JuliaData/JuliaDB.jl.
+
+Architecture: a thin, well-typed layer over PySpark DataFrames that implements
+JuliaDB's API surface (pkey-sorted tables, selector DSL, reducer forms,
+key-based joins incl. asof, reshape, grouped holistic ops) by compiling
+everything possible to native Column expressions so Catalyst/Tungsten/AQE do
+the physical planning.  See SURVEY.md for the operator-by-operator mapping.
+
+Reference semantics: JuliaData/JuliaDB.jl (src/table.jl, src/ndsparse.jl,
+src/join.jl, src/reduce.jl, src/selection.jl, src/reshape.jl, src/sort.jl).
+This is a re-expression on Spark, not a translation.
+"""
+
+from juliadb_jl_spark.session import get_spark
+from juliadb_jl_spark.plans.table import Table, NDSparse, table, ndsparse
+from juliadb_jl_spark.plans.selectors import (
+    Not, Between, Keys, Vals, All, pair, resolve
+)
+from juliadb_jl_spark.operators.selection import (
+    select, filter_, map_, transform, rename, insertcols, insertcolsafter,
+    insertcolsbefore, dropmissing, selectkeys, selectvalues, convertdim,
+)
+from juliadb_jl_spark.operators.reduce import (
+    reduce_, groupreduce, groupby, summarize, reducedim, reducedim_vec,
+)
+from juliadb_jl_spark.operators.join import (
+    join, groupjoin, asofjoin, naturaljoin, leftjoin, merge, broadcast_nd,
+)
+from juliadb_jl_spark.operators.sort import (
+    sort, reindex, rechunk, subtable, permutedims_nd, partition_iter,
+)
+from juliadb_jl_spark.operators.reshape import stack, unstack, flatten, mapslices
+from juliadb_jl_spark.operators import window
+from juliadb_jl_spark.operators.setops import union_, intersect_, except_, distinct_
+from juliadb_jl_spark.sources.csv import loadtable, loadndsparse
+from juliadb_jl_spark.sources.parquet import save, load
+from juliadb_jl_spark.functions import stats
+
+__all__ = [
+    "get_spark", "Table", "NDSparse", "table", "ndsparse",
+    "Not", "Between", "Keys", "Vals", "All", "pair", "resolve",
+    "select", "filter_", "map_", "transform", "rename", "insertcols",
+    "insertcolsafter", "insertcolsbefore", "dropmissing", "selectkeys",
+    "selectvalues", "convertdim",
+    "reduce_", "groupreduce", "groupby", "summarize", "reducedim",
+    "reducedim_vec",
+    "join", "groupjoin", "asofjoin", "naturaljoin", "leftjoin", "merge",
+    "broadcast_nd",
+    "sort", "reindex", "rechunk", "subtable", "permutedims_nd",
+    "partition_iter",
+    "stack", "unstack", "flatten", "mapslices", "window",
+    "union_", "intersect_", "except_", "distinct_",
+    "loadtable", "loadndsparse", "save", "load", "stats",
+]
+
+__version__ = "0.1.0"

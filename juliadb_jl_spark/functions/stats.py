@@ -1,0 +1,186 @@
+"""OnlineStats-equivalent reducers that lower to native Spark aggregates.
+
+The reference reduces with OnlineStat objects fitted per chunk and merged
+across chunks (JuliaDB docs/src/onlinestats.md:19-47, merge dispatch
+src/reduce.jl:1-3).  Spark's partial+final HashAggregate IS that model, so
+each stat here simply lowers to one or more built-in aggregate expressions
+(SURVEY.md §2.4 mapping table).  Stats whose reference result is an object
+(Mean, Variance, ...) surface their `value()` directly as numeric columns.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class Stat:
+    """Base reducer. `exprs(col)` returns [(suffix, aggregate Column)];
+    an empty suffix means "use the caller's output name as-is"."""
+
+    name: str = "stat"
+
+    def exprs(self, col: Column) -> list[tuple[str, Column]]:
+        raise NotImplementedError
+
+
+class Mean(Stat):
+    name = "mean"
+
+    def exprs(self, col):
+        return [("", F.avg(col))]
+
+
+class Sum(Stat):
+    name = "sum"
+
+    def exprs(self, col):
+        return [("", F.sum(col))]
+
+
+class Min(Stat):
+    name = "min"
+
+    def exprs(self, col):
+        return [("", F.min(col))]
+
+
+class Max(Stat):
+    name = "max"
+
+    def exprs(self, col):
+        return [("", F.max(col))]
+
+
+class Count(Stat):
+    name = "count"
+
+    def exprs(self, col):
+        return [("", F.count(col))]
+
+
+class Variance(Stat):
+    """Sample variance (OnlineStats `Variance`)."""
+    name = "var"
+
+    def exprs(self, col):
+        return [("", F.var_samp(col))]
+
+
+class Std(Stat):
+    name = "std"
+
+    def exprs(self, col):
+        return [("", F.stddev_samp(col))]
+
+
+class Extrema(Stat):
+    """min+max pair (OnlineStats `Extrema`)."""
+    name = "extrema"
+
+    def exprs(self, col):
+        return [("_min", F.min(col)), ("_max", F.max(col))]
+
+
+class Median(Stat):
+    name = "median"
+
+    def exprs(self, col):
+        return [("", F.median(col))]
+
+
+class Quantile(Stat):
+    """Exact percentile (OnlineStats `Quantile` surfaced exactly)."""
+
+    def __init__(self, q: float):
+        self.q = q
+        self.name = f"q{q}"
+
+    def exprs(self, col):
+        return [("", F.percentile(col, F.lit(self.q)))]
+
+
+class ApproxQuantile(Stat):
+    """percentile_approx — the scale path for quantiles."""
+
+    def __init__(self, q: float, accuracy: int = 10000):
+        self.q, self.accuracy = q, accuracy
+        self.name = f"aq{q}"
+
+    def exprs(self, col):
+        return [("", F.percentile_approx(col, self.q, self.accuracy))]
+
+
+class CountMap(Stat):
+    """value→count map (OnlineStats `CountMap`), as a sorted map column.
+
+    Needs a two-level aggregation (count per (group, value), then fold
+    into a map) — `groupreduce` recognizes this stat and plans that
+    native two-stage groupBy instead of calling `exprs`."""
+    name = "countmap"
+    two_level = True
+
+    def exprs(self, col):
+        raise NotImplementedError("CountMap is planned by groupreduce")
+
+
+class Distinct(Stat):
+    name = "ndistinct"
+
+    def exprs(self, col):
+        return [("", F.count_distinct(col))]
+
+
+class ApproxDistinct(Stat):
+    name = "approx_ndistinct"
+
+    def exprs(self, col):
+        return [("", F.approx_count_distinct(col))]
+
+
+class Hist(Stat):
+    """Fixed-edge histogram (OnlineStats `Hist`): counts per bucket as an
+    array column. Lowered to conditional sums — fully native/partial-agg."""
+
+    def __init__(self, edges: Sequence[float]):
+        self.edges = list(edges)
+        self.name = "hist"
+
+    def exprs(self, col):
+        buckets = []
+        for lo, hi in zip(self.edges, self.edges[1:]):
+            buckets.append(F.sum(F.when((col >= lo) & (col < hi), 1).otherwise(0)))
+        return [("", F.array(*buckets))]
+
+
+class First(Stat):
+    name = "first"
+
+    def exprs(self, col):
+        return [("", F.first(col, ignorenulls=True))]
+
+
+class Last(Stat):
+    name = "last"
+
+    def exprs(self, col):
+        return [("", F.last(col, ignorenulls=True))]
+
+
+# String shorthands accepted wherever a reducer is expected.
+_BY_NAME: dict[str, Any] = {
+    "sum": Sum, "mean": Mean, "avg": Mean, "min": Min, "max": Max,
+    "count": Count, "length": Count, "var": Variance, "std": Std,
+    "median": Median, "extrema": Extrema, "first": First, "last": Last,
+    "countdistinct": Distinct, "ndistinct": Distinct,
+    "approxdistinct": ApproxDistinct,
+}
+
+
+def lookup(name: str) -> Stat:
+    cls = _BY_NAME.get(name.lower())
+    if cls is None:
+        raise KeyError(f"unknown reducer {name!r}; known: {sorted(_BY_NAME)}")
+    return cls()

@@ -1,0 +1,96 @@
+"""Sorting / partitioning / positional operators.
+
+Reference: JuliaDB src/sort.jl.  The reference's `rechunk` is a hand-rolled
+distributed sample sort (src/sort.jl:8-68); Spark's `repartitionByRange`
+does the same splitter sampling internally, so rechunk/reindex lower to
+`repartitionByRange + sortWithinPartitions` and the engine just tracks the
+resulting pkey/sorted metadata.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from juliadb_jl_spark.plans import selectors as S
+from juliadb_jl_spark.plans.table import NDSparse, Table
+
+
+def sort(t: Table, by: Any = None, rev: bool = False, select: Any = None) -> Table:
+    """Sort by columns/selector with missing-last semantics (reference
+    docs/src/tutorial.md:206-248). Returns a table whose collect() order
+    is the sort order."""
+    by_resolved = S.resolve(t.df, by if by is not None else (t.pkey or None), t.pkey)
+    order = [c.desc_nulls_last() if rev else c.asc_nulls_last()
+             for _, c in by_resolved]
+    df = t.df.orderBy(*order)
+    if select is not None:
+        names = S.resolve_names(df, select, t.pkey)
+        df = df.select(*names)
+    by_names = tuple(n for n, _ in by_resolved if n in df.columns)
+    return type(t)(df, by_names if not rev else (), presorted=not rev)
+
+
+def reindex(t: Table, pkey: Any) -> Table:
+    """Reset the primary key and re-sort (reference src/sort.jl:1-6;
+    docs/src/tutorial.md:344-376). Physically: range partition + local sort,
+    so groupings on the new key are co-located (the reference's `closed`
+    guarantee)."""
+    names = S.resolve_names(t.df, pkey, t.pkey)
+    df = (t.df.repartitionByRange(*names)
+          .sortWithinPartitions(*names))
+    return type(t)(df, tuple(names), presorted=True)
+
+
+def rechunk(t: Table, by: Any = None, chunks: int | None = None) -> Table:
+    """Distributed sample sort → range repartition (reference
+    src/sort.jl:8-68)."""
+    names = S.resolve_names(t.df, by, t.pkey) if by is not None else list(t.pkey)
+    if not names:
+        n = chunks or t.df.rdd.getNumPartitions()
+        return t._with(t.df.repartition(n), presorted=False)
+    if chunks:
+        df = t.df.repartitionByRange(chunks, *names)
+    else:
+        df = t.df.repartitionByRange(*names)
+    return type(t)(df.sortWithinPartitions(*names), tuple(names), presorted=True)
+
+
+def subtable(t: Table, start: int, stop: int) -> Table:
+    """Contiguous positional row-range [start, stop] (1-based, inclusive)
+    in pkey order (reference src/ndsparse.jl:497-527, src/util.jl:12-18).
+    Requires a pkey for a deterministic order."""
+    if not t.pkey:
+        raise ValueError("subtable needs a pkey-ordered table")
+    w = W.orderBy(*[F.col(k).asc_nulls_last() for k in t.pkey])
+    df = (t.df.withColumn("__rn", F.row_number().over(w))
+          .filter((F.col("__rn") >= start) & (F.col("__rn") <= stop))
+          .drop("__rn"))
+    return t._with(df)
+
+
+def permutedims_nd(nd: NDSparse, perm: Sequence[str | int]) -> NDSparse:
+    """Permute index dimensions then re-sort (reference src/sort.jl:72-90;
+    test test/test_query.jl:84-90)."""
+    dims = [nd.pkey[p - 1] if isinstance(p, int) else p for p in perm]
+    if set(dims) != set(nd.pkey):
+        raise ValueError(f"perm {dims} must be a permutation of {nd.pkey}")
+    df = nd.df.select(*dims, *nd.valnames)
+    return NDSparse(df, tuple(dims), presorted=False)
+
+
+def partition_iter(t: Table, size: int) -> Iterator[pd.DataFrame]:
+    """Stream the table in fixed-size row batches in pkey order (reference
+    Iterators.partition, src/iteration.jl:3-57)."""
+    buf: list = []
+    cols = t.df.columns
+    for row in t._ordered_df().toLocalIterator():
+        buf.append(row)
+        if len(buf) == size:
+            yield pd.DataFrame([r.asDict() for r in buf], columns=cols)
+            buf = []
+    if buf:
+        yield pd.DataFrame([r.asDict() for r in buf], columns=cols)

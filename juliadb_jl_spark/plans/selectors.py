@@ -1,0 +1,181 @@
+"""Selector DSL → native Column-expression compiler.
+
+Re-expresses IndexedTables' selection DSL (reference: JuliaDB
+docs/src/basics.md:59-114 — Int position, Symbol name, Pair{sel=>func},
+Tuple multi-select, Regex over names, Type match, Not(sel), Between(a,b),
+Keys(), All(sels...), bare function over names) as PySpark ``Column``
+expressions.  Compiling to native expressions (not opaque UDFs) is what
+lets Catalyst push filters/pruning into the parquet scan — the single
+biggest performance decision in the engine (SURVEY.md §4).
+
+Positions are 1-based to match the reference's Julia semantics.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# Selector marker classes (mirror IndexedTables' selector types)
+# ---------------------------------------------------------------------------
+
+class Not:
+    """All columns except the given selector(s). Ref: docs/src/basics.md:96."""
+
+    def __init__(self, *sels: Any):
+        self.sels = sels
+
+
+class Between:
+    """Columns positionally between `first` and `last` (inclusive, by name).
+
+    Ref: docs/src/tutorial.md:100-107."""
+
+    def __init__(self, first: str, last: str):
+        self.first, self.last = first, last
+
+
+class Keys:
+    """The primary-key columns. Ref: docs/src/basics.md:104."""
+
+
+class Vals:
+    """The non-key (value) columns."""
+
+
+class All:
+    """Union of selectors, deduplicated. Ref: docs/src/tutorial.md:110-126."""
+
+    def __init__(self, *sels: Any):
+        self.sels = sels
+
+
+@dataclass
+class Pair:
+    """`sel => fn` — apply fn to the selected column(s) during select.
+
+    Ref: docs/src/basics.md:75-83. `fn` may be:
+      * a string naming a pyspark.sql.functions builtin (native, fast path),
+      * a callable Column -> Column (native),
+      * a plain Python callable (falls back to an Arrow-vectorized pandas_udf;
+        give `rtype` for the return type, default DoubleType).
+    """
+    sel: Any
+    fn: Any
+    name: str | None = None
+    rtype: Any = None
+
+
+def pair(sel: Any, fn: Any, name: str | None = None, rtype: Any = None) -> Pair:
+    return Pair(sel, fn, name, rtype)
+
+
+# ---------------------------------------------------------------------------
+# Resolution
+# ---------------------------------------------------------------------------
+
+_PY_TO_SPARK_TYPES = {
+    int: (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    float: (T.FloatType, T.DoubleType),
+    str: (T.StringType,),
+    bool: (T.BooleanType,),
+    bytes: (T.BinaryType,),
+}
+
+
+def _apply_fn(col: Column, fn: Any, rtype: Any, colname: str) -> Column:
+    """Compile a Pair function to a Column expression, preferring native."""
+    if isinstance(fn, str):
+        return getattr(F, fn)(col)
+    if callable(fn):
+        try:
+            out = fn(col)
+            if isinstance(out, Column):
+                return out
+        except Exception:
+            pass
+        # True Python closure → Arrow-vectorized pandas UDF (slow path).
+        spark_rtype = rtype or T.DoubleType()
+        if isinstance(spark_rtype, str):
+            spark_rtype = T._parse_datatype_string(spark_rtype)
+        udf = F.pandas_udf(lambda s: s.map(fn), spark_rtype)
+        return udf(col)
+    raise TypeError(f"cannot compile selector function {fn!r} for {colname}")
+
+
+def resolve(df: DataFrame, sel: Any, pkey: Sequence[str] = (),
+            multi_as_list: bool = True) -> list[tuple[str, Column]]:
+    """Resolve a selector against a DataFrame into [(name, Column), ...]."""
+    cols = df.columns
+
+    if sel is None:
+        return [(c, F.col(c)) for c in cols]
+    if isinstance(sel, int):
+        name = cols[sel - 1]  # 1-based, matching Julia
+        return [(name, F.col(name))]
+    if isinstance(sel, str):
+        if sel not in cols:
+            raise KeyError(f"column {sel!r} not in {cols}")
+        return [(sel, F.col(sel))]
+    if isinstance(sel, Column):
+        # Raw Column escape hatch.
+        name = df.select(sel).columns[0]
+        return [(name, sel)]
+    if isinstance(sel, re.Pattern):
+        return [(c, F.col(c)) for c in cols if sel.search(c)]
+    if isinstance(sel, type):
+        wanted = _PY_TO_SPARK_TYPES.get(sel)
+        if wanted is None:
+            raise TypeError(f"unsupported type selector {sel}")
+        return [(f.name, F.col(f.name)) for f in df.schema.fields
+                if isinstance(f.dataType, wanted)]
+    if isinstance(sel, Not):
+        drop = {n for s in sel.sels for n, _ in resolve(df, s, pkey)}
+        return [(c, F.col(c)) for c in cols if c not in drop]
+    if isinstance(sel, Between):
+        i, j = cols.index(sel.first), cols.index(sel.last)
+        return [(c, F.col(c)) for c in cols[i:j + 1]]
+    if isinstance(sel, Keys) or sel is Keys:
+        return [(c, F.col(c)) for c in pkey]
+    if isinstance(sel, Vals) or sel is Vals:
+        return [(c, F.col(c)) for c in cols if c not in set(pkey)]
+    if isinstance(sel, All):
+        out, seen = [], set()
+        for s in sel.sels:
+            for n, c in resolve(df, s, pkey):
+                if n not in seen:
+                    seen.add(n)
+                    out.append((n, c))
+        return out
+    if isinstance(sel, Pair):
+        inner = resolve(df, sel.sel, pkey)
+        if len(inner) != 1:
+            raise ValueError("Pair selector must resolve to one column")
+        iname, icol = inner[0]
+        out_col = _apply_fn(icol, sel.fn, sel.rtype, iname)
+        out_name = sel.name or iname
+        return [(out_name, out_col)]
+    if isinstance(sel, (tuple, list)):
+        out = []
+        for s in sel:
+            out.extend(resolve(df, s, pkey))
+        return out
+    if callable(sel):
+        # Bare function over column *names* (e.g. lambda n: n.startswith("l_")).
+        return [(c, F.col(c)) for c in cols if sel(c)]
+    raise TypeError(f"unsupported selector {sel!r}")
+
+
+def resolve_names(df: DataFrame, sel: Any, pkey: Sequence[str] = ()) -> list[str]:
+    return [n for n, _ in resolve(df, sel, pkey)]
+
+
+def as_columns(resolved: list[tuple[str, Column]]) -> list[Column]:
+    return [c.alias(n) for n, c in resolved]

@@ -1,0 +1,49 @@
+"""Parquet save/load with an engine metadata sidecar.
+
+Reference: JuliaDB `save`/`load` persist chunks plus a serialized index
+manifest so a reloaded table keeps its key/sort state (src/io.jl:167-216).
+Here: parquet + a small JSON sidecar carrying pkey/presorted/kind, so
+`load(save(t))` restores Table vs NDSparse and sorted semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+from juliadb_jl_spark.plans.table import NDSparse, Table
+
+_MANIFEST = "_juliadb_manifest.json"
+
+
+def save(t: Table, path: str, mode: str = "overwrite",
+         partition_by: list[str] | None = None) -> None:
+    """Write table data + metadata manifest (reference src/io.jl:188-216)."""
+    writer = t.df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    manifest = {
+        "kind": "ndsparse" if isinstance(t, NDSparse) else "table",
+        "pkey": list(t.pkey),
+        "presorted": t.presorted,
+        "version": 1,
+    }
+    with open(os.path.join(path, _MANIFEST), "w") as fh:
+        json.dump(manifest, fh)
+
+
+def load(path: str, spark: SparkSession | None = None) -> Table:
+    """Reopen a saved dataset, restoring pkey/sort metadata (reference
+    src/io.jl:167-186)."""
+    spark = spark or SparkSession.getActiveSession()
+    df = spark.read.parquet(path)
+    mpath = os.path.join(path, _MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            m = json.load(fh)
+        cls = NDSparse if m.get("kind") == "ndsparse" else Table
+        return cls(df, tuple(m.get("pkey", ())), m.get("presorted", False))
+    return Table(df)

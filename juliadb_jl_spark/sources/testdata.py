@@ -1,0 +1,39 @@
+"""Loader for the driver-generated TPC-H-ish testdata (TESTDATA.md).
+
+`events.parquet` stores its `ts` column as parquet TIMESTAMP(NANOS), which
+Spark has no native type for; with `spark.sql.legacy.parquet.nanosAsLong`
+the scan yields a bigint of nanoseconds, converted here to a microsecond
+timestamp (`ts DIV 1000` — truncation matches DuckDB's ns→µs cast).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# columns stored as TIMESTAMP(NANOS) that surface as long under
+# nanosAsLong and need conversion
+_NANOS_TS = {"events": ["ts"]}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANOS_TS.get(name, []):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` DIV 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: list[str] | None = None) -> dict[str, DataFrame]:
+    out = {}
+    for name in names or TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = read_table(spark, sf_dir, name)
+    return out
