@@ -208,7 +208,8 @@ def groupby(f: Any, t: Table, by: Any, select: Any = None,
     sel_resolved = S.resolve(t.df, select, t.pkey) if select is not None else \
         [(c, F.col(c)) for c in t.df.columns if c not in by_names]
     sel_names = [n for n, _ in sel_resolved]
-    single = len(sel_names) == 1
+    # a tuple/list selector always presents a DataFrame, even of one column
+    single = len(sel_names) == 1 and not isinstance(select, (tuple, list))
 
     src = t.df.select(*S.as_columns(by_resolved),
                       *[c.alias(n) for n, c in sel_resolved])

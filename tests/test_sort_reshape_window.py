@@ -1,0 +1,159 @@
+"""Sort / reshape / window operators vs oracle + goldens.
+
+Mirrors reference tests test/test_table.jl:168-174 (stack/unstack),
+test/test_query.jl:84-118 (permutedims, mapslices, flatten, window
+idioms), docs/src/tutorial.md:536-641 (window emulations → native).
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import juliadb_jl_spark as jdb
+from juliadb_jl_spark.operators import window as wop
+from tests.conftest import check_vs_oracle
+
+
+def test_sort_and_reindex(tables, duck):
+    li = tables["lineitem"]
+    s = jdb.sort(li, by=("l_quantity", "l_orderkey"))
+    first = s.head(1)
+    assert first["l_quantity"][0] == 1.0
+    r = jdb.reindex(li, ("l_suppkey", "l_orderkey"))
+    assert r.pkey == ("l_suppkey", "l_orderkey") and r.presorted
+    assert r.count() == li.count()
+
+
+def test_sort_missing_last(spark):
+    t = jdb.table(pd.DataFrame({"x": [2.0, None, 1.0]}), spark=spark)
+    out = jdb.sort(t, by="x").collect()
+    assert list(out["x"][:2]) == [1.0, 2.0] and pd.isna(out["x"][2])
+
+
+def test_subtable_and_positional(spark):
+    t = jdb.table({"x": list(range(10, 0, -1))}, pkey="x", spark=spark)
+    sub = jdb.subtable(t, 2, 4).collect()
+    assert list(sub["x"]) == [2, 3, 4]
+    assert t[1]["x"] == 1
+
+
+def test_partition_iter(spark):
+    t = jdb.table({"x": list(range(1, 8))}, pkey="x", spark=spark)
+    batches = list(jdb.partition_iter(t, 3))
+    assert [len(b) for b in batches] == [3, 3, 1]
+    assert list(batches[0]["x"]) == [1, 2, 3]
+
+
+def test_permutedims(spark):
+    nd = jdb.ndsparse({"i": [1, 2], "j": ["a", "b"], "v": [1., 2.]},
+                      indexcols=("i", "j"), spark=spark)
+    p = jdb.permutedims_nd(nd, ["j", "i"])
+    assert p.pkey == ("j", "i")
+    assert p["a", 1] == 1.0
+
+
+def test_stack_unstack_golden(spark):
+    # reference test/test_table.jl:168-174
+    t = jdb.table({"i": [1, 2], "a": [10., 30.], "b": [20., 40.]},
+                  pkey="i", spark=spark)
+    long = jdb.stack(t, ("a", "b"))
+    got = long.collect()
+    assert len(got) == 4
+    assert set(zip(got["i"], got["variable"], got["value"])) == {
+        (1, "a", 10.), (1, "b", 20.), (2, "a", 30.), (2, "b", 40.)}
+    wide = jdb.unstack(long, values=["a", "b"]).collect()
+    assert set(zip(wide["i"], wide["a"], wide["b"])) == {(1, 10., 20.), (2, 30., 40.)}
+
+
+def test_stack_vs_oracle(tables, duck):
+    li = jdb.select(tables["lineitem"], ("l_orderkey", "l_linenumber",
+                                         "l_quantity", "l_discount"))
+    out = jdb.stack(jdb.table(li.df, pkey=("l_orderkey", "l_linenumber")),
+                    ("l_quantity", "l_discount"))
+    check_vs_oracle(out.df, duck, """
+        SELECT l_orderkey, l_linenumber, variable, value
+        FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem)
+        UNPIVOT (value FOR variable IN (l_quantity, l_discount))""")
+
+
+def test_flatten_array_and_struct(spark):
+    t = jdb.table(pd.DataFrame({"x": [1, 2], "ys": [[3, 4], [5, 6]]}), spark=spark)
+    out = jdb.flatten(t, "ys").collect()
+    assert set(zip(out["x"], out["ys"])) == {(1, 3), (1, 4), (2, 5), (2, 6)}
+
+
+def test_mapslices(spark):
+    nd = jdb.ndsparse({"i": [1, 1, 2, 2], "j": [1, 2, 1, 2],
+                       "v": [1., 2., 3., 4.]}, indexcols=("i", "j"), spark=spark)
+
+    def fsum(pdf):
+        return pd.DataFrame({"total": [pdf["v"].sum()]})
+
+    out = jdb.mapslices(fsum, nd, dims="j").collect()
+    assert dict(zip(out["i"], out["total"])) == {1: 3.0, 2: 7.0}
+
+
+def test_window_rank_topk(tables, duck):
+    li = tables["lineitem"]
+    ranked = wop.rank_in_group(li, by="l_returnflag",
+                               order=("l_extendedprice", "l_orderkey",
+                                      "l_linenumber"),
+                               rev=True, name="rn")
+    out = jdb.select(ranked, ("l_returnflag", "l_orderkey", "l_linenumber", "rn"))
+    check_vs_oracle(jdb.filter_(out, F.col("rn") <= 3).df, duck, """
+        SELECT l_returnflag, l_orderkey, l_linenumber, rn FROM (
+          SELECT l_returnflag, l_orderkey, l_linenumber,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice DESC, l_orderkey DESC,
+                            l_linenumber DESC) AS rn
+          FROM lineitem) WHERE rn <= 3""")
+    topk = wop.topk_per_group(li, by="l_returnflag",
+                              order=("l_extendedprice", "l_orderkey",
+                                     "l_linenumber"), k=3)
+    assert topk.count() == 9
+
+
+def test_window_lag_cumsum(spark):
+    t = jdb.table({"g": ["a", "a", "a", "b"], "t": [1, 2, 3, 1],
+                   "v": [1., 2., 4., 9.]}, pkey="t", spark=spark)
+    lag = wop.lag_col(t, "v", by="g", order="t").collect().sort_values(["g", "t"])
+    assert pd.isna(lag["v_lag1"].iloc[0]) and lag["v_lag1"].iloc[1] == 1.0
+    cum = wop.cumulative(t, "v", by="g", order="t").collect().sort_values(["g", "t"])
+    assert list(cum["v_cumsum"]) == [1., 3., 7., 9.]
+    ga = wop.group_agg_col(t, "v", by="g", agg="avg").collect()
+    assert set(ga["v_avg"].round(4)) == {round(7 / 3, 4), 9.0}
+
+
+def test_rolling(spark):
+    t = jdb.table({"t": [1, 2, 3, 4], "v": [1., 2., 3., 4.]}, pkey="t", spark=spark)
+    out = wop.rolling(t, "v", window=2, order="t", agg="sum").collect()
+    assert list(out["v_roll_sum2"]) == [1., 3., 5., 7.]
+
+
+def test_save_load_roundtrip(tables, tmp_path):
+    li = jdb.table(tables["lineitem"].df, pkey=("l_orderkey", "l_linenumber"))
+    path = str(tmp_path / "li_saved")
+    jdb.save(li, path)
+    back = jdb.load(path)
+    assert back.pkey == ("l_orderkey", "l_linenumber")
+    assert back.count() == li.count()
+    assert back.same_rows(li)
+
+
+def test_csv_loadtable_roundtrip(spark, tmp_path, tables):
+    pdf = tables["nation"].collect()
+    csv_path = str(tmp_path / "nation.csv")
+    pdf.to_csv(csv_path, index=False)
+    t = jdb.loadtable(csv_path, spark=spark, pkey="n_nationkey")
+    assert t.count() == 25
+    assert t.pkey == ("n_nationkey",)
+    nd = jdb.loadndsparse(csv_path, indexcols="n_nationkey", spark=spark)
+    assert nd[0] is not None
+
+
+def test_distribute_rechunk(tables):
+    li = tables["lineitem"]
+    d = jdb.table(li.df, pkey=("l_orderkey",)).distribute(4)
+    assert d.df.rdd.getNumPartitions() == 4
+    r = jdb.rechunk(li, by=("l_suppkey",), chunks=4)
+    assert r.pkey == ("l_suppkey",) and r.presorted
