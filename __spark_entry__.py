@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship query (TPC-H Q1-shaped pricing summary) through
+the engine on sf0.001.  `queries()` — one callable per implemented
+operator from SURVEY.md §2 plus the training-pipeline extensions.
+`oracle_sql()` — DuckDB-equivalent SQL for every SQL-expressible query.
+
+Numeric determinism: money columns in the testdata are exact 2-decimal
+doubles, so aggregates are integerized (`CAST(ROUND(x*100) AS BIGINT)`)
+on BOTH sides — integer arithmetic is order-independent, making value
+hashes match exactly regardless of summation order.  Ratios/averages are
+divisions of exact integers (identical IEEE doubles), rounded only where
+genuinely float (cosine, variance).
 """
 
 from __future__ import annotations
@@ -12,27 +18,784 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+import juliadb_jl_spark as jdb
+from juliadb_jl_spark.functions import dedup as DD
+from juliadb_jl_spark.functions import similarity as SIM
+from juliadb_jl_spark.functions import text as TX
+from juliadb_jl_spark.functions.text import LANG_KEYWORDS, STOPWORDS
+from juliadb_jl_spark.operators import window as WOP
+from juliadb_jl_spark.plans import selectors as S
+from juliadb_jl_spark.sources.testdata import read_table
+from juliadb_jl_spark.streaming import aggregate as SA
+
+_REG: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        _REG[name] = fn
+        if oracle is not None:
+            _ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark, sf_dir, name, pkey=()):
+    return jdb.table(read_table(spark, sf_dir, name), pkey=pkey)
+
+
+def _cents(col):
+    """Exact integer cents from a 2-decimal double."""
+    return F.round(col * 100).cast("long")
+
+
+# ===========================================================================
+# Scans / filters / projections (SURVEY §2.1–2.2)
+# ===========================================================================
+
+@_q("q01_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+           / 10000.0 AS sum_disc,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))
+           * (100 + CAST(round(l_tax*100) AS BIGINT))) AS DOUBLE)
+           / 1000000.0 AS sum_charge,
+       sum(l_quantity) / count(*) AS avg_qty,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+           / count(*) AS avg_price_c,
+       count(*) AS n
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q01(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: filter → transform → groupreduce
+    (reference groupreduce, src/reduce.jl:41-70)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li = jdb.filter_(li, F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    li = jdb.transform(li,
+                       price_c=_cents(F.col("l_extendedprice")),
+                       disc_b=_cents(F.col("l_discount")),
+                       tax_b=_cents(F.col("l_tax")))
+    # integer cents keep sums order-independent; composites surface as
+    # double dollars (exact-int / 10^k — deterministic IEEE division)
+    return jdb.groupreduce({
+        "sum_qty": S.pair("l_quantity", "sum"),
+        "sum_base_c": S.pair("price_c", "sum"),
+        "sum_disc": (F.sum(F.col("price_c") * (100 - F.col("disc_b")))
+                     .cast("double") / 10000.0),
+        "sum_charge": (F.sum(F.col("price_c") * (100 - F.col("disc_b"))
+                             * (100 + F.col("tax_b")))
+                       .cast("double") / 1000000.0),
+        "avg_qty": F.sum("l_quantity") / F.count(F.lit(1)),
+        "avg_price_c": F.sum("price_c").cast("double") / F.count(F.lit(1)),
+        "n": F.count(F.lit(1)),
+    }, li, by=("l_returnflag", "l_linestatus")).df
+
+
+@_q("q02_filter_project", """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT)) AS revenue_c4
+FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
+""")
+def q02(spark, sf_dir):
+    """filter (col=>pred conjunction) + select with computed Pair
+    (reference src/selection.jl:20-23, docs/src/basics.md:75-83)."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = jdb.filter_(li, l_quantity=lambda c: c > 30, l_returnflag="R")
+    return jdb.select(f, ("l_orderkey", "l_linenumber",
+                          S.pair("l_extendedprice",
+                                 lambda c: _cents(c) * (100 - _cents(F.col("l_discount"))),
+                                 name="revenue_c4"))).df
+
+
+@_q("q03_map_compute", """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_extendedprice*100) AS BIGINT)
+         * (100 - CAST(round(l_discount*100) AS BIGINT))
+         * (100 + CAST(round(l_tax*100) AS BIGINT)) AS charge_c6
+FROM lineitem
+""")
+def q03(spark, sf_dir):
+    """map_ producing a named-tuple of native exprs (reference
+    src/selection.jl:1-6, test/test_table.jl:31)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return jdb.map_(
+        lambda ok, ln, p, d, t: {"l_orderkey": ok, "l_linenumber": ln,
+                                 "charge_c6": _cents(p) * (100 - _cents(d))
+                                 * (100 + _cents(t))},
+        li, select=("l_orderkey", "l_linenumber", "l_extendedprice",
+                    "l_discount", "l_tax")).df
+
+
+@_q("q04_dropmissing_transform", """
+SELECT o_orderkey, o_orderpriority,
+       CAST(round(o_totalprice*100) AS BIGINT) AS total_c
+FROM orders WHERE o_totalprice IS NOT NULL AND o_orderstatus = 'O'
+""")
+def q04(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    o = jdb.dropmissing(o, "o_totalprice")
+    o = jdb.filter_(o, o_orderstatus="O")
+    o = jdb.transform(o, total_c=_cents(F.col("o_totalprice")))
+    return jdb.select(o, ("o_orderkey", "o_orderpriority", "total_c")).df
+
+
+# ===========================================================================
+# Joins (SURVEY §2.3)
+# ===========================================================================
+
+@_q("q05_join_inner", """
+SELECT o_custkey, o_orderkey,
+       CAST(round(o_totalprice*100) AS BIGINT) AS total_c, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+""")
+def q05(spark, sf_dir):
+    o = jdb.transform(_t(spark, sf_dir, "orders"),
+                      total_c=_cents(F.col("o_totalprice")))
+    c = _t(spark, sf_dir, "customer")
+    return jdb.join(o, c, how="inner", lkey="o_custkey", rkey="c_custkey",
+                    lselect=("o_orderkey", "total_c"),
+                    rselect=("c_name", "c_mktsegment")).df
+
+
+@_q("q06_join_left", """
+SELECT o_orderkey, o_custkey, c.c_name
+FROM orders LEFT JOIN (SELECT c_custkey, c_name FROM customer
+                       WHERE c_acctbal > 5000) c ON o_custkey = c.c_custkey
+""")
+def q06(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    rich = jdb.filter_(_t(spark, sf_dir, "customer"), F.col("c_acctbal") > 5000)
+    out = jdb.join(o, rich, how="left", lkey="o_custkey", rkey="c_custkey",
+                   lselect=("o_orderkey",), rselect=("c_name",))
+    return out.df.select("o_orderkey", "o_custkey", "c_name")
+
+
+@_q("q07_join_outer", """
+SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+       c.c_custkey, s.s_suppkey
+FROM (SELECT c_nationkey, c_custkey FROM customer WHERE c_acctbal > 9000) c
+FULL OUTER JOIN (SELECT s_nationkey, s_suppkey FROM supplier) s
+ON c.c_nationkey = s.s_nationkey
+""")
+def q07(spark, sf_dir):
+    c = jdb.filter_(_t(spark, sf_dir, "customer"), F.col("c_acctbal") > 9000)
+    s = _t(spark, sf_dir, "supplier")
+    out = jdb.join(jdb.select(c, ("c_nationkey", "c_custkey")),
+                   jdb.select(s, ("s_nationkey", "s_suppkey")),
+                   how="outer", lkey="c_nationkey", rkey="s_nationkey")
+    return out.df.withColumnRenamed("c_nationkey", "nationkey")
+
+
+@_q("q08_join_anti", """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""")
+def q08(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return jdb.join(c, o, how="anti", lkey="c_custkey", rkey="o_custkey",
+                    lselect=("c_name",)).df
+
+
+@_q("q09_broadcast_3way", """
+SELECT r_name, n_name,
+       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_c, count(*) AS n_cust
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""")
+def q09(spark, sf_dir):
+    """Broadcast-join chain (reference broadcast join src/join.jl:37-57) +
+    groupreduce; both dims hinted broadcast — no shuffle of the fact side."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cn = jdb.join(c, n, how="inner", lkey="c_nationkey", rkey="n_nationkey",
+                  lselect=("c_custkey", "c_acctbal"),
+                  rselect=("n_name", "n_regionkey"), broadcast="right")
+    cnr = jdb.join(cn, r, how="inner", lkey="n_regionkey", rkey="r_regionkey",
+                   broadcast="right")
+    cnr = jdb.transform(cnr, bal=_cents(F.col("c_acctbal")))
+    return jdb.groupreduce({"bal_c": S.pair("bal", "sum"),
+                            "n_cust": F.count(F.lit(1))},
+                           cnr, by=("r_name", "n_name")).df
+
+
+@_q("q10_groupjoin_sizes", """
+SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""")
+def q10(spark, sf_dir):
+    """groupjoin (reference src/join.jl:120-126) surfaced as group sizes."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    g = jdb.groupjoin(jdb.select(c, ("c_custkey", "c_name")), o, how="left",
+                      lkey="c_custkey", rkey="o_custkey",
+                      rselect=("o_orderkey",))
+    return g.df.select("c_custkey", "c_name",
+                       F.size("groups").cast("long").alias("n_orders"))
+
+
+@_q("q11_asofjoin", """
+WITH a AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+     b AS (SELECT user_id AS uid, ts AS bts, value AS last_purchase
+           FROM events WHERE event_type = 'purchase')
+SELECT a.user_id, a.ts, a.event_id, b.last_purchase
+FROM a ASOF LEFT JOIN b ON a.user_id = b.uid AND a.ts >= b.bts
+""")
+def q11(spark, sf_dir):
+    """asofjoin (reference src/join.jl:232-243): last purchase value at or
+    before each click, per user."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = jdb.table(ev.df.filter(F.col("event_type") == "click")
+                       .select("user_id", "ts", "event_id"))
+    buys = jdb.table(ev.df.filter(F.col("event_type") == "purchase")
+                     .select("user_id", "ts", F.col("value").alias("last_purchase")))
+    return jdb.asofjoin(clicks, buys, by="user_id", on="ts").df
+
+
+@_q("q12_merge", """
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+""")
+def q12(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders", pkey=("o_orderkey",))
+    a = jdb.select(jdb.filter_(o, o_orderstatus="F"), ("o_orderkey", "o_orderstatus"))
+    b = jdb.select(jdb.filter_(o, o_orderstatus="O"), ("o_orderkey", "o_orderstatus"))
+    return jdb.merge(a, b).df
+
+
+# ===========================================================================
+# Aggregation (SURVEY §2.4)
+# ===========================================================================
+
+@_q("q13_reduce_scalar", """
+SELECT count(*) AS n, sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+           AS sum_price_c,
+       min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+FROM lineitem
+""")
+def q13(spark, sf_dir):
+    """whole-table reduce with a dict of reducer forms (reference
+    src/reduce.jl:5-39)."""
+    li = jdb.transform(_t(spark, sf_dir, "lineitem"),
+                       price_c=_cents(F.col("l_extendedprice")))
+    row = jdb.reduce_({"n": F.count(F.lit(1)),
+                       "sum_qty": S.pair("l_quantity", "sum"),
+                       "sum_price_c": S.pair("price_c", "sum"),
+                       "min_ship": S.pair("l_shipdate", "min"),
+                       "max_ship": S.pair("l_shipdate", "max")}, li)
+    return spark.createDataFrame([row])
+
+
+@_q("q14_groupby_median", """
+SELECT l_returnflag, median(l_quantity) AS median,
+       quantile_cont(l_quantity, 0.9) AS q90
+FROM lineitem GROUP BY l_returnflag
+""")
+def q14(spark, sf_dir):
+    """holistic groupby: exact median/quantile (reference groupby
+    src/reduce.jl:72-105 with vector closures)."""
+    from juliadb_jl_spark.functions import stats as ST
+    li = _t(spark, sf_dir, "lineitem")
+    return jdb.groupreduce({"median": ST.Median(), "q90": ST.Quantile(0.9)},
+                           li, by="l_returnflag", select="l_quantity").df
+
+
+@_q("q15_summarize", """
+SELECT l_returnflag,
+       avg(l_quantity) AS l_quantity_mean, max(l_quantity) AS l_quantity_max,
+       avg(CAST(round(l_discount*100) AS BIGINT)) AS disc_b_mean,
+       max(CAST(round(l_discount*100) AS BIGINT)) AS disc_b_max
+FROM lineitem GROUP BY l_returnflag
+""")
+def q15(spark, sf_dir):
+    """summarize: per-column reducers with col_fn auto-naming (reference
+    docs/src/operations.md:32)."""
+    li = jdb.transform(_t(spark, sf_dir, "lineitem"),
+                       disc_b=_cents(F.col("l_discount")))
+    out = jdb.summarize(("mean", "max"), li, by="l_returnflag",
+                        select=("l_quantity", "disc_b"))
+    return out.df
+
+
+@_q("q16_countdistinct", """
+SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY l_returnflag
+""")
+def q16(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return jdb.groupreduce({"n_supp": F.count_distinct(F.col("l_suppkey")),
+                            "n_orders": F.count_distinct(F.col("l_orderkey"))},
+                           li, by="l_returnflag").df
+
+
+@_q("q17_hist", """
+SELECT l_returnflag, CAST(floor((l_quantity - 1) / 10) AS BIGINT) AS bucket,
+       count(*) AS n
+FROM lineitem GROUP BY 1, 2
+""")
+def q17(spark, sf_dir):
+    """histogram as native bucketize+count (OnlineStats Hist mapping,
+    SURVEY §2.4)."""
+    li = jdb.transform(_t(spark, sf_dir, "lineitem"),
+                       bucket=F.floor((F.col("l_quantity") - 1) / 10).cast("long"))
+    return jdb.groupreduce({"n": F.count(F.lit(1))}, li,
+                           by=("l_returnflag", "bucket")).df
+
+
+@_q("q18_variance", """
+SELECT l_linestatus, round(var_samp(l_quantity), 6) AS var_qty,
+       round(stddev_samp(l_quantity), 6) AS std_qty
+FROM lineitem GROUP BY 1
+""")
+def q18(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = jdb.groupreduce({"var_qty": F.round(F.var_samp("l_quantity"), 6),
+                           "std_qty": F.round(F.stddev_samp("l_quantity"), 6)},
+                          li, by="l_linestatus")
+    return out.df
+
+
+# ===========================================================================
+# NDSparse surface: convertdim / reducedim / selectkeys (SURVEY §2.2, §2.4)
+# ===========================================================================
+
+@_q("q19_convertdim", """
+SELECT user_id, date_trunc('day', ts) AS day,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events GROUP BY 1, 2
+""")
+def q19(spark, sf_dir):
+    """convertdim: map the ts dimension to day granularity, aggregating
+    collisions (reference src/selection.jl:36-81)."""
+    ev = read_table(spark, sf_dir, "events")
+    nd = jdb.ndsparse(ev.select("user_id", "ts",
+                                _cents(F.col("value")).alias("value_c")),
+                      indexcols=("user_id", "ts"))
+    out = jdb.convertdim(nd, "ts", lambda c: F.date_trunc("day", c), agg="sum")
+    return out.df.withColumnRenamed("ts", "day")
+
+
+@_q("q20_reducedim", """
+SELECT date_trunc('day', ts) AS day,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events GROUP BY 1
+""")
+def q20(spark, sf_dir):
+    """reducedim: reduce out the user dimension (reference
+    src/reduce.jl:107-115)."""
+    ev = read_table(spark, sf_dir, "events")
+    nd = jdb.ndsparse(ev.select(F.date_trunc("day", F.col("ts")).alias("day"),
+                                "user_id",
+                                _cents(F.col("value")).alias("value_c")),
+                      indexcols=("day", "user_id"), agg="sum")
+    return (jdb.reducedim("sum", nd, dims="user_id").df
+            .withColumnRenamed("sum", "value_c"))
+
+
+# ===========================================================================
+# Window functions (SURVEY §2.5) & sorts/top-k (§2.6)
+# ===========================================================================
+
+@_q("q21_window_rank", """
+SELECT c_mktsegment, o_orderkey, total_c, rn FROM (
+  SELECT c_mktsegment, o_orderkey,
+         CAST(round(o_totalprice*100) AS BIGINT) AS total_c,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY round(o_totalprice*100) DESC,
+                                     o_orderkey ASC) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+WHERE rn <= 5
+""")
+def q21(spark, sf_dir):
+    """rank-within-group (reference idiom docs/src/tutorial.md:544-551) →
+    native row_number window + filter."""
+    o = jdb.transform(_t(spark, sf_dir, "orders"),
+                      total_c=_cents(F.col("o_totalprice")))
+    c = _t(spark, sf_dir, "customer")
+    j = jdb.join(o, c, how="inner", lkey="o_custkey", rkey="c_custkey",
+                 lselect=("o_orderkey", "total_c"), rselect=("c_mktsegment",))
+    j = jdb.table(j.df.select("c_mktsegment", "o_orderkey", "total_c"))
+    ranked = WOP.rank_in_group(j, by="c_mktsegment",
+                               order=("-total_c", "o_orderkey"), name="rn")
+    return jdb.filter_(ranked, F.col("rn") <= 5).df
+
+
+@_q("q22_window_lag", """
+SELECT user_id, event_id, value_c,
+       value_c - lag(value_c) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS delta_c
+FROM (SELECT user_id, event_id, ts,
+             CAST(round(value*100) AS BIGINT) AS value_c FROM events)
+""")
+def q22(spark, sf_dir):
+    """lag/diff (reference idiom docs/src/tutorial.md:618-641)."""
+    ev = read_table(spark, sf_dir, "events")
+    t = jdb.table(ev.select("user_id", "event_id", "ts",
+                            _cents(F.col("value")).alias("value_c")))
+    lagged = WOP.lag_col(t, "value_c", by="user_id", order=("ts", "event_id"))
+    return (lagged.df
+            .withColumn("delta_c", F.col("value_c") - F.col("value_c_lag1"))
+            .select("user_id", "event_id", "value_c", "delta_c"))
+
+
+@_q("q23_group_normalize", """
+SELECT event_id, event_type, value_c,
+       value_c - avg(value_c) OVER (PARTITION BY event_type) AS centered
+FROM (SELECT event_id, event_type,
+             CAST(round(value*100) AS BIGINT) AS value_c FROM events)
+""")
+def q23(spark, sf_dir):
+    """broadcast group mean back to rows (reference test/test_query.jl:116-118)."""
+    ev = read_table(spark, sf_dir, "events")
+    t = jdb.table(ev.select("event_id", "event_type",
+                            _cents(F.col("value")).alias("value_c")))
+    g = WOP.group_agg_col(t, "value_c", by="event_type", agg="avg")
+    return (g.df.withColumn("centered", F.col("value_c") - F.col("value_c_avg"))
+            .select("event_id", "event_type", "value_c", "centered"))
+
+
+@_q("q24_topk_global", """
+SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_c
+FROM orders ORDER BY round(o_totalprice*100) DESC, o_orderkey LIMIT 20
+""")
+def q24(spark, sf_dir):
+    """global top-k → TakeOrdered (no full sort materialization)."""
+    o = jdb.transform(_t(spark, sf_dir, "orders"),
+                      total_c=_cents(F.col("o_totalprice")))
+    s = jdb.sort(jdb.select(o, ("o_orderkey", "total_c")),
+                 by=("-total_c", "o_orderkey"))
+    return s.df.limit(20)
+
+
+@_q("q25_subtable", """
+SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey
+OFFSET 99 ROWS FETCH FIRST 101 ROWS ONLY
+""")
+def q25(spark, sf_dir):
+    """positional row-range in pkey order (reference subtable,
+    src/ndsparse.jl:497-527)."""
+    o = _t(spark, sf_dir, "orders", pkey=("o_orderkey",))
+    return jdb.subtable(jdb.select(o, ("o_orderkey", "o_custkey")), 100, 200).df
+
+
+# ===========================================================================
+# Set ops (SURVEY §2.7) & distinct
+# ===========================================================================
+
+@_q("q26_distinct", """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""")
+def q26(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return jdb.distinct_(jdb.select(li, ("l_returnflag", "l_linestatus"))).df
+
+
+@_q("q27_intersect", """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def q27(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = jdb.select(jdb.filter_(o, o_orderstatus="O"), "o_custkey")
+    b = jdb.select(jdb.filter_(o, o_orderstatus="F"), "o_custkey")
+    return jdb.intersect_(a, b).df
+
+
+@_q("q28_except", """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def q28(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = jdb.select(jdb.filter_(o, o_orderstatus="O"), "o_custkey")
+    b = jdb.select(jdb.filter_(o, o_orderstatus="F"), "o_custkey")
+    return jdb.except_(a, b, all=False).df
+
+
+# ===========================================================================
+# Reshape (SURVEY §2.9)
+# ===========================================================================
+
+@_q("q29_stack", """
+SELECT l_orderkey, l_linenumber, variable, value
+FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem)
+UNPIVOT (value FOR variable IN (l_quantity, l_discount))
+""")
+def q29(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    proj = jdb.table(jdb.select(li, ("l_orderkey", "l_linenumber",
+                                     "l_quantity", "l_discount")).df,
+                     pkey=("l_orderkey", "l_linenumber"))
+    return jdb.stack(proj, ("l_quantity", "l_discount")).df
+
+
+@_q("q30_unstack", """
+SELECT l_returnflag,
+       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+       sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
+FROM lineitem GROUP BY l_returnflag
+""")
+def q30(spark, sf_dir):
+    """unstack/pivot with explicit value list — skips the distinct-scan job
+    (reference src/reshape.jl:11-26)."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = jdb.table(li.df.select("l_returnflag",
+                                  F.col("l_linestatus").alias("variable"),
+                                  F.col("l_quantity").alias("value")))
+    # unstack takes first() per cell (reference semantics: unique pairs) —
+    # pre-aggregate so each (key, variable) is unique, then pivot
+    agg = jdb.groupreduce({"value": S.pair("value", "sum")}, long,
+                          by=("l_returnflag", "variable"))
+    return jdb.unstack(agg, values=["F", "O"]).df
+
+
+@_q("q31_flatten_tokens", """
+SELECT doc_id, token
+FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents WHERE doc_id < 100)
+""")
+def q31(spark, sf_dir):
+    """flatten/explode (reference src/flatten.jl:28-30) over tokenized text."""
+    d = _t(spark, sf_dir, "documents")
+    d = jdb.filter_(d, F.col("doc_id") < 100)
+    t = jdb.table(d.df.select("doc_id", TX.tokens(F.col("text")).alias("token")))
+    return jdb.flatten(t, "token").df
+
+
+# ===========================================================================
+# Streaming-shaped aggregations (batch-equivalent, SURVEY §2.10)
+# ===========================================================================
+
+@_q("q32_tumbling_window", """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_c
+FROM events GROUP BY 1, 2
+""")
+def q32(spark, sf_dir):
+    """tumbling event-time window agg — identical code path runs under
+    Structured Streaming (streaming/aggregate.py)."""
+    ev = read_table(spark, sf_dir, "events") \
+        .withColumn("value_c", _cents(F.col("value")))
+    out = SA.windowed_agg(ev, "ts", {"n": F.count(F.lit(1)),
+                                     "total_c": S.pair("value_c", "sum")},
+                          by="event_type", window="1 hour")
+    return out.drop("window_end")
+
+
+@_q("q33_sessionize", """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 1 HOUR OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, count(*) AS n_events, CAST(sum(new_s) AS BIGINT) AS n_sessions
+FROM g GROUP BY user_id
+""")
+def q33(spark, sf_dir):
+    """sessionization: lag + gap>threshold + per-user counts (native
+    windows; streaming analogue is session_window)."""
+    from pyspark.sql import Window as W
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    out = (ev.withColumn("prev_ts", F.lag("ts").over(w))
+           .withColumn("new_s",
+                       (F.col("prev_ts").isNull() |
+                        (F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+                         > 3600)).cast("int"))
+           .groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum("new_s").alias("n_sessions")))
+    return out
+
+
+# ===========================================================================
+# Training-pipeline: dedup / similarity / text / multimodal
+# ===========================================================================
+
+@_q("q34_dedup_exact", """
+SELECT min(doc_id) AS doc_id
+FROM documents
+GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+""")
+def q34(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return DD.dedup_exact(d, "doc_id").select("doc_id")
+
+
+@_q("q35_ngram_jaccard", """
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, s FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+             THEN [array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+2], ' ')
+                   FOR i IN range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1)]
+             ELSE [] END) AS s
+    FROM documents)),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+""")
+def q35(spark, sf_dir):
+    """exact n-gram Jaccard dedup pairs via shingle inverted-index join —
+    never O(n²)."""
+    d = read_table(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, "doc_id", k=3, threshold=0.5)
+
+
+@_q("q36_minhash_lsh")  # hash family differs per engine → rows-only check
+def q36(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(d, "doc_id", k=3, num_hashes=32, bands=16,
+                                threshold=0.5)
+
+
+@_q("q37_simhash")  # xxhash64 not available in the oracle → rows-only check
+def q37(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return DD.simhash_pairs(d, "doc_id", max_hamming=10)
+
+
+@_q("q38_similarity_topk", """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings)
+SELECT query_id, neighbor_id, rank, cosine_r6 FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(cv, qv) DESC,
+                                     neighbor_id) AS rank,
+         round(list_cosine_similarity(cv, qv), 6) AS cosine_r6
+  FROM q, c WHERE neighbor_id != query_id)
+WHERE rank <= 5
+""")
+def q38(spark, sf_dir):
+    """brute-force cosine top-k (exact baseline; IVF variant is q39)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = SIM.cosine_topk(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cosine", 6).alias("cosine_r6"))
+
+
+@_q("q39_ann_ivf")  # approximate (probed cells) → rows-only check
+def q39(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    tagged, cents = SIM.ivf_build(emb, n_cells=8)
+    return SIM.ivf_topk(tagged, cents, queries, k=5, nprobe=3)
+
+
+def _sql_word_count(text_expr: str, word: str) -> str:
+    padded = f"(' ' || {text_expr} || ' ')"
+    target = f"' {word} '"
+    return (f"CAST((length({padded}) - length(replace({padded}, {target}, '')))"
+            f" / {len(word) + 2} AS BIGINT)")
+
+
+def _sql_lang_id(text_expr: str) -> str:
+    scores = {lang: " + ".join(_sql_word_count(text_expr, w) for w in words)
+              for lang, words in LANG_KEYWORDS.items()}
+    pairs = sorted(scores.items())
+    best_l, best_s = f"'{pairs[0][0]}'", f"({pairs[0][1]})"
+    for lang, s in pairs[1:]:
+        cond = f"({s}) > {best_s}"
+        best_l = f"CASE WHEN {cond} THEN '{lang}' ELSE {best_l} END"
+        best_s = f"CASE WHEN {cond} THEN ({s}) ELSE {best_s} END"
+    return f"CASE WHEN {best_s} > 0 THEN {best_l} ELSE 'und' END"
+
+
+@_q("q40_lang_id", f"""
+SELECT lang_pred, count(*) AS n FROM (
+  SELECT {_sql_lang_id('text')} AS lang_pred FROM documents)
+GROUP BY lang_pred
+""")
+def q40(spark, sf_dir):
+    """language-ID heuristic (deterministic keyword argmax), aggregated."""
+    d = read_table(spark, sf_dir, "documents")
+    return (d.select(TX.lang_id(F.col("text")).alias("lang_pred"))
+            .groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n")))
+
+
+_SQL_STOP_HITS = " + ".join(_sql_word_count("text", w) for w in STOPWORDS)
+
+@_q("q41_text_stats", f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+       round(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+         CAST({_SQL_STOP_HITS} AS DOUBLE)
+         / len(regexp_split_to_array(trim(text), '\\s+')) END, 6) AS stop_ratio_r6,
+       round(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         / len(regexp_split_to_array(trim(text), '\\s+')) END, 6) AS mtl_r6
+FROM documents
+""")
+def q41(spark, sf_dir):
+    """text quality components: token count, fingerprint, stopword ratio,
+    mean token length — all native expressions."""
+    d = read_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.token_count(c).alias("n_tokens"),
+        TX.fingerprint(c).alias("fingerprint"),
+        F.round(TX.stopword_ratio(c).cast("double"), 6).alias("stop_ratio_r6"),
+        F.round(TX.mean_token_len(c).cast("double"), 6).alias("mtl_r6"))
+
+
+@_q("q42_multimodal_meta", """
+SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS size_bytes,
+       md5(text) AS checksum
+FROM documents
+""")
+def q42(spark, sf_dir):
+    """multimodal metadata pass over binary content (decode stubbed —
+    functions/multimodal.py; plumbing is real)."""
+    from juliadb_jl_spark.functions import multimodal as MM
+    d = read_table(spark, sf_dir, "documents")
+    media = MM.attach_binary(d, "text", "doc_id", mime="text/plain")
+    return MM.media_metadata(media).select("media_id", "size_bytes", "checksum")
+
+
+# ===========================================================================
+# Driver contract
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q01(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_REG)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLE)

@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_median_sec", "value": N, "unit": "sec",
+   "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+
+Protocol: per query 1 warm-up + 3 timed runs, median reported.  The action
+is a noop-sink write so every output column is actually computed (a bare
+count() would let Catalyst prune the aggregates away).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+HEADLINE = [
+    "q01_pricing_summary",   # scan + filter + 8-agg groupreduce
+    "q03_map_compute",       # full-scan projection arithmetic
+    "q05_join_inner",        # fact⋈dim shuffle/broadcast join
+    "q09_broadcast_3way",    # 3-way broadcast chain + agg
+    "q11_asofjoin",          # union + window asof
+    "q14_groupby_median",    # holistic quantiles
+    "q21_window_rank",       # join + rank window
+    "q24_topk_global",       # TakeOrdered
+    "q29_stack",             # unpivot (2× row explosion)
+    "q32_tumbling_window",   # event-time windowed agg
+    "q33_sessionize",        # lag + gap sessionization
+    "q34_dedup_exact",       # fingerprint hash-groupBy dedup
+    "q35_ngram_jaccard",     # shingle inverted-index self-join
+    "q36_minhash_lsh",       # minhash signatures + banded LSH
+    "q38_similarity_topk",   # brute-force cosine top-k
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as E
+    from juliadb_jl_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+    qs = E.queries()
+
+    def run_once(fn) -> float:
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        try:
+            run_once(fn)  # warm-up (JIT, broadcast, file listing caches)
+            times = [run_once(fn) for _ in range(runs)]
+            results[name] = round(statistics.median(times), 4)
+        except Exception as ex:  # report and keep going
+            print(f"bench error in {name}: {ex}", file=sys.stderr)
+            results[name] = -1.0
+
+    ok = {k: v for k, v in results.items() if v >= 0}
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "total_median_sec",
+        "value": round(sum(ok.values()), 4),
+        "unit": "sec",
+        "queries": results,
+        "sf": sf_val,
+    }))
+
+
+if __name__ == "__main__":
+    main()

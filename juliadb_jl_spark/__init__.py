@@ -20,6 +20,7 @@ from juliadb_jl_spark.plans.selectors import (
 from juliadb_jl_spark.operators.selection import (
     select, filter_, map_, transform, rename, insertcols, insertcolsafter,
     insertcolsbefore, dropmissing, selectkeys, selectvalues, convertdim,
+    convertmissing, mapchunks,
 )
 from juliadb_jl_spark.operators.reduce import (
     reduce_, groupreduce, groupby, summarize, reducedim, reducedim_vec,
@@ -42,7 +43,7 @@ __all__ = [
     "Not", "Between", "Keys", "Vals", "All", "pair", "resolve",
     "select", "filter_", "map_", "transform", "rename", "insertcols",
     "insertcolsafter", "insertcolsbefore", "dropmissing", "selectkeys",
-    "selectvalues", "convertdim",
+    "selectvalues", "convertdim", "convertmissing", "mapchunks",
     "reduce_", "groupreduce", "groupby", "summarize", "reducedim",
     "reducedim_vec",
     "join", "groupjoin", "asofjoin", "naturaljoin", "leftjoin", "merge",

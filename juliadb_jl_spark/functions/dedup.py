@@ -1,0 +1,264 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (100 TB documents):
+  * exact dedup — hash-groupBy on a normalized fingerprint: one shuffle.
+  * n-gram Jaccard — shingle-inverted-index self-join: only docs sharing a
+    shingle are paired (never O(n²)); an optional document-frequency cap
+    drops ubiquitous shingles to bound skew.
+  * MinHash+LSH — signatures via xxhash64 (native, JVM-side), banded; only
+    same-band buckets join; candidates verified with exact Jaccard.
+  * SimHash — 64-bit signature from token hashes, computed with native
+    bit-arithmetic aggregates after an explode; near-dups blocked by
+    16-bit bands, verified by hamming distance.
+Everything is DataFrame-native; no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from juliadb_jl_spark.functions.text import fingerprint, shingles, tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text",
+                normalized: bool = True) -> DataFrame:
+    """Keep one row (lowest id) per distinct text. hash-groupBy: one shuffle
+    on the fingerprint, then a semi-join back to recover full rows."""
+    key = fingerprint(F.col(text_col)) if normalized else F.col(text_col)
+    keep = (df.select(F.col(id_col), key.alias("__k"))
+            .groupBy("__k").agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact, inverted-index join)
+# ---------------------------------------------------------------------------
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Documents often arrive as few/one small files → one input partition,
+    which serializes all per-doc expression work. Spread across cores;
+    the shuffle is tiny relative to the per-row compute it parallelizes."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p)
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("shset"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                        k: int = 3, threshold: float = 0.5,
+                        df_cap: int | None = None) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard ≥ threshold.
+
+    Exact semantics: candidates = docs sharing ≥1 shingle (a pair below
+    that shares nothing and has Jaccard 0), intersection counted per pair,
+    |A∪B| = |A|+|B|-∩.  `df_cap` drops shingles appearing in more than
+    df_cap docs (skew guard; slightly lossy — leave None for exact).
+
+    AllPairs-style prefix filtering (exact, no recall loss): with shingles
+    in a global total order (sorted xxhash64), any pair with Jaccard ≥ t
+    must share an element among each side's first n−⌈t·n⌉+1 shingles —
+    a suffix-only overlap can contribute at most ⌈t·n⌉−1 < t·n elements.
+    So only the prefixes are indexed and self-joined (quarter the fanout),
+    candidates get a size filter (t·na ≤ nb ∧ t·nb ≤ na), and the few
+    survivors are verified exactly with array_intersect."""
+    t = float(threshold)
+    sets_ = _shingle_sets(df, id_col, text_col, k)
+    hashed = sets_.select(
+        "id",
+        F.array_sort(F.transform("shset", lambda s: F.xxhash64(s))).alias("hs"))
+    hashed = hashed.withColumn("n", F.size("hs"))
+    # hashed feeds three branches (prefix index + both verify sides) —
+    # persist so the shingle pass runs once, as a multi-pass algorithm
+    # should (spills to disk at scale; ~1% the size of the raw corpus)
+    hashed = hashed.persist()
+    if df_cap:
+        flat = hashed.select("id", F.explode("hs").alias("h"))
+        hot = flat.groupBy("h").count().filter(F.col("count") > df_cap).select("h")
+        kept = (flat.join(hot, "h", "left_anti").groupBy("id")
+                .agg(F.array_sort(F.collect_list("h")).alias("hs")))
+        hashed = kept.withColumn("n", F.size("hs"))
+    pref_len = (F.col("n") - F.ceil(F.col("n") * t) + 1).cast("int")
+    idx = hashed.select("id", "n",
+                        F.explode(F.slice("hs", 1, pref_len)).alias("h"))
+    # The prefix self-join fans out from a byte-small input; planner/AQE
+    # size heuristics would run it in one task via broadcast. Explicit
+    # co-partitioning by shingle hash keeps the fanout spread out.
+    p = df.sparkSession.sparkContext.defaultParallelism
+    idx = idx.repartition(p, "h")
+    a, b = idx.alias("a"), idx.alias("b")
+    cand = (a.join(b.hint("shuffle_hash"),
+                   (F.col("a.h") == F.col("b.h")) &
+                   (F.col("a.id") < F.col("b.id")) &
+                   (F.col("b.n") >= F.col("a.n") * t) &
+                   (F.col("a.n") >= F.col("b.n") * t))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .repartition(p, "id_a", "id_b").distinct())
+    ha = hashed.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"),
+                       F.col("n").alias("na"))
+    hb = hashed.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"),
+                       F.col("n").alias("nb"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    return (cand.join(ha, "id_a").join(hb, "id_b")
+            .withColumn("jaccard", inter / (F.col("na") + F.col("nb") - inter))
+            .filter(F.col("jaccard") >= t)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def verify_pairs_jaccard(df: DataFrame, cand: DataFrame, id_col: str,
+                         text_col: str, k: int, threshold: float) -> DataFrame:
+    """Exact Jaccard for an (id_a, id_b) candidate set only — joins the
+    (few) candidates against per-doc shingle arrays and intersects
+    natively; avoids re-running the full inverted-index join."""
+    sets_ = _shingle_sets(df, id_col, text_col, k).persist()  # feeds both sides
+    a = sets_.select(F.col("id").alias("id_a"), F.col("shset").alias("sh_a"))
+    b = sets_.select(F.col("id").alias("id_b"), F.col("shset").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str = "text",
+                      k: int = 3, num_hashes: int = 32) -> DataFrame:
+    """Per-doc MinHash signature: hash_i(shingle) = xxhash64(i, shingle)
+    (native, deterministic); signature[i] = min over shingles."""
+    sh = _shingle_sets(df, id_col, text_col, k) \
+        .select("id", F.explode("shset").alias("sh"))
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)])
+                      .alias("signature"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                      k: int = 3, num_hashes: int = 32, bands: int = 8,
+                      threshold: float = 0.5, verify: bool = True) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH; same-band candidates are
+    (optionally) verified with exact shingle Jaccard ≥ threshold.
+
+    rows-per-band buckets: r = num_hashes/bands; candidate recall follows
+    the usual 1-(1-s^r)^b curve. Only bucket-mates are joined — at 100 TB
+    the band shuffle replaces the quadratic comparison."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, k, num_hashes)
+    banded = sig.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.lit(bi), *[F.col("signature")[bi * r + j]
+                                    for j in range(r)])
+            for bi in range(bands)])).alias("band", "bucket"))
+    # both sides of the bucket self-join read `banded` — persist so the
+    # signature aggregation runs once, and co-partition by bucket so the
+    # join parallelizes instead of broadcasting into one task
+    p = df.sparkSession.sparkContext.defaultParallelism
+    banded = banded.repartition(p, "band", "bucket").persist()
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b.hint("shuffle_hash"),
+                   (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.bucket") == F.col("b.bucket")) &
+                   (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .repartition(p, "id_a", "id_b").distinct())
+    if not verify:
+        return cand
+    return verify_pairs_jaccard(df, cand, id_col, text_col, k, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc, fully native: explode tokens, xxhash64 each,
+    per-bit ±1 sums, sign → bit. One shuffle (groupBy id)."""
+    tok = _spread(df).select(F.col(id_col).alias("id"),
+                             F.explode(tokens(F.col(text_col))).alias("t"))
+    h = F.xxhash64(F.col("t"))
+    # shiftleft, not python 1<<i — 1<<63 overflows a JVM long literal
+    mask = lambda i: F.shiftleft(F.lit(1).cast("long"), i)  # noqa: E731
+    bit_sums = [F.sum(F.when(h.bitwiseAND(mask(i)) != 0, 1)
+                      .otherwise(-1)).alias(f"b{i}") for i in range(bits)]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, mask(i)).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming, blocked on four
+    16-bit bands (any pair within hamming 3 shares ≥1 exact band)."""
+    sig = simhash(df, id_col, text_col).cache()
+    banded = sig.select(
+        "id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), 16 * i)
+            .bitwiseAND(F.lit(0xFFFF)) for i in range(4)])).alias("band", "key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.key") == F.col("b.key")) &
+                   (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("a.simhash").alias("sig_a"),
+                    F.col("b.id").alias("id_b"), F.col("b.simhash").alias("sig_b"))
+            .distinct())
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                            threshold: float = 0.95,
+                            n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold, LSH-blocked by random
+    hyperplane sign buckets (deterministic planes from `seed`), verified
+    exactly. Pairs in different buckets are missed — standard recall/cost
+    trade; raise n_planes for precision, lower for recall."""
+    import numpy as np
+    from juliadb_jl_spark.functions.similarity import cosine_expr
+
+    dim = len(df.select(vec_col).head(1)[0][0])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    bucket = None
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        dot = F.aggregate(F.zip_with(F.col(vec_col), plane, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
+    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                      bucket.alias("bucket"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = a.join(b, (F.col("a.bucket") == F.col("b.bucket")) &
+                  (F.col("a.id") < F.col("b.id")))
+    cos = cosine_expr(F.col("a.v"), F.col("b.v"))
+    return (cand.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                        cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

@@ -1,0 +1,112 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata.
+
+The Spark-side machinery (schema, partitioning, Arrow batch shape, UDF
+signatures) is real and tested; the actual media decode is stubbed — the
+image/audio libraries are not in this container.  `decode_image` raises
+NotImplementedError unless `fake=True`, in which case a deterministic fake
+decoder (dimensions derived from the byte content) exercises the identical
+plumbing end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("content", T.BinaryType(), True),
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+    ]), True),
+])
+
+_FEATURE_DIM = 8
+
+_DECODED_FIELDS = ("media_id long, mime string, size_bytes long, "
+                   "width int, height int, checksum string")
+
+
+def attach_binary(df: DataFrame, src_col: str, media_id_col: str,
+                  mime: str = "application/octet-stream") -> DataFrame:
+    """Wrap an existing column as a binary media column (used by tests to
+    synthesize media from text; real pipelines read binary parquet/files)."""
+    return df.select(
+        F.col(media_id_col).cast("long").alias("media_id"),
+        F.col(src_col).cast("binary").alias("content"),
+        F.lit(mime).alias("mime"))
+
+
+def _fake_decode(content: bytes) -> tuple[int, int]:
+    """Deterministic fake image dimensions from the content hash."""
+    h = hashlib.md5(content or b"").digest()
+    return 16 + h[0] % 240, 16 + h[1] % 240
+
+
+def decode_media(df: DataFrame, fake: bool = False,
+                 batch_size_hint: int = 64) -> DataFrame:
+    """Decode binary media → (dims, checksum) via mapInPandas (Arrow
+    batches). STUB: real decode needs PIL/libav — not in this container;
+    pass fake=True for the deterministic fake that drives the same
+    batch-shaped plumbing."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires PIL/libav (unavailable); "
+                    "use fake=True for the deterministic stub")
+            dims = [_fake_decode(bytes(b) if b is not None else b"")
+                    for b in pdf["content"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "mime": pdf["mime"],
+                "size_bytes": [len(bytes(b)) if b is not None else 0
+                               for b in pdf["content"]],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+                "checksum": [hashlib.md5(bytes(b) if b is not None else b"")
+                             .hexdigest() for b in pdf["content"]],
+            })
+
+    return df.mapInPandas(_decode, _DECODED_FIELDS)
+
+
+def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Feature extraction stub: binary → fixed-dim float vector.  Real
+    models are out of scope here; the fake derives a deterministic vector
+    from the content hash, preserving the exact schema/batch contract a
+    real encoder UDF would have."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "feature extraction requires a model runtime; "
+                    "use fake=True for the deterministic stub")
+            feats = []
+            for b in pdf["content"]:
+                h = hashlib.sha256(bytes(b) if b is not None else b"").digest()
+                feats.append([h[i] / 255.0 for i in range(_FEATURE_DIM)])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return df.mapInPandas(_feat, "media_id long, features array<double>")
+
+
+def media_metadata(df: DataFrame) -> DataFrame:
+    """Pure-native metadata pass (no decode): byte size + md5 — pushdown-
+    friendly, runs at full scan speed."""
+    return df.select(
+        "media_id", "mime",
+        F.octet_length("content").alias("size_bytes"),
+        F.md5(F.col("content")).alias("checksum"))

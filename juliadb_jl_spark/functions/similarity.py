@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k (exact) — a broadcast of the query set
+against the corpus, native zip_with/aggregate arithmetic, per-query top-k
+via window. Scale path: IVF-style coarse quantization — assign corpus
+vectors to the nearest of K centroids once, then probe only the closest
+`nprobe` cells per query (prunes the corpus scan by ~K/nprobe).
+No Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold — deterministic, matches a SQL
+    ordinal-ordered SUM for oracle comparison."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                q_id_col: str | None = None, q_vec_col: str | None = None) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query set is broadcast (it's the small side); the corpus scan stays
+    partitioned — at 100 TB this is one pass, no shuffle of the corpus.
+    Ties broken by neighbor id for determinism. Self-matches excluded when
+    ids share a namespace."""
+    q_id_col = q_id_col or id_col
+    q_vec_col = q_vec_col or vec_col
+    q = queries.select(F.col(q_id_col).alias("query_id"),
+                       F.col(q_vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      cosine_expr(F.col("__cv").cast("array<double>"),
+                                  F.col("__qv").cast("array<double>"))
+                      .alias("cosine")))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                          F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def ivf_build(corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
+              vec_col: str = "embedding", seed: int = 42,
+              iters: int = 3) -> tuple[DataFrame, list[list[float]]]:
+    """IVF index: k-means-ish centroids (sampled init, `iters` Lloyd steps
+    computed distributed), corpus tagged with nearest-cell id.
+    Returns (tagged corpus, centroids)."""
+    import numpy as np
+    sample = (corpus.select(vec_col).rdd if False else None)
+    pdf = corpus.select(vec_col).limit(max(n_cells * 20, 200)).toPandas()
+    vecs = np.array([list(v) for v in pdf[vec_col]], dtype="float64")
+    rng = np.random.RandomState(seed)
+    centroids = vecs[rng.choice(len(vecs), size=n_cells, replace=False)]
+    for _ in range(iters):
+        tagged = _assign_cells(corpus, centroids, vec_col)
+        agg = (tagged.groupBy("cell")
+               .agg(*[F.avg(F.col(vec_col)[i]).alias(f"c{i}")
+                      for i in range(centroids.shape[1])],
+                    F.count(F.lit(1)).alias("n")).collect())
+        for row in agg:
+            centroids[row["cell"]] = [row[f"c{i}"]
+                                      for i in range(centroids.shape[1])]
+    tagged = _assign_cells(corpus, centroids, vec_col)
+    return tagged, centroids.tolist()
+
+
+def _assign_cells(df: DataFrame, centroids, vec_col: str) -> DataFrame:
+    best_cell, best_dot = None, None
+    v = F.col(vec_col).cast("array<double>")
+    vnorm = norm_expr(v)
+    for ci, cvec in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in cvec])
+        cos = dot_expr(v, carr) / (vnorm * F.lit(float(sum(x * x for x in cvec)) ** 0.5))
+        if best_cell is None:
+            best_cell, best_dot = F.lit(ci), cos
+        else:
+            cond = cos > best_dot
+            best_cell = F.when(cond, F.lit(ci)).otherwise(best_cell)
+            best_dot = F.when(cond, cos).otherwise(best_dot)
+    return df.withColumn("cell", best_cell)
+
+
+def ivf_topk(tagged_corpus: DataFrame, centroids, queries: DataFrame,
+             k: int = 5, nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", q_id_col: str | None = None) -> DataFrame:
+    """ANN top-k: per query, score only the `nprobe` nearest cells.
+    Corpus partitioned/bucketed by cell → partition pruning does the work."""
+    import numpy as np
+    q_id_col = q_id_col or id_col
+    qpdf = queries.select(F.col(q_id_col).alias("query_id"),
+                          F.col(vec_col).alias("qv")).toPandas()
+    cents = np.array(centroids)
+    cnorm = np.linalg.norm(cents, axis=1)
+    rows = []
+    for _, r in qpdf.iterrows():
+        qv = np.array(list(r["qv"]), dtype="float64")
+        sims = cents @ qv / (cnorm * np.linalg.norm(qv) + 1e-12)
+        for cell in np.argsort(-sims)[:nprobe]:
+            rows.append((int(r["query_id"]), int(cell), [float(x) for x in qv]))
+    spark = tagged_corpus.sparkSession
+    probe = spark.createDataFrame(rows, "query_id long, cell int, qv array<double>")
+    joined = tagged_corpus.join(F.broadcast(probe), "cell")
+    scored = (joined.filter(F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      cosine_expr(F.col(vec_col).cast("array<double>"),
+                                  F.col("qv")).alias("cosine")))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                          F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

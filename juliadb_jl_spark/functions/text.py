@@ -1,0 +1,146 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are native Column expressions (JVM-side, codegen'd):
+tokenization via split, counts via the length-difference trick, language
+ID via keyword frequencies, fingerprints via md5 — so every operator
+scales to the 100 TB documents table without Python in the loop, and each
+is mirrorable in ANSI SQL for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small keyword sets per language. The scorer is deterministic — the same
+# counts computed in any engine give the same answer; accuracy depends on
+# real-language keywords which can be extended freely.
+LANG_KEYWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "to"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "los", "las", "una", "por"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(trimmed, r"\s+"))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (native)."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish proxy: count of word/number/punct chunks via regex split —
+    the standard pre-tokenizer shape (\\w+ runs and single punct marks)."""
+    # count matches of [A-Za-z0-9]+|[^A-Za-z0-9\s] via regexp_count
+    return F.regexp_count(col, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"))
+
+
+def substring_count(col: Column, sub: str) -> Column:
+    """Occurrences of a literal substring — the (len - len(replace))/len(sub)
+    trick, exactly mirrorable in any SQL engine."""
+    return ((F.length(col) - F.length(F.replace(col, F.lit(sub), F.lit("")))) /
+            F.lit(len(sub))).cast("long")
+
+
+def word_count(col: Column, word: str) -> Column:
+    """Occurrences of a whole word (pad-and-count, SQL-mirrorable)."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    return substring_count(padded, f" {word} ")
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language keyword-hit counts."""
+    return {lang: sum(word_count(col, w) for w in words)
+            for lang, words in LANG_KEYWORDS.items()}
+
+
+def lang_id(col: Column) -> Column:
+    """Deterministic argmax over language keyword counts; ties broken by
+    language code order; all-zero → 'und'.
+
+    Array-based argmax (array_position of array_max) — a nested-CASE
+    argmax duplicates the score expressions exponentially and blows the
+    JVM's 64 KB codegen limit."""
+    scores = lang_scores(col)
+    pairs = sorted(scores.items())  # deterministic tie-break by code
+    arr = F.array(*[s for _, s in pairs])
+    best = F.array_max(arr)
+    idx = F.array_position(arr, best).cast("int")
+    lang = F.element_at(F.array(*[F.lit(l) for l, _ in pairs]), idx)
+    return F.when(best > 0, lang).otherwise(F.lit("und"))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars."""
+    stripped = F.regexp_replace(col, r"[^.,;:!?'\"()\[\]{}-]", "")
+    return F.when(F.length(col) > 0,
+                  F.length(stripped) / F.length(col)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Stopword tokens / total tokens (English stopword list)."""
+    n = token_count(col)
+    hits = sum(word_count(col, w) for w in STOPWORDS)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def mean_token_len(col: Column) -> Column:
+    n = token_count(col)
+    nospace = F.length(F.regexp_replace(col, r"\s+", ""))
+    return F.when(n > 0, nospace / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0,1]: favors moderate length, low punct
+    density, healthy stopword ratio, sane mean token length. Deterministic
+    arithmetic over native counts — the formula is the spec."""
+    n_tok = token_count(col).cast("double")
+    len_component = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_component = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4)
+    stop = stopword_ratio(col)
+    stop_component = F.least(stop * 5, F.lit(1.0))
+    mtl = mean_token_len(col)
+    mtl_component = F.when((mtl >= 3) & (mtl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_component * 0.4 + punct_component * 0.2 +
+            stop_component * 0.2 + mtl_component * 0.2)
+
+
+def fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 of case-folded, whitespace-collapsed text.
+    Engine-portable (md5 is standard) → usable as an exact-dedup key."""
+    normalized = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+    return F.md5(normalized)
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-gram shingles as an array<string> (native: sequence+transform).
+    Used by n-gram Jaccard and MinHash dedup."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    # sequence(1, x<1) counts DOWN — guard short texts to an empty array
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach the standard text-analysis columns."""
+    c = F.col(text_col)
+    return (df
+            .withColumn("n_tokens", token_count(c))
+            .withColumn("lang_pred", lang_id(c))
+            .withColumn("punct_ratio", punct_ratio(c))
+            .withColumn("stopword_ratio", stopword_ratio(c))
+            .withColumn("mean_token_len", mean_token_len(c))
+            .withColumn("quality", quality_score(c))
+            .withColumn("fingerprint", fingerprint(c)))

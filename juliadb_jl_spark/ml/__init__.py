@@ -1,0 +1,93 @@
+"""ML feature extraction (reference src/ml.jl).
+
+`ml_schema` ≙ ML.schema: per-column stats — Continuous → (mean, std),
+Categorical → distinct values, Maybe → null handling (reference
+src/ml.jl:20-102).  `featuremat` ≙ ML.featuremat (src/ml.jl:159-177):
+standardized continuous + one-hot categorical feature matrix, built on
+Spark ML transformers (StringIndexer/OneHotEncoder/StandardScaler/
+VectorAssembler) — distributed, no driver-side materialization.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from juliadb_jl_spark.plans.table import Table
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType)
+
+
+def ml_schema(t: Table, hints: dict[str, str] | None = None) -> dict[str, dict]:
+    """Column stats, one distributed pass: numeric → Continuous(mean, std,
+    nnulls), string/bool → Categorical(distinct count, nnulls).  `hints`
+    forces a column to 'continuous'/'categorical' (reference ML.schema
+    hints, docs/src/ml.md:40-55)."""
+    hints = hints or {}
+    cont, cat = [], []
+    for f in t.df.schema.fields:
+        kind = hints.get(f.name)
+        if kind == "ignore":
+            continue
+        if kind == "continuous" or (kind is None and isinstance(f.dataType, _NUMERIC)):
+            cont.append(f.name)
+        else:
+            cat.append(f.name)
+    aggs = []
+    for c in cont:
+        aggs += [F.avg(c).alias(f"__m_{c}"), F.stddev_samp(c).alias(f"__s_{c}"),
+                 F.sum(F.col(c).isNull().cast("long")).alias(f"__n_{c}")]
+    for c in cat:
+        aggs += [F.count_distinct(c).alias(f"__d_{c}"),
+                 F.sum(F.col(c).isNull().cast("long")).alias(f"__n_{c}")]
+    row = t.df.agg(*aggs).head(1)[0].asDict() if aggs else {}
+    out: dict[str, dict] = {}
+    for c in cont:
+        out[c] = {"kind": "continuous", "mean": row[f"__m_{c}"],
+                  "std": row[f"__s_{c}"], "nulls": row[f"__n_{c}"]}
+    for c in cat:
+        out[c] = {"kind": "categorical", "ndistinct": row[f"__d_{c}"],
+                  "nulls": row[f"__n_{c}"]}
+    return out
+
+
+def featuremat(t: Table, hints: dict[str, str] | None = None,
+               output_col: str = "features") -> DataFrame:
+    """Standardized/one-hot feature matrix as a Spark ML vector column
+    (reference ML.featuremat). Continuous → impute-mean + standardize;
+    categorical → StringIndexer + OneHotEncoder; assembled into one
+    vector. Returns the input DF + `features`."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import (OneHotEncoder, StandardScaler,
+                                    StringIndexer, VectorAssembler)
+
+    schema = ml_schema(t, hints)
+    cont = [c for c, s in schema.items() if s["kind"] == "continuous"]
+    cat = [c for c, s in schema.items() if s["kind"] == "categorical"]
+
+    df = t.df
+    for c in cont:
+        df = df.withColumn(c, F.col(c).cast("double"))
+        mean = schema[c]["mean"]
+        df = df.fillna({c: mean if mean is not None else 0.0})
+    stages = []
+    if cont:
+        stages.append(VectorAssembler(inputCols=cont, outputCol="__cont"))
+        stages.append(StandardScaler(inputCol="__cont", outputCol="__cont_std",
+                                     withMean=True, withStd=True))
+    enc_cols = []
+    for c in cat:
+        stages.append(StringIndexer(inputCol=c, outputCol=f"__i_{c}",
+                                    handleInvalid="keep", stringOrderType="alphabetAsc"))
+        stages.append(OneHotEncoder(inputCol=f"__i_{c}", outputCol=f"__o_{c}",
+                                    dropLast=False))
+        enc_cols.append(f"__o_{c}")
+    assembled_inputs = (["__cont_std"] if cont else []) + enc_cols
+    stages.append(VectorAssembler(inputCols=assembled_inputs, outputCol=output_col))
+    model = Pipeline(stages=stages).fit(df)
+    out = model.transform(df)
+    return out.drop(*[c for c in out.columns if c.startswith("__")])

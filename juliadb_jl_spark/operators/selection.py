@@ -190,6 +190,27 @@ def dropmissing(t: Table, sel: Any = None) -> Table:
     return t._with(t.df.na.drop(subset=names))
 
 
+def convertmissing(t: Table, rep: str = "missing") -> Table:
+    """Identity on Spark (reference src/selection.jl:14-18 converts between
+    Missing and DataValue representations; Spark has a single null
+    representation, so the duality collapses — documented divergence)."""
+    return t
+
+
+def mapchunks(f: Callable, t: Table, schema: Any = None) -> Table:
+    """Apply `f` to each partition as a pandas DataFrame (reference
+    `mapchunks`, src/ndsparse.jl:477-491) via Arrow-batched mapInPandas."""
+    import pandas as pd
+
+    def _apply(batches):
+        for pdf in batches:
+            out = f(pdf)
+            yield out if isinstance(out, pd.DataFrame) else pd.DataFrame(out)
+
+    out_schema = schema or t.df.schema
+    return type(t)(t.df.mapInPandas(_apply, out_schema), t.pkey)
+
+
 def selectkeys(nd: NDSparse, sel: Any, agg: Any = None) -> NDSparse:
     """Re-key an NDSparse by a subset of index cols (reference
     src/selection.jl:25-29); `agg` combines key collisions."""

@@ -19,18 +19,34 @@ from juliadb_jl_spark.plans import selectors as S
 from juliadb_jl_spark.plans.table import NDSparse, Table
 
 
+def order_specs(df, by: Any, pkey=(), rev: bool = False) -> list:
+    """Compile an order spec into SortOrder columns. Items may be any
+    selector, or a string with a leading '-' for descending ('-price').
+    `rev=True` flips every item. Missing values sort last either way."""
+    items = by if isinstance(by, (tuple, list)) else [by]
+    out = []
+    for item in items:
+        desc = rev
+        if isinstance(item, str) and item.startswith("-"):
+            item, desc = item[1:], not rev
+        for _, c in S.resolve(df, item, pkey):
+            out.append(c.desc_nulls_last() if desc else c.asc_nulls_last())
+    return out
+
+
 def sort(t: Table, by: Any = None, rev: bool = False, select: Any = None) -> Table:
     """Sort by columns/selector with missing-last semantics (reference
-    docs/src/tutorial.md:206-248). Returns a table whose collect() order
-    is the sort order."""
-    by_resolved = S.resolve(t.df, by if by is not None else (t.pkey or None), t.pkey)
-    order = [c.desc_nulls_last() if rev else c.asc_nulls_last()
-             for _, c in by_resolved]
-    df = t.df.orderBy(*order)
+    docs/src/tutorial.md:206-248). '-col' strings sort descending.
+    Returns a table whose collect() order is the sort order."""
+    by = by if by is not None else (t.pkey or None)
+    df = t.df.orderBy(*order_specs(t.df, by, t.pkey, rev))
     if select is not None:
         names = S.resolve_names(df, select, t.pkey)
         df = df.select(*names)
-    by_names = tuple(n for n, _ in by_resolved if n in df.columns)
+    plain = [b[1:] if isinstance(b, str) and b.startswith("-") else b
+             for b in (by if isinstance(by, (tuple, list)) else [by])]
+    by_names = tuple(n for b in plain if isinstance(b, str)
+                     for n in S.resolve_names(t.df, b, t.pkey))
     return type(t)(df, by_names if not rev else (), presorted=not rev)
 
 

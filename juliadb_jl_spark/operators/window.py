@@ -18,12 +18,11 @@ from juliadb_jl_spark.plans.table import Table
 
 
 def _win(t: Table, by: Any, order: Any, rev: bool = False):
+    from juliadb_jl_spark.operators.sort import order_specs
     parts = S.resolve_names(t.df, by, t.pkey) if by is not None else []
     w = W.partitionBy(*parts) if parts else W.partitionBy()
     if order is not None:
-        ocols = [F.col(c).desc() if rev else F.col(c).asc()
-                 for c in S.resolve_names(t.df, order, t.pkey)]
-        w = w.orderBy(*ocols)
+        w = w.orderBy(*order_specs(t.df, order, t.pkey, rev))
     return w
 
 

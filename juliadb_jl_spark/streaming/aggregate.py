@@ -1,0 +1,76 @@
+"""Streaming aggregation layer.
+
+The reference has no streaming engine (SURVEY.md §2.10); its OnlineStats
+fit/merge model is exactly Spark's partial-aggregation contract, so the
+same reducer forms used by `groupreduce` run unchanged under Structured
+Streaming.  This module exposes:
+  * tumbling/sliding/session event-time windows with watermarks,
+  * the reducer-form compiler re-used for streaming aggs,
+  * a batch-equivalent path (`..._batch`) so the identical aggregation is
+    oracle-checkable on static data (the driver's events table).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from juliadb_jl_spark.operators.reduce import compile_reducers
+from juliadb_jl_spark.plans.table import Table
+
+
+def windowed_agg(df: DataFrame, ts_col: str, f: Any, by: Any = None,
+                 window: str = "1 hour", slide: str | None = None,
+                 watermark: str | None = None, select: Any = None) -> DataFrame:
+    """Event-time windowed aggregation, streaming or batch (same code path —
+    `F.window` works on both; watermark applies only to streams)."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    keys = [win.alias("window")] + ([by] if isinstance(by, str) else list(by or []))
+    t = Table(df)
+    exprs = compile_reducers(t, f, select)
+    out = df.groupBy(*keys).agg(*[c.alias(n) for n, c in exprs])
+    return out.select(F.col("window.start").alias("window_start"),
+                      F.col("window.end").alias("window_end"),
+                      *[c for c in out.columns if c != "window"])
+
+
+def session_agg(df: DataFrame, ts_col: str, by: Any, f: Any,
+                gap: str = "30 minutes", watermark: str | None = None,
+                select: Any = None) -> DataFrame:
+    """Session windows (gap-based) — native `session_window`."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.session_window(ts_col, gap)
+    keys = [win.alias("session")] + ([by] if isinstance(by, str) else list(by))
+    t = Table(df)
+    exprs = compile_reducers(t, f, select)
+    out = df.groupBy(*keys).agg(*[c.alias(n) for n, c in exprs])
+    return out.select(F.col("session.start").alias("session_start"),
+                      F.col("session.end").alias("session_end"),
+                      *[c for c in out.columns if c != "session"])
+
+
+def stream_from_parquet(spark, path: str, schema=None,
+                        max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over a parquet directory (smoke/testing shape —
+    production would be Kafka/event-hub; the transformations are
+    source-agnostic)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
+    """Drive a streaming query to completion against a finite source and
+    return the in-memory result table (testing harness)."""
+    q = (stream_df.writeStream.outputMode(mode)
+         .format("memory").queryName(name).start())
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

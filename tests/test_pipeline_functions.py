@@ -1,0 +1,184 @@
+"""Training-pipeline operators: text analysis, dedup, similarity,
+multimodal plumbing, streaming aggs, ML features.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import juliadb_jl_spark as jdb
+from juliadb_jl_spark.functions import dedup as DD
+from juliadb_jl_spark.functions import multimodal as MM
+from juliadb_jl_spark.functions import similarity as SIM
+from juliadb_jl_spark.functions import text as TX
+from juliadb_jl_spark.streaming import aggregate as SA
+from tests.conftest import check_vs_oracle
+
+
+def test_token_count_vs_oracle(tables, duck):
+    docs = tables["documents"]
+    out = docs.df.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+    check_vs_oracle(out, duck, """
+        SELECT doc_id, CASE WHEN length(trim(text))=0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+        FROM documents""")
+
+
+def test_text_features_deterministic(tables):
+    docs = tables["documents"]
+    feats = TX.add_text_features(docs.df).limit(50).toPandas()
+    assert (feats["n_tokens"] > 0).all()
+    assert set(feats["lang_pred"]) <= {"en", "fr", "de", "es", "zh", "und"}
+    assert ((feats["quality"] >= 0) & (feats["quality"] <= 1)).all()
+    assert feats["fingerprint"].str.len().eq(32).all()
+
+
+def test_shingles(spark):
+    t = spark.createDataFrame([("a b c d",)], "text string")
+    got = t.select(TX.shingles(F.col("text"), 3).alias("s")).head(1)[0]["s"]
+    assert got == ["a b c", "b c d"]
+    short = spark.createDataFrame([("a b",)], "text string")
+    assert short.select(TX.shingles(F.col("text"), 3).alias("s")).head(1)[0]["s"] == []
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "Hello World"), (3, "unique doc")],
+        "doc_id long, text string")
+    out = DD.dedup_exact(df, "doc_id").toPandas()
+    # normalization collapses case+whitespace → ids 1 and 3 survive
+    assert sorted(out["doc_id"]) == [1, 3]
+
+
+def test_ngram_jaccard_golden(spark):
+    df = spark.createDataFrame([
+        (1, "a b c d e f"),
+        (2, "a b c d e g"),   # shares shingles with 1
+        (3, "x y z w v u"),
+    ], "doc_id long, text string")
+    out = DD.ngram_jaccard_pairs(df, "doc_id", k=3, threshold=0.3).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    # doc1: {abc,bcd,cde,def}, doc2: {abc,bcd,cde,deg} → 3/(4+4-3)=0.6
+    assert (row["id_a"], row["id_b"]) == (1, 2)
+    assert abs(row["jaccard"] - 0.6) < 1e-12
+
+
+def test_minhash_lsh_finds_neardups(tables):
+    docs = tables["documents"]
+    pairs = DD.minhash_lsh_pairs(docs.df, "doc_id", k=3, num_hashes=32,
+                                 bands=16, threshold=0.4)
+    exact = DD.ngram_jaccard_pairs(docs.df, "doc_id", k=3, threshold=0.4)
+    p, e = pairs.toPandas(), exact.toPandas()
+    # verified LSH output must be a subset of exact pairs, and at 16 bands
+    # of 2 rows the recall at j>=0.4 should be high
+    pk = set(zip(p["id_a"], p["id_b"]))
+    ek = set(zip(e["id_a"], e["id_b"]))
+    assert pk <= ek
+    if ek:
+        assert len(pk) / len(ek) >= 0.8
+
+
+def test_simhash_pairs(tables):
+    docs = tables["documents"]
+    sh = DD.simhash(docs.df, "doc_id").toPandas()
+    # near-dup docs legitimately collide; most should be distinct
+    assert sh["simhash"].nunique() >= 0.95 * len(sh)
+    pairs = DD.simhash_pairs(docs.df, "doc_id", max_hamming=16).toPandas()
+    assert (pairs["hamming"] <= 16).all()
+
+
+def test_cosine_topk_vs_numpy(tables):
+    emb = tables["embeddings"].df
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = SIM.cosine_topk(emb, queries, k=5).toPandas()
+    assert len(out) == 15
+    # numpy oracle
+    pdf = emb.toPandas()
+    V = np.array([list(v) for v in pdf["embedding"]], dtype="float64")
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(V, axis=1)
+    for qid in range(3):
+        qi = np.where(ids == qid)[0][0]
+        sims = V @ V[qi] / (norms * norms[qi])
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+        expect = [ids[i] for i in order if ids[i] != qid][:5]
+        got = out[out["query_id"] == qid].sort_values("rank")["neighbor_id"].tolist()
+        assert got == expect, f"query {qid}: {got} vs {expect}"
+
+
+def test_ivf_topk_recall(tables):
+    emb = tables["embeddings"].df
+    queries = emb.filter(F.col("vec_id") < 10)
+    tagged, cents = SIM.ivf_build(emb, n_cells=8)
+    ann = SIM.ivf_topk(tagged, cents, queries, k=5, nprobe=3).toPandas()
+    exact = SIM.cosine_topk(emb, queries, k=5).toPandas()
+    hits = 0
+    for qid in range(10):
+        a = set(ann[ann["query_id"] == qid]["neighbor_id"])
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        hits += len(a & e)
+    assert hits / 50 >= 0.6  # nprobe 3/8 cells → decent recall
+
+
+def test_embedding_neardup(tables, spark):
+    emb = tables["embeddings"].df
+    # plant an exact duplicate pair
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label")
+    df = emb.unionByName(dup)
+    pairs = DD.embedding_neardup_pairs(df, "vec_id", "embedding",
+                                       threshold=0.999).toPandas()
+    assert (0, 10000) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_multimodal_plumbing(tables):
+    docs = tables["documents"].df
+    media = MM.attach_binary(docs, "text", "doc_id", mime="text/plain")
+    meta = MM.media_metadata(media).toPandas()
+    assert (meta["size_bytes"] > 0).all()
+    decoded = MM.decode_media(media, fake=True).toPandas()
+    assert ((decoded["width"] >= 16) & (decoded["width"] < 256)).all()
+    feats = MM.extract_features(media, fake=True).toPandas()
+    assert all(len(v) == 8 for v in feats["features"])
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        MM.decode_media(media, fake=False).count()
+
+
+def test_windowed_agg_batch_vs_oracle(tables, duck):
+    ev = tables["events"].df
+    out = SA.windowed_agg(ev, "ts", {"n": "count", "total": "sum"},
+                          by="event_type", window="1 day", select="value")
+    out = out.select("window_start", "event_type", "n",
+                     F.round("total", 6).alias("total"))
+    check_vs_oracle(out, duck, """
+        SELECT date_trunc('day', ts) AS window_start, event_type,
+               count(value) AS n, round(sum(value), 6) AS total
+        FROM events GROUP BY 1, 2""")
+
+
+def test_streaming_smoke(spark, tmp_path):
+    # finite parquet stream → windowed agg → memory sink
+    pdf = pd.DataFrame({
+        "ts": pd.date_range("2024-01-01", periods=100, freq="min"),
+        "k": ["a", "b"] * 50, "v": [float(i) for i in range(100)]})
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = SA.stream_from_parquet(spark, src)
+    agg = SA.windowed_agg(stream, "ts", {"n": "count"}, by="k",
+                          window="30 minutes", watermark="1 hour", select="v")
+    res = SA.run_to_memory(agg, "smoke_out").toPandas()
+    assert res["n"].sum() == 100
+
+
+def test_ml_schema_featuremat(tables):
+    from juliadb_jl_spark.ml import featuremat, ml_schema
+    cust = jdb.table(tables["customer"].df)
+    sch = ml_schema(cust, hints={"c_custkey": "ignore", "c_name": "ignore"})
+    assert sch["c_acctbal"]["kind"] == "continuous"
+    assert sch["c_mktsegment"]["kind"] == "categorical"
+    out = featuremat(jdb.select(cust, ("c_acctbal", "c_nationkey", "c_mktsegment")))
+    row = out.head(1)[0]
+    # 2 continuous + 25-ish nation one-hot + segment one-hot
+    assert row["features"].size >= 7
