@@ -169,6 +169,29 @@ class Last(Stat):
         return [("", F.last(col, ignorenulls=True))]
 
 
+def mosaic(df, xcol: str, ycol: str):
+    """OnlineStats `Mosaic`: co-occurrence count matrix of two categorical
+    columns (reference docs/src/plotting.md:45-103) — rows = x values,
+    one column per y value. Two native aggregations, no Python."""
+    counted = df.groupBy(xcol, ycol).count()
+    return counted.groupBy(xcol).pivot(ycol).sum("count").na.fill(0)
+
+
+def partition_stat(df, xcol: str, ycol: str, nbins: int = 10, agg: str = "avg"):
+    """OnlineStats `Partition`/`IndexedPartition`: bucketize `xcol` into
+    nbins equal-width bins and aggregate `ycol` per bin — the streaming
+    plot-summary shape, as one native pass + a tiny min/max pre-pass."""
+    lo, hi = df.agg(F.min(xcol), F.max(xcol)).head(1)[0]
+    width = (hi - lo) / nbins if hi != lo else 1
+    bin_ = F.least(F.floor((F.col(xcol) - F.lit(lo)) / F.lit(width)),
+                   F.lit(nbins - 1)).cast("int").alias("bin")
+    return (df.groupBy(bin_)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 getattr(F, agg)(F.col(ycol)).alias(f"{ycol}_{agg}"),
+                 F.min(xcol).alias(f"{xcol}_min"),
+                 F.max(xcol).alias(f"{xcol}_max")))
+
+
 # String shorthands accepted wherever a reducer is expected.
 _BY_NAME: dict[str, Any] = {
     "sum": Sum, "mean": Mean, "avg": Mean, "min": Min, "max": Max,

@@ -28,6 +28,26 @@ def _expand(files: str | Sequence[str]) -> list[str]:
     return list(files)
 
 
+def _group_by_header(paths: list[str], delim: str, header_exists: bool,
+                     schema: Any) -> list[list[str]]:
+    """Group files by identical header line so files with different column
+    sets can be read per-group and schema-unioned (reference `samecols`
+    handling). Directories/globs-with-one-entry skip the peek entirely —
+    the common case stays a single multi-file scan."""
+    if schema is not None or not header_exists or len(paths) <= 1 \
+            or any(os.path.isdir(p) for p in paths):
+        return [paths]
+    by_header: dict[str, list[str]] = {}
+    for p in paths:
+        try:
+            with open(p, "r", errors="replace") as fh:
+                head = fh.readline().strip()
+        except OSError:
+            head = ""
+        by_header.setdefault(head, []).append(p)
+    return list(by_header.values())
+
+
 def loadtable(files: str | Sequence[str], spark: SparkSession | None = None,
               pkey: Sequence[str] | str = (), delim: str = ",",
               header_exists: bool = True, colnames: Sequence[str] | None = None,
@@ -43,16 +63,26 @@ def loadtable(files: str | Sequence[str], spark: SparkSession | None = None,
     """
     spark = spark or SparkSession.getActiveSession()
     paths = _expand(files)
-    reader = (spark.read.option("sep", delim)
-              .option("header", str(header_exists).lower())
-              .option("inferSchema", "true" if schema is None else "false"))
-    if nastrings:
-        reader = reader.option("nullValue", nastrings[0])
-    if skiplines_begin:
-        reader = reader.option("skipRows", skiplines_begin)
-    if schema is not None:
-        reader = reader.schema(schema)
-    df = reader.csv(paths)
+
+    def _read(ps):
+        reader = (spark.read.option("sep", delim)
+                  .option("header", str(header_exists).lower())
+                  .option("inferSchema", "true" if schema is None else "false"))
+        if nastrings:
+            reader = reader.option("nullValue", nastrings[0])
+        if skiplines_begin:
+            reader = reader.option("skipRows", skiplines_begin)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.csv(ps)
+
+    groups = _group_by_header(paths, delim, header_exists, schema)
+    dfs = [_read(ps) for ps in groups]
+    df = dfs[0]
+    for other in dfs[1:]:
+        # schema union across files: missing columns become null (reference
+        # missing-column fill, src/util.jl:169-176, test_readwrite.jl:67-68)
+        df = df.unionByName(other, allowMissingColumns=True)
     if colnames:
         df = df.toDF(*colnames)
     if filenamecol:

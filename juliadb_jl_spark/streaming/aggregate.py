@@ -54,6 +54,39 @@ def session_agg(df: DataFrame, ts_col: str, by: Any, f: Any,
                       *[c for c in out.columns if c != "session"])
 
 
+def running_reduce_stream(df: DataFrame, key_col: str, value_col: str,
+                          ts_col: str | None = None):
+    """Custom stateful streaming operator: per-key running (count, sum,
+    min, max) maintained across triggers via applyInPandasWithState —
+    the OnlineStat fit!/merge contract under Structured Streaming
+    (SURVEY.md §2.10). Emits one updated row per key per trigger."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (f"`{key_col}` long, n long, total double, "
+                  "vmin double, vmax double")
+    state_schema = "n long, total double, vmin double, vmax double"
+
+    def fn(key, pdfs, state: GroupState):
+        n, total, vmin, vmax = (state.get if state.exists
+                                else (0, 0.0, None, None))
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            if len(vals):
+                n += len(vals)
+                total += float(vals.sum())
+                lo, hi = float(vals.min()), float(vals.max())
+                vmin = lo if vmin is None else min(vmin, lo)
+                vmax = hi if vmax is None else max(vmax, hi)
+        state.update((n, total, vmin, vmax))
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total],
+                            "vmin": [vmin], "vmax": [vmax]})
+
+    return (df.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def stream_from_parquet(spark, path: str, schema=None,
                         max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over a parquet directory (smoke/testing shape —

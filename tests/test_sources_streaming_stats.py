@@ -1,0 +1,79 @@
+"""CSV schema union, stateful streaming, Mosaic/Partition stats.
+
+Mirrors reference tests test/test_readwrite.jl:61-107 (multi-file loads,
+missing/renamed columns across files) and the OnlineStats plotting stats
+(docs/src/plotting.md).
+"""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+import juliadb_jl_spark as jdb
+from juliadb_jl_spark.functions import stats as ST
+from juliadb_jl_spark.streaming import aggregate as SA
+
+
+def test_csv_missing_columns_union(spark, tmp_path):
+    # reference fixture shape: t1.csv (a,x), t2.csv (a,y) →
+    # union with missing columns null-filled (test_readwrite.jl:62-68)
+    (tmp_path / "t1.csv").write_text("a,x\n1,10\n2,20\n")
+    (tmp_path / "t2.csv").write_text("a,y\n3,30\n4,40\n")
+    t = jdb.loadtable([str(tmp_path / "t1.csv"), str(tmp_path / "t2.csv")],
+                      spark=spark, pkey="a")
+    got = t.collect()
+    assert sorted(got.columns) == ["a", "x", "y"]
+    assert len(got) == 4
+    assert pd.isna(got[got["a"] == 3]["x"]).all()
+    assert got[got["a"] == 1]["x"].iloc[0] == 10
+
+
+def test_csv_filenamecol(spark, tmp_path):
+    (tmp_path / "f1.csv").write_text("a\n1\n")
+    (tmp_path / "f2.csv").write_text("a\n2\n")
+    t = jdb.loadtable(str(tmp_path / "*.csv"), spark=spark, filenamecol="src")
+    got = t.collect()
+    assert len(got) == 2
+    assert all(s.endswith(".csv") for s in got["src"])
+
+
+def test_mosaic(tables):
+    m = ST.mosaic(tables["lineitem"].df, "l_returnflag", "l_linestatus").toPandas()
+    assert set(m.columns) == {"l_returnflag", "F", "O"}
+    assert m[["F", "O"]].to_numpy().sum() == tables["lineitem"].count()
+
+
+def test_partition_stat(tables):
+    p = ST.partition_stat(tables["lineitem"].df, "l_quantity",
+                          "l_extendedprice", nbins=5).toPandas()
+    assert len(p) == 5
+    assert p["n"].sum() == tables["lineitem"].count()
+
+
+def test_stateful_running_reduce(spark, tmp_path):
+    pdf1 = pd.DataFrame({"k": [1, 1, 2], "v": [1.0, 2.0, 10.0]})
+    pdf2 = pd.DataFrame({"k": [1, 2], "v": [4.0, 20.0]})
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf1).write.parquet(src + "/b1")
+    spark.createDataFrame(pdf2).write.parquet(src + "/b2")
+    schema = "k long, v double"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*"))
+    out = SA.running_reduce_stream(stream, "k", "v")
+    q = (out.writeStream.outputMode("update")
+         .format("memory").queryName("runred").start())
+    q.processAllAvailable()
+    q.stop()
+    res = spark.sql("SELECT * FROM runred").toPandas()
+    # final state per key must reflect all batches
+    last = res.groupby("k").last()
+    assert last.loc[1, "n"] == 3 and abs(last.loc[1, "total"] - 7.0) < 1e-9
+    assert last.loc[2, "n"] == 2 and last.loc[2, "vmax"] == 20.0
+
+
+def test_session_agg_batch(tables):
+    ev = tables["events"].df
+    out = SA.session_agg(ev, "ts", "user_id", {"n": "count"},
+                         gap="1 hour", select="value").toPandas()
+    assert out["n"].sum() == 1000
+    assert (out["session_end"] > out["session_start"]).all()
