@@ -785,6 +785,230 @@ def q42(spark, sf_dir):
 
 
 # ===========================================================================
+# Second wave: selector DSL, holistic closures, rolling windows, NDSparse
+# value-joins, mapslices — each through the engine's own operator.
+# ===========================================================================
+
+@_q("q43_select_dsl", """
+SELECT l_orderkey, l_partkey, l_suppkey, l_returnflag, l_linestatus,
+       l_linenumber
+FROM lineitem
+""")
+def q43(spark, sf_dir):
+    """selector DSL: All(regex, Type-ish names) with Not/dedup (reference
+    docs/src/basics.md:59-114)."""
+    import re
+    li = _t(spark, sf_dir, "lineitem")
+    return jdb.select(li, S.All(lambda n: n.endswith("key"),
+                                re.compile(r"^l_(return|line)"))).df
+
+
+@_q("q44_rename_insert", """
+SELECT o_orderkey AS okey, 1 AS tag, o_orderpriority AS priority
+FROM orders
+""")
+def q44(spark, sf_dir):
+    """rename + positional insertcols (reference test/test_table.jl:90-97)."""
+    o = _t(spark, sf_dir, "orders")
+    o = jdb.select(o, ("o_orderkey", "o_orderpriority"))
+    o = jdb.rename(o, o_orderkey="okey", o_orderpriority="priority")
+    o = jdb.insertcolsafter(o, "okey", "tag", F.lit(1))
+    return o.df
+
+
+@_q("q45_groupby_closure", """
+SELECT l_returnflag, max(l_quantity) - min(l_quantity) AS spread
+FROM lineitem GROUP BY l_returnflag
+""")
+def q45(spark, sf_dir):
+    """holistic groupby with a true Python closure over the group vector
+    (applyInPandas path, reference src/reduce.jl:72-105)."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = jdb.groupby(lambda s: float(s.max() - s.min()), li,
+                    by="l_returnflag", select="l_quantity")
+    return g.df.withColumnRenamed("value", "spread")
+
+
+@_q("q46_reduce_closure", """
+SELECT sum(l_quantity) AS l_quantity FROM lineitem
+""")
+def q46(spark, sf_dir):
+    """whole-table reduce with a binary Python closure — per-partition
+    partial + driver merge, the reference's treereduce shape
+    (src/reduce.jl:5-30, src/util.jl:2-8)."""
+    li = _t(spark, sf_dir, "lineitem")
+    row = jdb.reduce_(lambda a, b: a + b, li, select="l_quantity")
+    return spark.createDataFrame([row])
+
+
+@_q("q47_rolling", """
+SELECT o_orderkey, o_custkey,
+       CAST(sum(total_c) OVER (PARTITION BY o_custkey ORDER BY o_orderdate,
+                          o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS total_c_roll_sum3
+FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(round(o_totalprice*100) AS BIGINT) AS total_c FROM orders)
+""")
+def q47(spark, sf_dir):
+    """trailing rolling aggregate (first-class window layer, SURVEY §2.5)."""
+    o = jdb.transform(_t(spark, sf_dir, "orders"),
+                      total_c=_cents(F.col("o_totalprice")))
+    r = WOP.rolling(o, "total_c", window=3, by="o_custkey",
+                    order=("o_orderdate", "o_orderkey"), agg="sum")
+    return r.df.select("o_orderkey", "o_custkey", "total_c_roll_sum3")
+
+
+@_q("q48_cumulative", """
+SELECT event_id, user_id,
+       CAST(sum(value_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS value_c_cumsum
+FROM (SELECT event_id, user_id, ts,
+             CAST(round(value*100) AS BIGINT) AS value_c FROM events)
+""")
+def q48(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    t = jdb.table(ev.select("event_id", "user_id", "ts",
+                            _cents(F.col("value")).alias("value_c")))
+    c = WOP.cumulative(t, "value_c", by="user_id", order=("ts", "event_id"),
+                       agg="sum")
+    return c.df.select("event_id", "user_id",
+                       F.col("value_c_cumsum").alias("value_c_cumsum"))
+
+
+@_q("q49_merge_agg", """
+SELECT user_id, CAST(sum(value_c) AS BIGINT) AS value_c FROM (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS value_c
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, CAST(round(value*100) AS BIGINT)
+  FROM events WHERE event_type = 'view')
+GROUP BY user_id
+""")
+def q49(spark, sf_dir):
+    """NDSparse merge with collision agg (reference src/join.jl:245-262)."""
+    ev = read_table(spark, sf_dir, "events")
+    mk = lambda et: jdb.ndsparse(  # noqa: E731
+        ev.filter(F.col("event_type") == et)
+        .select("user_id", _cents(F.col("value")).alias("value_c")),
+        indexcols="user_id", agg="sum")
+    return jdb.merge(mk("click"), mk("view"), agg="sum").df
+
+
+@_q("q50_naturaljoin", """
+WITH c AS (SELECT user_id, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+           AS v FROM events WHERE event_type='click' GROUP BY user_id),
+     p AS (SELECT user_id, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+           AS v FROM events WHERE event_type='purchase' GROUP BY user_id)
+SELECT c.user_id, CAST(c.v + p.v AS BIGINT) AS v
+FROM c JOIN p ON c.user_id = p.user_id
+""")
+def q50(spark, sf_dir):
+    """NDSparse naturaljoin with a combine op (reference src/join.jl:138-187)."""
+    ev = read_table(spark, sf_dir, "events")
+    mk = lambda et: jdb.ndsparse(  # noqa: E731
+        ev.filter(F.col("event_type") == et)
+        .select("user_id", _cents(F.col("value")).alias("v")),
+        indexcols="user_id", agg="sum")
+    return jdb.naturaljoin("+", mk("click"), mk("purchase")).df
+
+
+@_q("q51_broadcast_nd", """
+WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+                      CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+               FROM events GROUP BY 1, 2),
+     weights AS (SELECT user_id,
+                        CAST(count(*) AS BIGINT) AS w FROM events GROUP BY 1)
+SELECT d.user_id, d.day, CAST(d.v * wt.w AS BIGINT) AS v
+FROM daily d JOIN weights wt ON d.user_id = wt.user_id
+""")
+def q51(spark, sf_dir):
+    """NDSparse dimension-aligned broadcast (reference src/join.jl:269-324):
+    B keyed on a subset of A's dims, applied elementwise."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = jdb.ndsparse(
+        ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"),
+                  _cents(F.col("value")).alias("v")),
+        indexcols=("user_id", "day"), agg="sum")
+    weights = jdb.ndsparse(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("w")),
+        indexcols="user_id")
+    return jdb.broadcast_nd("*", daily, weights).df
+
+
+@_q("q52_mapslices", """
+SELECT user_id, ts, run_total FROM (
+  SELECT user_id, ts,
+         CAST(sum(value_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_total
+  FROM (SELECT user_id, ts, event_id,
+               CAST(round(value*100) AS BIGINT) AS value_c FROM events))
+""")
+def q52(spark, sf_dir):
+    """mapslices: per-slice pandas function returning a frame (reference
+    src/flatten.jl:1-26) — running total per user slice."""
+    import pandas as pd
+    ev = read_table(spark, sf_dir, "events")
+    nd = jdb.ndsparse(ev.select("user_id", "ts", "event_id",
+                                _cents(F.col("value")).alias("value_c")),
+                      indexcols=("user_id", "ts", "event_id"))
+
+    def run_total(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        return pd.DataFrame({"ts": pdf["ts"],
+                             "run_total": pdf["value_c"].cumsum()})
+
+    out = jdb.mapslices(run_total, nd, dims=("ts", "event_id"),
+                        schema="`user_id` bigint, `ts` timestamp, `run_total` bigint")
+    return out.df
+
+
+@_q("q53_bpe_tokens", """
+SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n]'))
+       AS n_chunks
+FROM documents
+""")
+def q53(spark, sf_dir):
+    """BPE-ish pre-tokenizer chunk count (functions/text.py)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    F.regexp_count(F.col("text"),
+                                   F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n]"))
+                    .alias("n_chunks"))
+
+
+@_q("q54_mosaic", """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+       CAST(sum(CASE WHEN l_linestatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+FROM lineitem GROUP BY l_returnflag
+""")
+def q54(spark, sf_dir):
+    from juliadb_jl_spark.functions.stats import mosaic
+    li = read_table(spark, sf_dir, "lineitem")
+    return mosaic(li, "l_returnflag", "l_linestatus")
+
+
+@_q("q55_embedding_neardup", """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cosine_r6
+FROM v a, v b
+WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.e, b.e) >= 0.35
+""")
+def q55(spark, sf_dir):
+    """exact embedding near-dup pairs (brute force — the oracle-checkable
+    baseline for the LSH-blocked variant)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    cos = SIM.cosine_expr(F.col("ea"), F.col("eb"))
+    return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("c", cos).filter(F.col("c") >= 0.35)
+            .select("id_a", "id_b", F.round("c", 6).alias("cosine_r6")))
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 
