@@ -1,0 +1,76 @@
+"""Property-based differential tests: random small tables, engine result ≡
+pandas oracle.  Complements the reference's fixed goldens (SURVEY §5 notes
+the reference lacks randomized testing — added here as hardening).
+"""
+
+import pandas as pd
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+import juliadb_jl_spark as jdb
+from juliadb_jl_spark.plans import selectors as S
+
+KEYS = ["a", "b", "c"]
+
+
+@st.composite
+def frames(draw):
+    n = draw(st.integers(2, 25))
+    keys = draw(st.lists(st.sampled_from(KEYS), min_size=n, max_size=n))
+    vals = draw(st.lists(st.integers(-50, 50), min_size=n, max_size=n))
+    return pd.DataFrame({"k": keys, "v": [float(v) for v in vals]})
+
+
+_settings = settings(max_examples=8, deadline=None,
+                     suppress_health_check=list(HealthCheck))
+
+
+@given(pdf=frames())
+@_settings
+def test_groupreduce_matches_pandas(spark, pdf):
+    t = jdb.table(pdf, spark=spark)
+    got = jdb.groupreduce({"s": S.pair("v", "sum"), "m": S.pair("v", "max")},
+                          t, by="k").collect().sort_values("k", ignore_index=True)
+    exp = (pdf.groupby("k").agg(s=("v", "sum"), m=("v", "max"))
+           .reset_index().sort_values("k", ignore_index=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@given(l=frames(), r=frames())
+@_settings
+def test_join_matches_pandas(spark, l, r):
+    rl = r.rename(columns={"v": "w"}).groupby("k", as_index=False).first()
+    lt = jdb.table(l, spark=spark)
+    rt = jdb.table(rl, spark=spark)
+    got = jdb.join(lt, rt, how="left", lkey="k", rkey="k") \
+        .collect().sort_values(["k", "v"], ignore_index=True)
+    exp = l.merge(rl, on="k", how="left").sort_values(["k", "v"],
+                                                      ignore_index=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)], check_dtype=False)
+
+
+@given(pdf=frames(), rev=st.booleans())
+@_settings
+def test_sort_matches_pandas(spark, pdf, rev):
+    t = jdb.table(pdf, spark=spark)
+    got = jdb.sort(t, by=("v", "k"), rev=rev).collect()
+    exp = pdf.sort_values(["v", "k"], ascending=not rev, ignore_index=True)
+    pd.testing.assert_frame_equal(got[["v", "k"]], exp[["v", "k"]],
+                                  check_dtype=False)
+
+
+@given(pdf=frames())
+@_settings
+def test_stack_roundtrip(spark, pdf):
+    pdf = pdf.reset_index().rename(columns={"index": "i"})
+    pdf["v2"] = pdf["v"] * 2
+    t = jdb.table(pdf[["i", "v", "v2"]], pkey="i", spark=spark)
+    long = jdb.stack(t, ("v", "v2"))
+    wide = jdb.unstack(long, values=["v", "v2"]).collect() \
+        .sort_values("i", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        wide[["i", "v", "v2"]],
+        pdf[["i", "v", "v2"]].sort_values("i", ignore_index=True),
+        check_dtype=False)
