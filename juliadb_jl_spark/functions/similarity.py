@@ -58,43 +58,49 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def ivf_build(corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
               vec_col: str = "embedding", seed: int = 42,
-              iters: int = 3) -> tuple[DataFrame, list[list[float]]]:
+              iters: int = 2) -> tuple[DataFrame, list[list[float]]]:
     """IVF index: k-means-ish centroids (sampled init, `iters` Lloyd steps
     computed distributed), corpus tagged with nearest-cell id.
-    Returns (tagged corpus, centroids)."""
+    Returns (tagged corpus, centroids). At deploy scale the tagged corpus
+    is written `partitionBy("cell")` so probes prune whole partitions."""
     import numpy as np
-    sample = (corpus.select(vec_col).rdd if False else None)
     pdf = corpus.select(vec_col).limit(max(n_cells * 20, 200)).toPandas()
     vecs = np.array([list(v) for v in pdf[vec_col]], dtype="float64")
     rng = np.random.RandomState(seed)
     centroids = vecs[rng.choice(len(vecs), size=n_cells, replace=False)]
+    dim = centroids.shape[1]
     for _ in range(iters):
         tagged = _assign_cells(corpus, centroids, vec_col)
         agg = (tagged.groupBy("cell")
                .agg(*[F.avg(F.col(vec_col)[i]).alias(f"c{i}")
-                      for i in range(centroids.shape[1])],
+                      for i in range(dim)],
                     F.count(F.lit(1)).alias("n")).collect())
         for row in agg:
-            centroids[row["cell"]] = [row[f"c{i}"]
-                                      for i in range(centroids.shape[1])]
+            centroids[row["cell"]] = [row[f"c{i}"] for i in range(dim)]
     tagged = _assign_cells(corpus, centroids, vec_col)
     return tagged, centroids.tolist()
 
 
 def _assign_cells(df: DataFrame, centroids, vec_col: str) -> DataFrame:
-    best_cell, best_dot = None, None
-    v = F.col(vec_col).cast("array<double>")
-    vnorm = norm_expr(v)
-    for ci, cvec in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in cvec])
-        cos = dot_expr(v, carr) / (vnorm * F.lit(float(sum(x * x for x in cvec)) ** 0.5))
-        if best_cell is None:
-            best_cell, best_dot = F.lit(ci), cos
-        else:
-            cond = cos > best_dot
-            best_cell = F.when(cond, F.lit(ci)).otherwise(best_cell)
-            best_dot = F.when(cond, cos).otherwise(best_dot)
-    return df.withColumn("cell", best_cell)
+    """Nearest-centroid assignment as an Arrow-vectorized pandas UDF: one
+    numpy matmul per batch.  (A native when-chain over n_cells×dim literal
+    arrays generates megabytes of codegen and runs orders slower.)"""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cents = np.asarray(centroids, dtype="float64")
+    cnorm = np.linalg.norm(cents, axis=1) + 1e-12
+
+    def _nearest(vs):
+        M = np.array([np.asarray(v, dtype="float64") for v in vs])
+        sims = (M @ cents.T) / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-12) / cnorm
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    # legacy-style pandas_udf: annotations are strings under
+    # `from __future__ import annotations` and pyspark can't resolve them
+    nearest = F.pandas_udf(_nearest, T.IntegerType())
+    return df.withColumn("cell", nearest(F.col(vec_col).cast("array<double>")))
 
 
 def ivf_topk(tagged_corpus: DataFrame, centroids, queries: DataFrame,

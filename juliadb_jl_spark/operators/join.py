@@ -154,6 +154,23 @@ def asofjoin(l: Table, r: Table, by: Any, on: str, rselect: Any = None,
     return Table(out, tuple(by_names) + (on,) if on not in by_names else tuple(by_names))
 
 
+def salted_join(l: Table, r: Table, on: Sequence[str] | str, how: str = "inner",
+                salt: int = 16) -> Table:
+    """Skew-guard equi-join: replicate the (small-ish) right side `salt`
+    times and scatter the left's hot keys across salt buckets, so one hot
+    key spreads over `salt` reducers instead of one straggler task.
+    AQE's skew-join handles moderate skew automatically; this is the
+    explicit version for pathological keys (one key = 10% of 100 TB).
+    Same result set as a plain equi-join."""
+    if isinstance(on, str):
+        on = [on]
+    ldf = l.df.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    rdf = r.df.withColumn("__salt", F.explode(F.array(
+        *[F.lit(i) for i in range(salt)])))
+    out = ldf.join(rdf, [*on, "__salt"], _HOW[how]).drop("__salt")
+    return Table(out, tuple(on))
+
+
 def naturaljoin(op: Any, l: NDSparse, r: NDSparse) -> NDSparse:
     """NDSparse inner join on the common index space, combining matched
     values with `op` (reference src/join.jl:138-187)."""

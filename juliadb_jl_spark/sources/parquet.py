@@ -35,6 +35,27 @@ def save(t: Table, path: str, mode: str = "overwrite",
         json.dump(manifest, fh)
 
 
+def save_bucketed(t: Table, table_name: str, buckets: int,
+                  by: list[str] | str, sort_by: list[str] | str | None = None,
+                  mode: str = "overwrite") -> None:
+    """Persist hash-bucketed (the durable form of the reference's
+    `rechunk`-then-reuse pattern): later joins/aggs on the bucket key read
+    co-located data with NO shuffle — the decisive layout choice for
+    repeatedly-joined 100 TB fact tables."""
+    if isinstance(by, str):
+        by = [by]
+    writer = t.df.write.mode(mode).bucketBy(buckets, *by)
+    if sort_by:
+        writer = writer.sortBy(*([sort_by] if isinstance(sort_by, str) else sort_by))
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def load_table(table_name: str, spark: SparkSession | None = None,
+               pkey: tuple = ()) -> Table:
+    spark = spark or SparkSession.getActiveSession()
+    return Table(spark.table(table_name), pkey)
+
+
 def load(path: str, spark: SparkSession | None = None) -> Table:
     """Reopen a saved dataset, restoring pkey/sort metadata (reference
     src/io.jl:167-186)."""
