@@ -43,11 +43,16 @@ def sort(t: Table, by: Any = None, rev: bool = False, select: Any = None) -> Tab
     if select is not None:
         names = S.resolve_names(df, select, t.pkey)
         df = df.select(*names)
-    plain = [b[1:] if isinstance(b, str) and b.startswith("-") else b
-             for b in (by if isinstance(by, (tuple, list)) else [by])]
-    by_names = tuple(n for b in plain if isinstance(b, str)
+    items = by if isinstance(by, (tuple, list)) else [by]
+    any_desc = rev or any(isinstance(b, str) and b.startswith("-")
+                          for b in items)
+    # only an all-ascending sort yields a pkey: collect() re-orders by pkey
+    # ascending, which would silently undo a descending sort
+    if any_desc:
+        return type(t)(df, (), presorted=False)
+    by_names = tuple(n for b in items if isinstance(b, str)
                      for n in S.resolve_names(t.df, b, t.pkey))
-    return type(t)(df, by_names if not rev else (), presorted=not rev)
+    return type(t)(df, by_names, presorted=True)
 
 
 def reindex(t: Table, pkey: Any) -> Table:

@@ -118,6 +118,110 @@ class Table:
             raise IndexError("empty table")
         return row[0].asDict()
 
+    # -- deconstruction (reference src/iteration.jl:125-246) ---------------
+    def columns_dict(self) -> dict[str, "pd.Series"]:
+        """Materialize as {name: column} (reference `columns`)."""
+        pdf = self.collect()
+        return {c: pdf[c] for c in pdf.columns}
+
+    def rows(self):
+        """Iterate rows as dicts in pkey order (reference `rows`)."""
+        for row in self._ordered_df().toLocalIterator():
+            yield row.asDict()
+
+    def keys_(self) -> "pd.DataFrame":
+        """The pkey columns (reference `keys`)."""
+        return type(self)(self.df.select(*self.pkey), self.pkey).collect()
+
+    def values_(self) -> "pd.DataFrame":
+        """The value columns (reference `values`)."""
+        return Table(self.df.select(*self.valnames)).collect()
+
+    def pairs(self):
+        """Iterate (key_tuple, value_dict) in pkey order (reference `pairs`)."""
+        pk = set(self.pkey)
+        for row in self._ordered_df().toLocalIterator():
+            d = row.asDict()
+            yield (tuple(d[k] for k in self.pkey),
+                   {k: v for k, v in d.items() if k not in pk})
+
+    # -- fluent method API (delegates to the operator functions) -----------
+    def select(self, sel):
+        from juliadb_jl_spark.operators.selection import select as _f
+        return _f(self, sel)
+
+    def filter(self, pred=None, select=None, **col_preds):
+        from juliadb_jl_spark.operators.selection import filter_ as _f
+        return _f(self, pred, select, **col_preds)
+
+    def transform(self, **changes):
+        from juliadb_jl_spark.operators.selection import transform as _f
+        return _f(self, **changes)
+
+    def rename(self, **mapping):
+        from juliadb_jl_spark.operators.selection import rename as _f
+        return _f(self, **mapping)
+
+    def groupby(self, f, by, **kw):
+        from juliadb_jl_spark.operators.reduce import groupby as _f
+        return _f(f, self, by, **kw)
+
+    def groupreduce(self, f, by, **kw):
+        from juliadb_jl_spark.operators.reduce import groupreduce as _f
+        return _f(f, self, by, **kw)
+
+    def reduce(self, f, select=None):
+        from juliadb_jl_spark.operators.reduce import reduce_ as _f
+        return _f(f, self, select)
+
+    def summarize(self, f, by, **kw):
+        from juliadb_jl_spark.operators.reduce import summarize as _f
+        return _f(f, self, by, **kw)
+
+    def join(self, other, **kw):
+        from juliadb_jl_spark.operators.join import join as _f
+        return _f(self, other, **kw)
+
+    def groupjoin(self, other, **kw):
+        from juliadb_jl_spark.operators.join import groupjoin as _f
+        return _f(self, other, **kw)
+
+    def asofjoin(self, other, **kw):
+        from juliadb_jl_spark.operators.join import asofjoin as _f
+        return _f(self, other, **kw)
+
+    def merge(self, other, agg=None):
+        from juliadb_jl_spark.operators.join import merge as _f
+        return _f(self, other, agg)
+
+    def sort(self, by=None, **kw):
+        from juliadb_jl_spark.operators.sort import sort as _f
+        return _f(self, by, **kw)
+
+    def reindex_by(self, pkey):
+        from juliadb_jl_spark.operators.sort import reindex as _f
+        return _f(self, pkey)
+
+    def stack(self, sel=None, **kw):
+        from juliadb_jl_spark.operators.reshape import stack as _f
+        return _f(self, sel, **kw)
+
+    def unstack(self, **kw):
+        from juliadb_jl_spark.operators.reshape import unstack as _f
+        return _f(self, **kw)
+
+    def flatten(self, col):
+        from juliadb_jl_spark.operators.reshape import flatten as _f
+        return _f(self, col)
+
+    def dropmissing(self, sel=None):
+        from juliadb_jl_spark.operators.selection import dropmissing as _f
+        return _f(self, sel)
+
+    def save(self, path, **kw):
+        from juliadb_jl_spark.sources.parquet import save as _f
+        return _f(self, path, **kw)
+
     # -- equality (reference src/JuliaDB.jl:46-64) --------------------------
     def same_rows(self, other: "Table") -> bool:
         a, b = self.df, other.df
