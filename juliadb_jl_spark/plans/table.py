@@ -222,6 +222,12 @@ class Table:
         from juliadb_jl_spark.sources.parquet import save as _f
         return _f(self, path, **kw)
 
+    def view(self, name: str) -> "Table":
+        """Register as a temp view for `spark.sql` — SQL surface the
+        reference lacks; free on Spark (parity+)."""
+        self.df.createOrReplaceTempView(name)
+        return self
+
     # -- equality (reference src/JuliaDB.jl:46-64) --------------------------
     def same_rows(self, other: "Table") -> bool:
         a, b = self.df, other.df
