@@ -34,6 +34,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
     if key in _CACHE:
         return _CACHE[key]
+    if name in _NANOS_TS:
+        # a session built outside get_spark() (e.g. the driver's) errors on
+        # TIMESTAMP(NANOS) parquet unless this runtime conf is set
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANOS_TS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
