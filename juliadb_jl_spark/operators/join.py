@@ -154,6 +154,12 @@ def asofjoin(l: Table, r: Table, by: Any, on: str, rselect: Any = None,
     return Table(out, tuple(by_names) + (on,) if on not in by_names else tuple(by_names))
 
 
+def innerjoin(l: Table, r: Table, **kw: Any) -> Table:
+    """Alias of join(how="inner") (reference export `innerjoin`)."""
+    kw.pop("how", None)
+    return join(l, r, how="inner", **kw)
+
+
 def salted_join(l: Table, r: Table, on: Sequence[str] | str, how: str = "inner",
                 salt: int = 16) -> Table:
     """Skew-guard equi-join: replicate the (small-ish) right side `salt`

@@ -77,3 +77,22 @@ def test_session_agg_batch(tables):
                          gap="1 hour", select="value").toPandas()
     assert out["n"].sum() == 1000
     assert (out["session_end"] > out["session_start"]).all()
+
+
+def test_tracktime_diagnostics(spark, tables):
+    jdb.reset_timings()
+    with jdb.tracktime("count-orders", spark):
+        tables["orders"].df.count()
+    with jdb.tracktime("agg-lineitem", spark):
+        tables["lineitem"].df.groupBy("l_returnflag").count().collect()
+    t = jdb.timings()
+    assert list(t["label"]) == ["count-orders", "agg-lineitem"]
+    assert (t["seconds"] > 0).all()
+    assert (t["n_jobs"] >= 1).all()
+
+
+def test_innerjoin_alias(tables):
+    o = jdb.table(tables["orders"].df)
+    c = jdb.table(tables["customer"].df)
+    out = jdb.innerjoin(o, c, lkey="o_custkey", rkey="c_custkey")
+    assert out.count() == tables["orders"].count()
