@@ -103,6 +103,25 @@ def _assign_cells(df: DataFrame, centroids, vec_col: str) -> DataFrame:
     return df.withColumn("cell", nearest(F.col(vec_col).cast("array<double>")))
 
 
+def ivf_save(tagged_corpus: DataFrame, centroids, path: str,
+             mode: str = "overwrite") -> None:
+    """Persist the IVF index partitioned by cell: probes then read only
+    nprobe/n_cells of the data via partition pruning — the 100 TB layout."""
+    import json
+    import os
+    tagged_corpus.write.mode(mode).partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as fh:
+        json.dump(centroids, fh)
+
+
+def ivf_load(spark, path: str):
+    import json
+    import os
+    with open(os.path.join(path, "_ivf_centroids.json")) as fh:
+        centroids = json.load(fh)
+    return spark.read.parquet(path), centroids
+
+
 def ivf_topk(tagged_corpus: DataFrame, centroids, queries: DataFrame,
              k: int = 5, nprobe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", q_id_col: str | None = None) -> DataFrame:

@@ -87,6 +87,21 @@ def running_reduce_stream(df: DataFrame, key_col: str, value_col: str,
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def streaming_dedup(df: DataFrame, keys: list[str] | str,
+                    ts_col: str | None = None,
+                    watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: keep the first row per key.  With a ts
+    column, state is bounded by the watermark (dropDuplicatesWithinWatermark
+    — keys older than the watermark are evicted); without one, state grows
+    with distinct keys (batch-equivalent dropDuplicates)."""
+    if isinstance(keys, str):
+        keys = [keys]
+    if ts_col and df.isStreaming:
+        return (df.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(keys))
+    return df.dropDuplicates(keys)
+
+
 def stream_from_parquet(spark, path: str, schema=None,
                         max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over a parquet directory (smoke/testing shape —

@@ -74,3 +74,33 @@ def test_stack_roundtrip(spark, pdf):
         wide[["i", "v", "v2"]],
         pdf[["i", "v", "v2"]].sort_values("i", ignore_index=True),
         check_dtype=False)
+
+
+@st.composite
+def asof_frames(draw):
+    n = draw(st.integers(1, 15))
+    m = draw(st.integers(1, 15))
+    lk = draw(st.lists(st.sampled_from(["a", "b"]), min_size=n, max_size=n))
+    lt = draw(st.lists(st.integers(0, 40), min_size=n, max_size=n))
+    rk = draw(st.lists(st.sampled_from(["a", "b"]), min_size=m, max_size=m))
+    rt = draw(st.lists(st.integers(0, 40), min_size=m, max_size=m))
+    l = pd.DataFrame({"k": lk, "t": lt}).drop_duplicates(["k", "t"])
+    r = pd.DataFrame({"k": rk, "t": rt}).drop_duplicates(["k", "t"])
+    r["rv"] = r["t"] * 10.0
+    return l, r
+
+
+@given(data=asof_frames())
+@_settings
+def test_asofjoin_matches_pandas_merge_asof(spark, data):
+    l, r = data
+    lt = jdb.table(l, spark=spark)
+    rt = jdb.table(r.rename(columns={"t": "t"}), spark=spark)
+    got = jdb.asofjoin(lt, rt, by="k", on="t").collect() \
+        .sort_values(["k", "t"], ignore_index=True)
+    exp = pd.merge_asof(l.sort_values("t", kind="stable"),
+                        r.sort_values("t", kind="stable"),
+                        on="t", by="k", direction="backward") \
+        .sort_values(["k", "t"], ignore_index=True)
+    pd.testing.assert_frame_equal(got[["k", "t", "rv"]], exp[["k", "t", "rv"]],
+                                  check_dtype=False)

@@ -66,3 +66,43 @@ def test_ivf_fast_and_correct(tables):
                    set(exact[exact["query_id"] == q]["neighbor_id"]))
                for q in range(5))
     assert hits / 25 >= 0.5
+
+
+def test_ivf_save_load_partition_pruning(spark, tables, tmp_path):
+    from juliadb_jl_spark.functions import similarity as SIM
+    emb = tables["embeddings"].df
+    tagged, cents = SIM.ivf_build(emb, n_cells=4)
+    path = str(tmp_path / "ivf")
+    SIM.ivf_save(tagged, cents, path)
+    corpus, cents2 = SIM.ivf_load(spark, path)
+    assert cents2 == cents
+    # probing one cell must prune partitions at the scan
+    one = corpus.filter(F.col("cell") == 0)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert one.count() + corpus.filter(F.col("cell") != 0).count() == 500
+    # end-to-end ANN over the reloaded index
+    q = emb.filter(F.col("vec_id") < 3)
+    ann = SIM.ivf_topk(corpus, cents2, q, k=5, nprobe=2).toPandas()
+    assert len(ann) == 15
+
+
+def test_streaming_dedup(spark, tmp_path):
+    import pandas as pd
+    from juliadb_jl_spark.streaming import aggregate as SA
+    b1 = pd.DataFrame({"k": [1, 2, 1], "ts": pd.to_datetime(
+        ["2024-01-01 10:00"] * 3), "v": [1.0, 2.0, 3.0]})
+    b2 = pd.DataFrame({"k": [2, 3], "ts": pd.to_datetime(
+        ["2024-01-01 10:30"] * 2), "v": [4.0, 5.0]})
+    src = str(tmp_path / "dd")
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(b2).coalesce(1).write.parquet(src + "/b2")
+    stream = (spark.readStream.schema("k long, ts timestamp, v double")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    dd = SA.streaming_dedup(stream, "k", ts_col="ts", watermark="2 hours")
+    q = (dd.writeStream.outputMode("append").format("memory")
+         .queryName("dd_out").start())
+    q.processAllAvailable()
+    q.stop()
+    res = spark.sql("SELECT * FROM dd_out").toPandas()
+    assert sorted(res["k"]) == [1, 2, 3]  # each key exactly once across triggers
