@@ -1008,6 +1008,95 @@ def q55(spark, sf_dir):
             .select("id_a", "id_b", F.round("c", 6).alias("cosine_r6")))
 
 
+@_q("q56_semi_join", """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+""")
+def q56(spark, sf_dir):
+    """left-semi join (surface parity+; reference has only in/left/out/anti)."""
+    c = _t(spark, sf_dir, "customer")
+    o = jdb.filter_(_t(spark, sf_dir, "orders"), o_orderstatus="F")
+    return jdb.join(c, o, how="semi", lkey="c_custkey", rkey="o_custkey",
+                    lselect=("c_name",)).df
+
+
+@_q("q57_rollup", """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def q57(spark, sf_dir):
+    """rollup — grouping-sets parity+ (SURVEY §2.4 notes the reference
+    lacks cube/rollup; free on Spark)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@_q("q58_cube", """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def q58(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders") \
+        .withColumn("total_c", _cents(F.col("o_totalprice")))
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.sum("total_c").alias("total_c")))
+
+
+@_q("q59_partition_stat", """
+WITH rng AS (SELECT min(l_quantity) lo, max(l_quantity) hi FROM lineitem)
+SELECT CAST(least(floor((l_quantity - lo) / ((hi - lo) / 10)), 9) AS INT) AS bin,
+       count(*) AS n,
+       avg(CAST(round(l_extendedprice*100) AS BIGINT)) AS price_c_avg,
+       min(l_quantity) AS l_quantity_min, max(l_quantity) AS l_quantity_max
+FROM lineitem, rng GROUP BY 1
+""")
+def q59(spark, sf_dir):
+    """OnlineStats Partition: equal-width bucketized aggregate."""
+    from juliadb_jl_spark.functions.stats import partition_stat
+    li = read_table(spark, sf_dir, "lineitem") \
+        .withColumn("price_c", _cents(F.col("l_extendedprice")))
+    return partition_stat(li, "l_quantity", "price_c", nbins=10)
+
+
+# SQL-escaped punctuation class: '' is an escaped quote inside the SQL
+# string; the class itself matches Spark's text.punct_ratio exactly
+_SQL_PUNCT = r"""[^.,;:!?''"()\[\]{}-]"""
+
+@_q("q60_quality_score", f"""
+WITH c AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+    CASE WHEN length(text) > 0 THEN
+      CAST(length(regexp_replace(text, '{_SQL_PUNCT}', '', 'g')) AS DOUBLE)
+        / length(text) ELSE 0.0 END AS punct,
+    CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+      CAST({_SQL_STOP_HITS} AS DOUBLE)
+      / len(regexp_split_to_array(trim(text), '\\s+')) END AS stop,
+    CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+      CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+      / len(regexp_split_to_array(trim(text), '\\s+')) END AS mtl
+  FROM documents)
+SELECT doc_id, round(
+  least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.4 +
+  greatest(0.0, 1.0 - punct * 4) * 0.2 +
+  least(stop * 5, 1.0) * 0.2 +
+  (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2, 6)
+  AS quality_r6
+FROM c
+""")
+def q60(spark, sf_dir):
+    """full composite quality score, formula mirrored exactly in SQL."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    F.round(TX.quality_score(F.col("text")).cast("double"), 6)
+                    .alias("quality_r6"))
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
