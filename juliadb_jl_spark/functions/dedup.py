@@ -57,7 +57,8 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                         k: int = 3, threshold: float = 0.5,
-                        df_cap: int | None = None) -> DataFrame:
+                        df_cap: int | None = None,
+                        broadcast_verify: bool = True) -> DataFrame:
     """All pairs (a < b) with shingle-set Jaccard ≥ threshold.
 
     Exact semantics: candidates = docs sharing ≥1 shingle (a pair below
@@ -97,22 +98,30 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     p = df.sparkSession.sparkContext.defaultParallelism
     idx = idx.repartition(p, "h")
     a, b = idx.alias("a"), idx.alias("b")
+    # candidate pairs are kept WITH duplicates (a pair sharing k prefix
+    # shingles appears k times, typically ~7% extra) — verifying the dupes
+    # is cheaper than a full distinct shuffle; dedup happens on the tiny
+    # post-threshold result instead
     cand = (a.join(b.hint("shuffle_hash"),
                    (F.col("a.h") == F.col("b.h")) &
                    (F.col("a.id") < F.col("b.id")) &
                    (F.col("b.n") >= F.col("a.n") * t) &
                    (F.col("a.n") >= F.col("b.n") * t))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .repartition(p, "id_a", "id_b").distinct())
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")))
     ha = hashed.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"),
                        F.col("n").alias("na"))
     hb = hashed.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"),
                        F.col("n").alias("nb"))
+    if broadcast_verify:
+        # the shingle-set side is ~1-2% of corpus bytes; broadcastable up
+        # to ~10s of GB. For corpora where even that is too big, pass
+        # False and the verify joins become standard shuffled joins.
+        ha, hb = F.broadcast(ha), F.broadcast(hb)
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     return (cand.join(ha, "id_a").join(hb, "id_b")
             .withColumn("jaccard", inter / (F.col("na") + F.col("nb") - inter))
             .filter(F.col("jaccard") >= t)
-            .select("id_a", "id_b", "jaccard"))
+            .select("id_a", "id_b", "jaccard").distinct())
 
 
 def verify_pairs_jaccard(df: DataFrame, cand: DataFrame, id_col: str,

@@ -43,6 +43,9 @@ def get_spark(app_name: str = "juliadb_jl_spark",
         # testdata events.parquet stores TIMESTAMP(NANOS); read as long and
         # convert at load (sources/testdata.py) — Spark has no nanos type.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # broadcast/shuffle GC otherwise blocks job submission for seconds
+        # at a time on iterated queries (observed as 5-12s latency outliers)
+        .config("spark.cleaner.referenceTracking.blocking", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
