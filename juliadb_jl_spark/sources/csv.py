@@ -53,7 +53,8 @@ def loadtable(files: str | Sequence[str], spark: SparkSession | None = None,
               header_exists: bool = True, colnames: Sequence[str] | None = None,
               nastrings: Sequence[str] | None = None, skiplines_begin: int = 0,
               filenamecol: str | None = None, schema: Any = None,
-              output: str | None = None, chunks: int | None = None) -> Table:
+              output: str | None = None, chunks: int | None = None,
+              append: bool = False) -> Table:
     """Load CSV file(s)/dir/glob into a Table (reference src/io.jl:33-64).
 
     Option mapping: delim→sep, nastrings→nullValue, header_exists→header,
@@ -91,8 +92,10 @@ def loadtable(files: str | Sequence[str], spark: SparkSession | None = None,
         df = df.repartition(chunks)
     t = Table(df, tuple((pkey,) if isinstance(pkey, str) else pkey))
     if output:
+        # out-of-core ingest: stream straight to parquet and reopen
+        # (reference output=/append= ingest, src/io.jl:134-142)
         from juliadb_jl_spark.sources.parquet import save, load
-        save(t, output)
+        save(t, output, mode="append" if append else "overwrite")
         return load(output, spark)
     return t
 

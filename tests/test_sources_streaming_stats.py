@@ -96,3 +96,17 @@ def test_innerjoin_alias(tables):
     c = jdb.table(tables["customer"].df)
     out = jdb.innerjoin(o, c, lkey="o_custkey", rkey="c_custkey")
     assert out.count() == tables["orders"].count()
+
+
+def test_csv_output_append_ingest(spark, tmp_path):
+    # reference out-of-core ingest with append (src/io.jl:134-142)
+    (tmp_path / "a.csv").write_text("k,v\n1,10\n")
+    (tmp_path / "b.csv").write_text("k,v\n2,20\n")
+    out = str(tmp_path / "ingested")
+    t1 = jdb.loadtable(str(tmp_path / "a.csv"), spark=spark, pkey="k",
+                       output=out)
+    assert t1.count() == 1 and t1.pkey == ("k",)
+    t2 = jdb.loadtable(str(tmp_path / "b.csv"), spark=spark, pkey="k",
+                       output=out, append=True)
+    assert t2.count() == 2
+    assert sorted(t2.collect()["k"]) == [1, 2]
