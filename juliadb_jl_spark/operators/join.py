@@ -177,6 +177,48 @@ def salted_join(l: Table, r: Table, on: Sequence[str] | str, how: str = "inner",
     return Table(out, tuple(on))
 
 
+def range_join(l: Table, r: Table, on: Sequence[str] | str,
+               l_col: str, r_col: str, lower: float, upper: float,
+               bucket: float | None = None) -> Table:
+    """Range join: rows where ``lower <= l.l_col - r.r_col <= upper``
+    within equal `on` keys, WITHOUT a cross join.
+
+    Spark has no native range join (the SURVEY §2.3 theta-join gap); the
+    scale path is bucketization: each side is tagged with buckets of width
+    `bucket` (default: the range width), the right side replicated into
+    the (constant ≤ ⌈(upper-lower)/bucket⌉+1) buckets it can match, and
+    the range predicate applied after an equi-join on (keys, bucket) —
+    fanout is per-bucket, never |L|×|R|.  Numeric or timestamp-seconds
+    columns."""
+    if isinstance(on, str):
+        on = [on]
+    width = float(upper - lower)
+    if width < 0:
+        raise ValueError("upper must be >= lower")
+    bucket = float(bucket or (width if width > 0 else 1.0))
+    lv = F.col(l_col).cast("double")
+    rv = F.col(r_col).cast("double")
+    ldf = l.df.withColumn("__b", F.floor(lv / bucket).cast("long"))
+    # right row with value v matches left values in [v+lower, v+upper] →
+    # replicate into every bucket that window overlaps
+    n_rep = int(width // bucket) + 2
+    rdf = (r.df.withColumn(
+        "__b0", F.floor((rv + F.lit(lower)) / bucket).cast("long"))
+        .withColumn("__b", F.explode(F.array(
+            *[F.col("__b0") + i for i in range(n_rep)])))
+        .filter(F.col("__b") <= F.floor((rv + F.lit(upper)) / bucket))
+        .drop("__b0"))
+    overlap = (set(ldf.columns) & set(rdf.columns)) - set(on) - {"__b"}
+    for c in overlap:
+        rdf = rdf.withColumnRenamed(c, f"{c}_1")
+    rcol_out = f"{r_col}_1" if r_col in overlap else r_col
+    diff = lv - F.col(rcol_out).cast("double")
+    out = (ldf.join(rdf, [*on, "__b"])
+           .filter((diff >= lower) & (diff <= upper))
+           .drop("__b"))
+    return Table(out, tuple(on))
+
+
 def naturaljoin(op: Any, l: NDSparse, r: NDSparse) -> NDSparse:
     """NDSparse inner join on the common index space, combining matched
     values with `op` (reference src/join.jl:138-187)."""

@@ -106,3 +106,26 @@ def test_streaming_dedup(spark, tmp_path):
     q.stop()
     res = spark.sql("SELECT * FROM dd_out").toPandas()
     assert sorted(res["k"]) == [1, 2, 3]  # each key exactly once across triggers
+
+
+def test_range_join_vs_cross(spark, tables):
+    from juliadb_jl_spark.operators.join import range_join
+    ev = tables["events"].df.limit(300)
+    clicks = jdb.table(ev.filter(F.col("event_type") == "click")
+                       .select("user_id", F.col("ts").cast("double").alias("t"),
+                               "event_id"))
+    buys = jdb.table(ev.filter(F.col("event_type") == "purchase")
+                     .select("user_id", F.col("ts").cast("double").alias("bt"),
+                             F.col("event_id").alias("bid")))
+    # purchases within 24h AFTER a click: 0 <= bt - t... we want l=click
+    # diff = t - bt in [-86400, 0]
+    got = range_join(clicks, buys, on="user_id", l_col="t", r_col="bt",
+                     lower=-86400.0, upper=0.0).df.toPandas()
+    # cross-join oracle
+    cj = clicks.df.join(buys.df.withColumnRenamed("user_id", "u2"),
+                        F.col("user_id") == F.col("u2")) \
+        .filter((F.col("t") - F.col("bt") >= -86400) & (F.col("t") - F.col("bt") <= 0)) \
+        .toPandas()
+    assert len(got) == len(cj)
+    key = lambda d: sorted(zip(d["event_id"], d["bid"]))
+    assert key(got) == key(cj)
