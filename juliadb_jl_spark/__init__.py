@@ -27,7 +27,7 @@ from juliadb_jl_spark.operators.reduce import (
 )
 from juliadb_jl_spark.operators.join import (
     join, groupjoin, asofjoin, naturaljoin, leftjoin, merge, broadcast_nd,
-    innerjoin, salted_join,
+    innerjoin, salted_join, range_join,
 )
 from juliadb_jl_spark.plans.diagnostics import tracktime, timings, reset_timings
 from juliadb_jl_spark.operators.sort import (
@@ -49,7 +49,7 @@ __all__ = [
     "reduce_", "groupreduce", "groupby", "summarize", "reducedim",
     "reducedim_vec",
     "join", "groupjoin", "asofjoin", "naturaljoin", "leftjoin", "merge",
-    "broadcast_nd", "innerjoin", "salted_join",
+    "broadcast_nd", "innerjoin", "salted_join", "range_join",
     "tracktime", "timings", "reset_timings",
     "sort", "reindex", "rechunk", "subtable", "permutedims_nd",
     "partition_iter",
