@@ -232,18 +232,21 @@ def q09(spark, sf_dir):
 
 
 @_q("q10_groupjoin_sizes", """
-SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+SELECT c_custkey, count(o_orderkey) AS n_orders
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-GROUP BY c_custkey, c_name
+GROUP BY c_custkey
 """)
 def q10(spark, sf_dir):
-    """groupjoin (reference src/join.jl:120-126) surfaced as group sizes."""
+    """groupjoin (reference src/join.jl:120-126) surfaced as group sizes.
+    Each customer row contributes one left pair-partner, so |groups| is the
+    order count (0 for customers with no orders, LEFT JOIN count
+    semantics)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    g = jdb.groupjoin(jdb.select(c, ("c_custkey", "c_name")), o, how="left",
+    g = jdb.groupjoin(c, o, how="left",
                       lkey="c_custkey", rkey="o_custkey",
-                      rselect=("o_orderkey",))
-    return g.df.select("c_custkey", "c_name",
+                      lselect=(), rselect=("o_orderkey",))
+    return g.df.select("c_custkey",
                        F.size("groups").cast("long").alias("n_orders"))
 
 
@@ -1097,6 +1100,90 @@ def q60(spark, sf_dir):
                     .alias("quality_r6"))
 
 
+@_q("q61_join_combine", """
+WITH c AS (SELECT user_id, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+           AS v FROM events WHERE event_type='click' GROUP BY user_id),
+     p AS (SELECT user_id, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+           AS v FROM events WHERE event_type='purchase' GROUP BY user_id)
+SELECT c.user_id, CAST(COALESCE(c.v, 0) + COALESCE(p.v, 0) AS BIGINT) AS v
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+""")
+def q61(spark, sf_dir):
+    """join(f, l, r) combine-function form on Tables (reference
+    src/join.jl:26,115-118): outer join, matched pairs summed, unmatched
+    sides kept as-is."""
+    ev = read_table(spark, sf_dir, "events")
+    mk = lambda et: jdb.table(  # noqa: E731
+        ev.filter(F.col("event_type") == et).groupBy("user_id")
+        .agg(F.sum(_cents(F.col("value"))).alias("v")))
+    out = jdb.join(mk("click"), mk("purchase"), how="outer",
+                   lkey="user_id", rkey="user_id", combine="+")
+    return out.df
+
+
+@_q("q62_groupjoin_outer", """
+WITH l AS (SELECT c_custkey AS k, count(*) AS ln FROM customer
+           WHERE c_acctbal > 9000 GROUP BY 1),
+     r AS (SELECT o_custkey AS k, count(*) AS rn FROM orders
+           WHERE o_orderstatus = 'F' GROUP BY 1)
+SELECT COALESCE(l.k, r.k) AS c_custkey,
+       CAST(COALESCE(ln, 0) * COALESCE(rn, 0) AS BIGINT) AS n_pairs
+FROM l FULL OUTER JOIN r ON l.k = r.k
+""")
+def q62(spark, sf_dir):
+    """groupjoin(how="outer"): right-only keys survive with empty groups
+    (reference test/test_table.jl:121; VERDICT r1 fix #3). Group size is
+    the pair-cartesian |l_k|·|r_k|, 0 for single-sided keys."""
+    c = jdb.filter_(_t(spark, sf_dir, "customer"), F.col("c_acctbal") > 9000)
+    o = jdb.filter_(_t(spark, sf_dir, "orders"), o_orderstatus="F")
+    g = jdb.groupjoin(c, o, how="outer", lkey="c_custkey", rkey="o_custkey",
+                      lselect=("c_name",), rselect=("o_orderkey",))
+    return g.df.select("c_custkey",
+                       F.size("groups").cast("long").alias("n_pairs"))
+
+
+@_q("q63_range_join", """
+SELECT p.user_id, p.event_id AS purchase_id, count(c.event_id) AS n_prior_clicks
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND epoch(p.ts) - epoch(c.ts) BETWEEN 0 AND 3600
+GROUP BY 1, 2
+""")
+def q63(spark, sf_dir):
+    """bucketized range join (theta-join gap, operators/join.py:range_join):
+    clicks within the hour before each purchase, per user — equi-join on
+    (user, bucket) + residual predicate, bounded replication, no cartesian."""
+    ev = read_table(spark, sf_dir, "events")
+    sel = lambda et: jdb.table(  # noqa: E731
+        ev.filter(F.col("event_type") == et)
+        .select("user_id", "event_id", F.col("ts").cast("long").alias("t")))
+    j = jdb.range_join(sel("purchase"), sel("click"), on="user_id",
+                       l_col="t", r_col="t", lower=0, upper=3600)
+    return (j.df.groupBy("user_id", F.col("event_id").alias("purchase_id"))
+            .agg(F.count(F.lit(1)).alias("n_prior_clicks")))
+
+
+@_q("q64_salted_join", """
+SELECT o_orderkey, e.n_events
+FROM orders JOIN (SELECT user_id, count(*) AS n_events FROM events
+                  GROUP BY user_id) e
+  ON o_custkey % 50 = e.user_id % 50 AND e.user_id < 20
+""")
+def q64(spark, sf_dir):
+    """salted skew-guard join (operators/join.py:salted_join): a
+    deliberately hot key distribution (mod-50 buckets) spread across salt
+    buckets; result set identical to the plain equi-join."""
+    o = jdb.table(read_table(spark, sf_dir, "orders")
+                  .select("o_orderkey", (F.col("o_custkey") % 50).alias("hk")))
+    e = jdb.table(read_table(spark, sf_dir, "events")
+                  .filter(F.col("user_id") < 20).groupBy("user_id")
+                  .agg(F.count(F.lit(1)).alias("n_events"))
+                  .select((F.col("user_id") % 50).alias("hk"), "n_events"))
+    out = jdb.salted_join(o, e, on="hk", how="inner", salt=8)
+    return out.df.select("o_orderkey", "n_events")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -1107,7 +1194,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_REG)
+    # Round-1 driver recorded CORRECTNESS rows only for the first 50 entries;
+    # rotate the previously-unverified tail (q51+) to the front so every
+    # query accumulates a driver-verified row across rounds (VERDICT r1 #1).
+    unverified_first = sorted(_REG, key=lambda k: (k < "q51", k))
+    return {k: _REG[k] for k in unverified_first}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -37,7 +37,8 @@ def _keys_of(t: Table, key: Any) -> list[str]:
 
 def join(l: Table, r: Table, how: str = "inner", lkey: Any = None,
          rkey: Any = None, lselect: Any = None, rselect: Any = None,
-         broadcast: str | None = None) -> Table:
+         broadcast: str | None = None, combine: Any = None,
+         combine_name: str | None = None) -> Table:
     """Equi-join on lkey/rkey (default: pkeys) with optional projections
     (reference src/join.jl:26-118; tests test/test_table.jl:98-116).
 
@@ -46,6 +47,15 @@ def join(l: Table, r: Table, how: str = "inner", lkey: Any = None,
     `broadcast="right"` applies the broadcast hint (reference
     src/join.jl:37-57; the documented big⋈small out-of-core join).
     Overlapping non-key right columns are suffixed `_1`.
+
+    `combine` is the reference's `join(f, l, r)` form (src/join.jl:26,
+    115-118): instead of concatenating the value columns (`concat_tup`,
+    the default), apply a binary op to the matched (lvalue, rvalue) pair —
+    an op string ("+", "min", ...) or a Column-returning callable.  Each
+    side must then select exactly one value column.  Unmatched rows under
+    how="left"/"outer" keep the present side's value (the op applies only
+    where both sides matched).  The result column is named `combine_name`
+    (default: the left value column's name).
     """
     lk, rk = _keys_of(l, lkey), _keys_of(r, rkey)
     if len(lk) != len(rk):
@@ -65,6 +75,18 @@ def join(l: Table, r: Table, how: str = "inner", lkey: Any = None,
     for c in overlap:
         rdf = rdf.withColumnRenamed(c, f"{c}_1")
 
+    use_combine = combine is not None and how in ("inner", "left", "outer")
+    if use_combine:
+        lvals = [c for c in ldf.columns if c not in lk]
+        rvals = [c for c in rdf.columns if c not in lk]
+        if len(lvals) != 1 or len(rvals) != 1:
+            raise ValueError(
+                "join(combine=...) needs exactly one value column per side; "
+                f"got {lvals} / {rvals} — narrow with lselect/rselect")
+        # presence markers distinguish 'unmatched' from 'matched with null'
+        ldf = ldf.withColumn("__lp", F.lit(True))
+        rdf = rdf.withColumn("__rp", F.lit(True))
+
     if broadcast == "right":
         rdf = F.broadcast(rdf)
     elif broadcast == "left":
@@ -72,28 +94,97 @@ def join(l: Table, r: Table, how: str = "inner", lkey: Any = None,
 
     sp_how = _HOW[how]
     out = ldf.join(rdf, on=lk, how=sp_how)
+    if use_combine:
+        lv, rv = F.col(lvals[0]), F.col(rvals[0])
+        expr = _combine_expr(combine, lv, rv)
+        if how == "outer":
+            expr = (F.when(F.col("__lp").isNull(), rv)
+                    .when(F.col("__rp").isNull(), lv)
+                    .otherwise(expr))
+        elif how == "left":
+            expr = F.when(F.col("__rp").isNull(), lv).otherwise(expr)
+        name = combine_name or lvals[0]
+        out = (out.withColumn(name, expr)
+               .select(*lk, name))
     return Table(out, tuple(lk))
 
 
 def groupjoin(l: Table, r: Table, how: str = "inner", lkey: Any = None,
-              rkey: Any = None, rselect: Any = None) -> Table:
-    """Join with matches collected into a nested `groups` array-of-struct
-    column per key (reference src/join.jl:120-126; test
-    test/test_table.jl:117-122). `how="left"` keeps unmatched left keys
-    with an empty groups array."""
+              rkey: Any = None, lselect: Any = None, rselect: Any = None,
+              combine: Any = None) -> Table:
+    """Join with matched pairs collected into a per-key `groups` array
+    (reference src/join.jl:120-126 → IndexedTables join(group=true); golden
+    cases test/test_table.jl:117-122).
+
+    One output row per key; `groups` holds struct(lselect..., rselect...)
+    for every matched (left row × right row) pair, sorted for determinism.
+    Duplicate keys on either side collapse into one output row (the pairs
+    multiply).  how="left" keeps unmatched left keys, how="outer" also
+    keeps right-only keys — both with empty `groups` (the round-1
+    outer→left collapse silently dropped right-only keys; fixed).
+    `combine` is the reference's `groupjoin(f, ...)` (src/join.jl:120-122):
+    each group element becomes f(lvalue, rvalue) instead of the concat
+    struct (one value column per side required).
+
+    Scale shape: each side is grouped on its key (two partial-agg
+    shuffles), then the per-key cartesian is expanded with native
+    higher-order array functions — no row-explosion join and no shuffle of
+    the expanded pairs.  Hot keys cost O(|l_k|·|r_k|) memory in one row,
+    which is what the reference's semantics require.
+    """
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(f"groupjoin supports inner/left/outer, got {how!r}")
     lk, rk = _keys_of(l, lkey), _keys_of(r, rkey)
-    rdf = r.df if rselect is None else r.df.select(
-        *dict.fromkeys(rk + S.resolve_names(r.df, rselect, r.pkey)))
+    lvals = (S.resolve_names(l.df, lselect, l.pkey) if lselect is not None
+             else [c for c in l.df.columns if c not in lk])
+    rvals = (S.resolve_names(r.df, rselect, r.pkey) if rselect is not None
+             else [c for c in r.df.columns if c not in rk])
+    ldf = l.df.select(*dict.fromkeys(lk + lvals))
+    rdf = r.df.select(*dict.fromkeys(rk + rvals))
     for a, b in zip(lk, rk):
         if a != b:
             rdf = rdf.withColumnRenamed(b, a)
-    vals = [c for c in rdf.columns if c not in lk]
-    grouped = (rdf.groupBy(*lk)
-               .agg(F.array_sort(F.collect_list(F.struct(*vals))).alias("groups")))
-    out = l.df.join(grouped, on=lk, how="inner" if how == "inner" else "left")
-    if how != "inner":
-        empty = F.array().cast(grouped.schema["groups"].dataType)
-        out = out.withColumn("groups", F.coalesce(F.col("groups"), empty))
+    # disambiguate right value names colliding with left values or keys
+    rvals = list(rvals)
+    for i, c in enumerate(rvals):
+        if c in lvals or c in lk:
+            rdf = rdf.withColumnRenamed(c, f"{c}_1")
+            rvals[i] = f"{c}_1"
+    if not lvals and not rvals:
+        raise ValueError("groupjoin needs at least one value column")
+    if combine is not None and (len(lvals) != 1 or len(rvals) != 1):
+        raise ValueError("groupjoin(combine=...) needs exactly one value "
+                         "column per side")
+
+    # Group each side: value structs where selected, bare row count where a
+    # side selects no values (the count drives pair multiplicity).
+    lagg = (F.array_sort(F.collect_list(F.struct(*lvals))) if lvals
+            else F.count(F.lit(1)).cast("int"))
+    ragg = (F.array_sort(F.collect_list(F.struct(*rvals))) if rvals
+            else F.count(F.lit(1)).cast("int"))
+    lgrp = ldf.groupBy(*lk).agg(lagg.alias("__lg"))
+    rgrp = rdf.groupBy(*lk).agg(ragg.alias("__rg"))
+    sp_how = {"inner": "inner", "left": "left", "outer": "full"}[how]
+    j = lgrp.join(rgrp, on=lk, how=sp_how)
+    lg = (F.coalesce(F.col("__lg"), F.array().cast(lgrp.schema["__lg"].dataType))
+          if lvals else F.coalesce(F.col("__lg"), F.lit(0)))
+    rg = (F.coalesce(F.col("__rg"), F.array().cast(rgrp.schema["__rg"].dataType))
+          if rvals else F.coalesce(F.col("__rg"), F.lit(0)))
+    if lvals and rvals:
+        if combine is not None:
+            pair_of = lambda lv, rv: _combine_expr(  # noqa: E731
+                combine, lv[lvals[0]], rv[rvals[0]])
+        else:
+            pair_of = lambda lv, rv: F.struct(  # noqa: E731
+                *[lv[c].alias(c) for c in lvals],
+                *[rv[c].alias(c) for c in rvals])
+        groups = F.flatten(F.transform(
+            lg, lambda lv: F.transform(rg, lambda rv: pair_of(lv, rv))))
+    elif lvals:  # right side contributes only multiplicity
+        groups = F.flatten(F.array_repeat(lg, rg))
+    else:        # left side contributes only multiplicity
+        groups = F.flatten(F.array_repeat(rg, lg))
+    out = j.select(*lk, F.array_sort(groups).alias("groups"))
     return Table(out, tuple(lk))
 
 
@@ -127,30 +218,32 @@ def asofjoin(l: Table, r: Table, by: Any, on: str, rselect: Any = None,
             rdf = rdf.withColumnRenamed(c, target)
     rnames = [renames[c] for c in rvals]
 
-    lt = l.df.withColumn("__side", F.lit(1))
-    for c in rnames:
-        lt = lt.withColumn(c, F.lit(None).cast(rdf.schema[c].dataType))
-    rt = rdf.withColumn("__side", F.lit(0))
+    # The whole matched right row rides in ONE struct so every value column
+    # comes from the same right row and genuinely-NULL right values stay
+    # NULL (a per-column fill would inherit older rows' values per column).
+    rt = rdf.select(
+        *by_names, F.col(on), F.lit(0).alias("__side"),
+        F.struct(F.col(on).alias("__on"),
+                 *[F.col(c) for c in rnames]).alias("__rs"))
     for c in l.df.columns:
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(l.df.schema[c].dataType))
+    lt = (l.df.withColumn("__side", F.lit(1))
+          .withColumn("__rs", F.lit(None).cast(rt.schema["__rs"].dataType)))
     unioned = lt.unionByName(rt.select(*lt.columns))
 
     w = (W.partitionBy(*by_names)
          .orderBy(F.col(on).asc(), F.col("__side").asc())
          .rowsBetween(W.unboundedPreceding, 0))
-    filled = unioned
-    for c in rnames:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    filled = unioned.withColumn("__rs", F.last("__rs", ignorenulls=True).over(w))
     if tolerance is not None:
-        ron = F.last(F.when(F.col("__side") == 0, F.col(on)),
-                     ignorenulls=True).over(w)
-        filled = filled.withColumn("__ron", ron)
-        for c in rnames:
-            filled = filled.withColumn(
-                c, F.when(F.col(on) - F.col("__ron") <= tolerance, F.col(c)))
-        filled = filled.drop("__ron")
-    out = filled.filter(F.col("__side") == 1).drop("__side")
+        filled = filled.withColumn(
+            "__rs", F.when(F.col(on) - F.col("__rs")["__on"] <= tolerance,
+                           F.col("__rs")))
+    out = filled.filter(F.col("__side") == 1)
+    for c in rnames:
+        out = out.withColumn(c, F.col("__rs")[c])
+    out = out.drop("__side", "__rs")
     return Table(out, tuple(by_names) + (on,) if on not in by_names else tuple(by_names))
 
 
@@ -167,7 +260,14 @@ def salted_join(l: Table, r: Table, on: Sequence[str] | str, how: str = "inner",
     key spreads over `salt` reducers instead of one straggler task.
     AQE's skew-join handles moderate skew automatically; this is the
     explicit version for pathological keys (one key = 10% of 100 TB).
-    Same result set as a plain equi-join."""
+    Same result set as a plain equi-join for the supported `how`s;
+    right-preserving joins (outer/right) would emit every unmatched right
+    row once per salt bucket, so they are rejected."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti, got {how!r}: the "
+            "right side is replicated per salt bucket, so right-preserving "
+            "joins would duplicate unmatched right rows")
     if isinstance(on, str):
         on = [on]
     ldf = l.df.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))

@@ -270,23 +270,41 @@ def _schema_of_result(src: DataFrame, by_names: list[str], res: Any) -> str:
 # ---------------------------------------------------------------------------
 
 def summarize(f: Any, t: Table, by: Any, select: Any = None) -> Table:
-    """Apply reducer(s) to each selected column per group; outputs named
-    `col_fn` (reference docs/src/operations.md:32, test/test_table.jl:237-243)."""
+    """Apply reducer(s) to each selected column per group (reference
+    docs/src/operations.md:32, test/test_table.jl:237-243).
+
+    Naming follows the reference exactly: one reducer → plain column
+    names; several reducers over ONE column → the reducer names; several
+    reducers over several columns → `col_fn`.  A dict of reducers
+    (`{"m": "mean"}`) renames the reducer part, like the reference's
+    `(m = mean, s = std)` named-tuple form."""
     by_resolved = S.resolve(t.df, by, t.pkey)
     by_names = [n for n, _ in by_resolved]
     if select is None:
         sel_resolved = [(c, F.col(c)) for c in t.df.columns if c not in by_names]
     else:
         sel_resolved = S.resolve(t.df, select, t.pkey)
-    forms = f if isinstance(f, (tuple, list)) else (f,)
+    if isinstance(f, dict):
+        raw = [(alias, form) for alias, form in f.items()]
+    else:
+        raw = [(None, form) for form in (f if isinstance(f, (tuple, list)) else (f,))]
+    forms = []
+    for alias, form in raw:
+        stat = _as_stat(form)
+        if stat is None:
+            raise TypeError(f"summarize reducer must be recognizable, got {form!r}")
+        forms.append((alias or stat.name, stat))
+    multi_f, multi_c = len(forms) > 1, len(sel_resolved) > 1
     exprs: list[tuple[str, Column]] = []
     for cname, col in sel_resolved:
-        for form in forms:
-            stat = _as_stat(form)
-            if stat is None:
-                raise TypeError(f"summarize reducer must be recognizable, got {form!r}")
-            suffix_name = f"{cname}_{stat.name}" if len(forms) > 1 or True else cname
-            exprs.extend(_stat_exprs(stat, col, suffix_name))
+        for fname, stat in forms:
+            if not multi_f:
+                name = cname
+            elif not multi_c:
+                name = fname
+            else:
+                name = f"{cname}_{fname}"
+            exprs.extend(_stat_exprs(stat, col, name))
     out = (t.df.select(*S.as_columns(by_resolved),
                        *[c for c in t.df.columns if c not in by_names])
            .groupBy(*by_names).agg(*[c.alias(n) for n, c in exprs]))

@@ -63,7 +63,7 @@ def filter_(t: Table, pred: Any = None, select: Any = None, **col_preds: Any) ->
             out = None
             try:
                 out = pred(col)
-            except Exception:
+            except S._PROBE_ERRORS:
                 out = None
             if isinstance(out, Column):
                 conds.append(out)
@@ -79,7 +79,7 @@ def filter_(t: Table, pred: Any = None, select: Any = None, **col_preds: Any) ->
             out = None
             try:
                 out = p(col)
-            except Exception:
+            except S._PROBE_ERRORS:
                 out = None
             if isinstance(out, Column):
                 conds.append(out)
@@ -108,7 +108,7 @@ def map_(f: Any, t: Table, select: Any = None, rtype: Any = None,
     out = None
     try:
         out = f(*cols)
-    except Exception:
+    except S._PROBE_ERRORS:
         out = None
     if isinstance(out, Column):
         return type(t)(t.df.select(out.alias(name)), ())

@@ -48,19 +48,35 @@ def _group_by_header(paths: list[str], delim: str, header_exists: bool,
     return list(by_header.values())
 
 
+def _samecols_renames(samecols: Sequence[Sequence[str]] | None) -> dict[str, str]:
+    """alias → canonical-name map; the FIRST name in each group is
+    canonical (reference src/io.jl:55: 'vendor_id and VendorID')."""
+    out: dict[str, str] = {}
+    for group in samecols or ():
+        canon, *aliases = list(group)
+        for a in aliases:
+            out[a] = canon
+    return out
+
+
 def loadtable(files: str | Sequence[str], spark: SparkSession | None = None,
               pkey: Sequence[str] | str = (), delim: str = ",",
               header_exists: bool = True, colnames: Sequence[str] | None = None,
               nastrings: Sequence[str] | None = None, skiplines_begin: int = 0,
               filenamecol: str | None = None, schema: Any = None,
+              samecols: Sequence[Sequence[str]] | None = None,
               output: str | None = None, chunks: int | None = None,
               append: bool = False) -> Table:
     """Load CSV file(s)/dir/glob into a Table (reference src/io.jl:33-64).
 
-    Option mapping: delim→sep, nastrings→nullValue, header_exists→header,
-    colnames→explicit schema names, filenamecol→input_file_name(),
-    output=→ write-through parquet (the reference's out-of-core ingest,
-    src/table.jl:128-152), chunks→repartition.
+    Option mapping: delim→sep, nastrings→nullValue (+ post-read null-out of
+    the remaining NA strings), header_exists→header, colnames→explicit
+    schema names, filenamecol→input_file_name(), samecols→per-file-group
+    rename to the group's first (canonical) name before the union,
+    skiplines_begin→distributed drop of the first n lines per file (OSS
+    Spark's CSV source has no skip-rows option), output=→ write-through
+    parquet (the reference's out-of-core ingest, src/table.jl:128-152),
+    chunks→repartition.
     """
     spark = spark or SparkSession.getActiveSession()
     paths = _expand(files)
@@ -71,22 +87,56 @@ def loadtable(files: str | Sequence[str], spark: SparkSession | None = None,
                   .option("inferSchema", "true" if schema is None else "false"))
         if nastrings:
             reader = reader.option("nullValue", nastrings[0])
-        if skiplines_begin:
-            reader = reader.option("skipRows", skiplines_begin)
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.csv(ps)
+        if not skiplines_begin:
+            return reader.csv(ps)
+        # No skipRows in OSS Spark's CSVOptions → drop the first n lines of
+        # each file distributedly: per-file textFile keeps line order, so a
+        # zipWithIndex filter is exact; the CSV parser then runs on the
+        # remaining lines (header handling still applies).
+        sc = spark.sparkContext
+        flat: list[str] = []
+        for p in ps:
+            flat.extend(sorted(_glob.glob(os.path.join(p, "*")))
+                        if os.path.isdir(p) else [p])
+        n = int(skiplines_begin)
+        rdds = [sc.textFile(p).zipWithIndex()
+                .filter(lambda kv, _n=n: kv[1] >= _n).map(lambda kv: kv[0])
+                for p in flat]
+        rdd = rdds[0] if len(rdds) == 1 else sc.union(rdds)
+        return reader.csv(rdd)
 
     groups = _group_by_header(paths, delim, header_exists, schema)
-    dfs = [_read(ps) for ps in groups]
+    renames = _samecols_renames(samecols)
+    dfs = []
+    for ps in groups:
+        d = _read(ps)
+        for alias, canon in renames.items():
+            if alias in d.columns and canon not in d.columns:
+                d = d.withColumnRenamed(alias, canon)
+        dfs.append(d)
     df = dfs[0]
     for other in dfs[1:]:
         # schema union across files: missing columns become null (reference
         # missing-column fill, src/util.jl:169-176, test_readwrite.jl:67-68)
         df = df.unionByName(other, allowMissingColumns=True)
+    if nastrings and len(nastrings) > 1:
+        # Spark's CSV source takes a single nullValue; null out the rest
+        # post-read (typed columns already turned unparseable NAs into null)
+        rest = list(nastrings[1:])
+        for f in df.schema.fields:
+            if f.dataType.simpleString() == "string":
+                df = df.withColumn(
+                    f.name, F.when(F.col(f.name).isin(rest), None)
+                    .otherwise(F.col(f.name)))
     if colnames:
         df = df.toDF(*colnames)
     if filenamecol:
+        if skiplines_begin:
+            raise ValueError("filenamecol is unavailable with "
+                             "skiplines_begin: the text-level preamble skip "
+                             "loses file provenance")
         df = df.withColumn(filenamecol, F.input_file_name())
     if chunks:
         df = df.repartition(chunks)
@@ -100,13 +150,25 @@ def loadtable(files: str | Sequence[str], spark: SparkSession | None = None,
     return t
 
 
-def loadndsparse(files: str | Sequence[str], indexcols: Sequence[str] | str,
+def loadndsparse(files: str | Sequence[str],
+                 indexcols: Sequence[str] | str | None = None,
                  datacols: Sequence[str] | None = None,
                  spark: SparkSession | None = None, **kw: Any) -> NDSparse:
     """Load CSVs into an NDSparse keyed on indexcols (reference
-    src/io.jl:66-83)."""
+    src/io.jl:66-83).
+
+    With no `indexcols`, the reference creates an implicit 1:n row index
+    (src/io.jl:151-154, src/util.jl:121-123); here that is a `row` dimension
+    numbered in load order (contiguous, computed with the two-pass
+    per-partition offset scheme — no single-partition stage)."""
     t = loadtable(files, spark=spark, **kw)
-    if isinstance(indexcols, str):
+    if indexcols is None or (not isinstance(indexcols, (str, int))
+                             and len(indexcols) == 0):
+        from juliadb_jl_spark.operators.sort import with_global_rownum
+        df = with_global_rownum(t.df, "row")
+        cols = ["row"] + (list(datacols) if datacols else list(t.columns))
+        return NDSparse(df.select(*cols), ("row",), presorted=True)
+    if isinstance(indexcols, (str, int)):
         indexcols = (indexcols,)
     indexcols = [t.columns[i - 1] if isinstance(i, int) else i for i in indexcols]
     cols = list(indexcols) + (list(datacols) if datacols else

@@ -54,11 +54,94 @@ def test_join_broadcast_plan(tables):
     assert "BroadcastHashJoin" in plan
 
 
-def test_groupjoin(lr):
-    l, r = lr
+@pytest.fixture()
+def groupjoin_lr(spark):
+    # exact reference fixture (test/test_table.jl:117-122)
+    l = jdb.table({"a": [1, 1, 1, 2], "b": [1, 2, 2, 1], "c": [1, 2, 3, 4]},
+                  pkey=("a", "b"), spark=spark)
+    r = jdb.table({"a": [0, 1, 1, 2], "b": [1, 2, 2, 1], "d": [1, 2, 3, 4]},
+                  pkey=("a", "b"), spark=spark)
+    return l, r
+
+
+def _groups_map(g):
+    return {tuple(k): sorted((row["c"], row["d"]) for row in grp)
+            for *k, grp in zip(g["a"], g["b"], g["groups"])}
+
+
+def test_groupjoin_golden_inner(groupjoin_lr):
+    # reference test/test_table.jl:119: pair-cartesian per key, dup left
+    # keys collapse into one row
+    l, r = groupjoin_lr
+    g = jdb.groupjoin(l, r).collect()
+    assert _groups_map(g) == {
+        (1, 2): [(2, 2), (2, 3), (3, 2), (3, 3)],
+        (2, 1): [(4, 4)],
+    }
+
+
+def test_groupjoin_golden_left(groupjoin_lr):
+    # reference test/test_table.jl:120: left-only key (1,1) kept, empty group
+    l, r = groupjoin_lr
     g = jdb.groupjoin(l, r, how="left").collect()
-    sizes = {(i, x): len(grp) for i, x, grp in zip(g["id"], g["x"], g["groups"])}
-    assert sizes == {(1, 1): 2, (1, 2): 2, (2, 3): 0, (3, 4): 1}
+    assert _groups_map(g) == {
+        (1, 1): [],
+        (1, 2): [(2, 2), (2, 3), (3, 2), (3, 3)],
+        (2, 1): [(4, 4)],
+    }
+
+
+def test_groupjoin_golden_outer(groupjoin_lr):
+    # reference test/test_table.jl:121: right-only key (0,1) ALSO kept
+    # (round-1 outer→left collapse dropped it — VERDICT fix #3)
+    l, r = groupjoin_lr
+    g = jdb.groupjoin(l, r, how="outer").collect()
+    assert _groups_map(g) == {
+        (0, 1): [],
+        (1, 1): [],
+        (1, 2): [(2, 2), (2, 3), (3, 2), (3, 3)],
+        (2, 1): [(4, 4)],
+    }
+
+
+def test_groupjoin_golden_outer_select(groupjoin_lr):
+    # reference test/test_table.jl:122: single-key outer with selects
+    l, r = groupjoin_lr
+    g = jdb.groupjoin(l, r, how="outer", lkey="a", rkey="a",
+                      lselect="c", rselect="d").collect()
+    got = {k: sorted((row["c"], row["d"]) for row in grp)
+           for k, grp in zip(g["a"], g["groups"])}
+    assert got == {
+        0: [],
+        1: [(1, 2), (1, 3), (2, 2), (2, 3), (3, 2), (3, 3)],
+        2: [(4, 4)],
+    }
+
+
+def test_groupjoin_combine(groupjoin_lr):
+    # groupjoin(f, ...) form (reference src/join.jl:120-122): group elements
+    # become f(lval, rval) scalars
+    l, r = groupjoin_lr
+    g = jdb.groupjoin(l, r, lkey="a", rkey="a", lselect="c", rselect="d",
+                      combine="+").collect()
+    got = {k: sorted(grp) for k, grp in zip(g["a"], g["groups"])}
+    assert got == {1: [3, 4, 4, 5, 5, 6], 2: [8]}
+
+
+def test_join_combine_golden(lr):
+    # join(f, l, r) (reference src/join.jl:26,115-118): op on matched value
+    # pairs instead of concat; left/outer keep present-side values
+    l, r = lr
+    inner = jdb.join(l, r, combine="+", combine_name="v").collect()
+    assert sorted(zip(inner["id"], inner["v"])) == [
+        (1, 3), (1, 4), (1, 4), (1, 5), (3, 8)]
+    outer = jdb.join(l, r, how="outer", combine="+", combine_name="v").collect()
+    got = sorted(zip(outer["id"], outer["v"]))
+    assert got == [(0, 1), (1, 3), (1, 4), (1, 4), (1, 5), (2, 3), (3, 8)]
+    # callable combine compiles to a native Column expression
+    mx = jdb.join(l, r, combine=lambda a, b: F.greatest(a, b),
+                  combine_name="m").collect()
+    assert sorted(zip(mx["id"], mx["m"]))[-1] == (3, 4)
 
 
 def test_asofjoin_golden(spark):

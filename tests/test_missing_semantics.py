@@ -56,16 +56,26 @@ def test_sort_nulls_last_both_directions(spark):
 
 
 def test_asofjoin_null_value_carry(spark):
-    # a null right value at an earlier ts must not be "filled over" by
-    # last(ignorenulls) from an even earlier non-null — asof takes the
-    # LATEST row ≤ t; if that row's value is null, JuliaDB would surface
-    # that row's (missing) value.  We document last-non-null semantics:
-    # the filled value is the most recent NON-NULL purchase.
+    # asof takes the LATEST matched row ≤ t as a whole (reference
+    # src/join.jl:232-243): if that row's value is null, the null
+    # surfaces — it is NOT "filled over" by an older non-null row (the
+    # whole right row rides in one struct through the window fill).
     l = jdb.table({"k": ["a"], "t": [10], "x": [1]}, spark=spark)
     r = jdb.table(pd.DataFrame({"k": ["a", "a"], "t": [1, 5],
                                 "pv": [7.0, None]}), spark=spark)
     out = jdb.asofjoin(l, r, by="k", on="t").collect()
-    assert out["pv"].iloc[0] == 7.0  # last non-null
+    assert pd.isna(out["pv"].iloc[0])  # matched row (t=5) has null pv
+
+
+def test_asofjoin_multicol_same_row(spark):
+    # with several right value columns, ALL must come from the same
+    # matched row — never a per-column mix of different right rows
+    l = jdb.table({"k": ["a"], "t": [10], "x": [1]}, spark=spark)
+    r = jdb.table(pd.DataFrame({"k": ["a", "a"], "t": [1, 5],
+                                "u": [100.0, None], "v": [None, 9.0]}),
+                  spark=spark)
+    out = jdb.asofjoin(l, r, by="k", on="t").collect()
+    assert pd.isna(out["u"].iloc[0]) and out["v"].iloc[0] == 9.0
 
 
 def test_watermark_drops_late_events(spark, tmp_path):
