@@ -1184,6 +1184,23 @@ def q64(spark, sf_dir):
     return out.df.select("o_orderkey", "n_events")
 
 
+@_q("q65_bloom_semi_join", """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 8000)
+""")
+def q65(spark, sf_dir):
+    """Bloom-filter semi join (operators/join.py:bloom_semi_join): the
+    probe side is pre-filtered by a broadcast ~1 MiB bitmap before the
+    exact left_semi join — at 100 TB the non-matching probe rows never
+    reach the shuffle."""
+    o = jdb.table(read_table(spark, sf_dir, "orders")
+                  .select("o_orderkey", "o_custkey"))
+    rich = jdb.table(read_table(spark, sf_dir, "customer")
+                     .filter(F.col("c_acctbal") > 8000)
+                     .select(F.col("c_custkey").alias("o_custkey")))
+    return jdb.bloom_semi_join(o, rich, on="o_custkey").df
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================

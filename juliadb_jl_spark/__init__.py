@@ -27,7 +27,7 @@ from juliadb_jl_spark.operators.reduce import (
 )
 from juliadb_jl_spark.operators.join import (
     join, groupjoin, asofjoin, naturaljoin, leftjoin, merge, broadcast_nd,
-    innerjoin, salted_join, range_join,
+    innerjoin, salted_join, range_join, bloom_semi_join, bloom_bitmap,
 )
 from juliadb_jl_spark.plans.diagnostics import tracktime, timings, reset_timings
 from juliadb_jl_spark.operators.sort import (
@@ -50,6 +50,7 @@ __all__ = [
     "reducedim_vec",
     "join", "groupjoin", "asofjoin", "naturaljoin", "leftjoin", "merge",
     "broadcast_nd", "innerjoin", "salted_join", "range_join",
+    "bloom_semi_join", "bloom_bitmap",
     "tracktime", "timings", "reset_timings",
     "sort", "reindex", "rechunk", "subtable", "permutedims_nd",
     "partition_iter",

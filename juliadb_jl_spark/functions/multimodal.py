@@ -53,21 +53,43 @@ def _fake_decode(content: bytes) -> tuple[int, int]:
     return 16 + h[0] % 240, 16 + h[1] % 240
 
 
+def _pil():
+    """Optional dependency probe — PIL is import-gated so image decode
+    becomes real automatically wherever Pillow is installed (executors
+    import it per-worker; this container does not ship it)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_media(df: DataFrame, fake: bool = False,
                  batch_size_hint: int = 64) -> DataFrame:
     """Decode binary media → (dims, checksum) via mapInPandas (Arrow
-    batches). STUB: real decode needs PIL/libav — not in this container;
-    pass fake=True for the deterministic fake that drives the same
-    batch-shaped plumbing."""
+    batches).  Uses Pillow when importable (real width/height; undecodable
+    bytes yield null dims); otherwise raises unless `fake=True`, whose
+    deterministic fake drives the identical batch-shaped plumbing."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _pil()
         for pdf in batches:
-            if not fake:
+            if not fake and Image is None:
                 raise NotImplementedError(
                     "media decode requires PIL/libav (unavailable); "
                     "use fake=True for the deterministic stub")
-            dims = [_fake_decode(bytes(b) if b is not None else b"")
-                    for b in pdf["content"]]
+            if not fake:
+                import io
+                dims = []
+                for b in pdf["content"]:
+                    try:
+                        with Image.open(io.BytesIO(bytes(b or b""))) as im:
+                            dims.append(im.size)
+                    except Exception:
+                        dims.append((None, None))
+            else:
+                dims = [_fake_decode(bytes(b) if b is not None else b"")
+                        for b in pdf["content"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "mime": pdf["mime"],

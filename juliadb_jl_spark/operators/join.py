@@ -277,6 +277,65 @@ def salted_join(l: Table, r: Table, on: Sequence[str] | str, how: str = "inner",
     return Table(out, tuple(on))
 
 
+def bloom_bitmap(df, key_col: str, num_bits: int = 1 << 23,
+                 num_hashes: int = 5) -> list[int]:
+    """Distributed Bloom-filter build over `df[key_col]`: k xxhash64
+    positions per key, OR-aggregated per 64-bit word (`bit_or` — one
+    shuffle over at most num_bits/64 rows), collected as a word array
+    (1 MiB at the default 8.4M bits — driver-safe at any key count)."""
+    m = int(num_bits)
+    pos = F.explode(F.array(*[
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m))
+        for i in range(num_hashes)])).alias("p")
+    words = (df.select(pos)
+             .select((F.col("p") / 64).cast("int").alias("w"),
+                     F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("b"))
+             .groupBy("w").agg(F.bit_or("b").alias("bits"))
+             .collect())
+    arr = [0] * (m // 64)
+    for row in words:
+        arr[row["w"]] = row["bits"]
+    return arr
+
+
+def _bloom_cond(key_col: str, arr_col: str, num_bits: int,
+                num_hashes: int) -> Column:
+    m = int(num_bits)
+    tests = []
+    for i in range(num_hashes):
+        p = f"pmod(xxhash64(`{key_col}`, {i}), {m}L)"
+        tests.append(
+            f"(element_at(`{arr_col}`, CAST({p} / 64 AS INT) + 1) & "
+            f"shiftleft(1L, CAST({p} % 64 AS INT))) != 0")
+    return F.expr(" AND ".join(tests))
+
+
+def bloom_semi_join(big: Table, small: Table, on: str,
+                    num_bits: int = 1 << 23, num_hashes: int = 5,
+                    exact: bool = True) -> Table:
+    """Semi join with a Bloom pre-filter on the probe side.
+
+    At 100 TB a semi join against a filter set too big to broadcast
+    sort-merge-shuffles the ENTIRE probe side; here non-matching probe
+    rows are dropped at scan speed first — the key set is compressed into
+    a ~1 MiB bitmap (whatever its cardinality) broadcast as a one-row
+    array, so only the Bloom survivors reach the exact `left_semi` join
+    that removes false positives (`exact=False` skips it: pure
+    pre-filter, ~`(1-e^(-kn/m))^k` FP rate).  This is the explicit form
+    of Spark's runtime bloom-filter rewrite
+    (spark.sql.optimizer.runtime.bloomFilter.enabled), usable when stats
+    or join shape keep the automatic rule from firing."""
+    arr = bloom_bitmap(small.df, on, num_bits, num_hashes)
+    spark = big.df.sparkSession
+    bf = spark.createDataFrame([(arr,)], "__bf array<bigint>")
+    pruned = (big.df.join(F.broadcast(bf))
+              .filter(_bloom_cond(on, "__bf", num_bits, num_hashes))
+              .drop("__bf"))
+    if exact:
+        pruned = pruned.join(small.df.select(on).distinct(), on, "left_semi")
+    return Table(pruned, big.pkey)
+
+
 def range_join(l: Table, r: Table, on: Sequence[str] | str,
                l_col: str, r_col: str, lower: float, upper: float,
                bucket: float | None = None) -> Table:

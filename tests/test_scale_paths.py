@@ -129,3 +129,57 @@ def test_range_join_vs_cross(spark, tables):
     assert len(got) == len(cj)
     key = lambda d: sorted(zip(d["event_id"], d["bid"]))
     assert key(got) == key(cj)
+
+
+def test_salted_join_rejects_right_preserving():
+    import pytest
+    with pytest.raises(ValueError, match="salt bucket"):
+        salted_join(None, None, on="k", how="outer")
+
+
+def test_jaccard_nonbroadcast_path_same_result(tables):
+    # size-aware auto (VERDICT r1 #3): past the threshold the verify joins
+    # must run shuffled (no broadcast of the shingle side) with identical
+    # results
+    from juliadb_jl_spark.functions.dedup import ngram_jaccard_pairs
+    docs = tables["documents"].df
+    auto = ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.5)
+    shuffled = ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.5,
+                                   broadcast_threshold_bytes=0)
+    a, b = _norm(auto.toPandas()), _norm(shuffled.toPandas())
+    pd.testing.assert_frame_equal(a, b)
+    # assert the STATIC choice: no broadcast hint planted on the verify
+    # sides (AQE may still broadcast at toy scale — that's runtime
+    # re-planning and exactly what we want; at 100 TB the sides exceed the
+    # AQE threshold and the plan stays shuffled)
+    logical = shuffled._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical
+    forced = ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.5,
+                                 broadcast_verify=True)
+    assert "broadcast" in forced._jdf.queryExecution().analyzed().toString()
+
+
+def test_bloom_semi_join_exact_and_pruning(tables):
+    # exact=True must equal a plain left_semi join (false positives
+    # removed); the Bloom pre-filter itself must prune non-matching rows
+    from juliadb_jl_spark.operators.join import bloom_semi_join
+    o = jdb.table(tables["orders"].df.select("o_orderkey", "o_custkey"))
+    keys = jdb.table(tables["customer"].df
+                     .filter(F.col("c_acctbal") > 9000)
+                     .select(F.col("c_custkey").alias("o_custkey")))
+    got = bloom_semi_join(o, keys, on="o_custkey").collect()
+    want = (o.df.join(keys.df, "o_custkey", "left_semi")).toPandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+    # pure pre-filter (exact=False): superset of the true result, but far
+    # smaller than the probe side — the 100-TB point of the operator
+    pruned = bloom_semi_join(o, keys, on="o_custkey", exact=False).collect()
+    assert len(want) <= len(pruned) < o.df.count()
+
+
+def test_bloom_semi_join_empty_filter(tables, spark):
+    from juliadb_jl_spark.operators.join import bloom_semi_join
+    o = jdb.table(tables["orders"].df.select("o_orderkey", "o_custkey"))
+    none = jdb.table(tables["customer"].df
+                     .filter(F.lit(False))
+                     .select(F.col("c_custkey").alias("o_custkey")))
+    assert len(bloom_semi_join(o, none, on="o_custkey").collect()) == 0

@@ -129,3 +129,27 @@ def test_selectkeys_selectvalues_convertdim(spark):
     assert sv.columns == ["i", "j", "v"]
     cd = jdb.convertdim(nd, "j", {1: 10, 2: 20}, agg="sum")
     assert cd[1, 10] == 10.0
+
+
+def test_buggy_column_lambda_raises(tables):
+    # a Column-algebra lambda that references a nonexistent column must
+    # raise at analysis, NOT silently degrade to a DoubleType pandas_udf
+    # (the probe catches only TypeError/AttributeError/ValueError)
+    import pytest
+    from pyspark.errors import AnalysisException
+    from juliadb_jl_spark.plans import selectors as S
+    li = tables["lineitem"]
+    with pytest.raises(AnalysisException):
+        jdb.select(li, S.pair("l_quantity",
+                              lambda c: c + F.col("no_such_column"))).df.collect()
+
+
+def test_python_closure_still_falls_back(tables):
+    # genuine Python closures (and/or chains trip Column.__bool__) keep
+    # working through the pandas_udf fallback
+    li = tables["lineitem"]
+    out = jdb.select(li, S.pair("l_quantity",
+                                lambda v: 1.0 if (v > 10 and v < 20) else 0.0,
+                                name="mid"))
+    got = out.collect()
+    assert set(got["mid"]) <= {0.0, 1.0}

@@ -37,6 +37,22 @@ def test_subtable_and_positional(spark):
     assert t[1]["x"] == 1
 
 
+def test_subtable_no_single_partition_exchange(tables):
+    # the positional slice must never serialize the table through one task
+    # (VERDICT r1 #2): two-pass per-partition offsets, all stages parallel
+    o = jdb.table(tables["orders"].df.select("o_orderkey", "o_custkey"),
+                  pkey=("o_orderkey",))
+    sub = jdb.subtable(o, 100, 200)
+    plan = sub.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    got = sub.collect()
+    assert len(got) == 101
+    # values match a driver-side sort of the same slice
+    expect = sorted(tables["orders"].df.select("o_orderkey").toPandas()
+                    ["o_orderkey"])[99:200]
+    assert sorted(got["o_orderkey"]) == expect
+
+
 def test_partition_iter(spark):
     t = jdb.table({"x": list(range(1, 8))}, pkey="x", spark=spark)
     batches = list(jdb.partition_iter(t, 3))

@@ -36,6 +36,55 @@ def test_csv_filenamecol(spark, tmp_path):
     assert all(s.endswith(".csv") for s in got["src"])
 
 
+def test_csv_skiplines_begin(spark, tmp_path):
+    # reference skiplines_begin (src/io.jl:58): preamble lines dropped
+    # before the header is parsed
+    (tmp_path / "p1.csv").write_text("# preamble\n# more\na,x\n1,10\n2,20\n")
+    (tmp_path / "p2.csv").write_text("junk line\nanother\na,x\n3,30\n")
+    t = jdb.loadtable([str(tmp_path / "p1.csv"), str(tmp_path / "p2.csv")],
+                      spark=spark, skiplines_begin=2)
+    got = t.collect()
+    assert sorted(got.columns) == ["a", "x"]
+    assert sorted(got["a"]) == [1, 2, 3]
+    assert sorted(got["x"]) == [10, 20, 30]
+
+
+def test_csv_multiple_nastrings(spark, tmp_path):
+    # reference nastrings (src/io.jl:57): EVERY listed string becomes null,
+    # not just the first (post-read null-out for the rest)
+    (tmp_path / "na.csv").write_text("a,s\n1,ok\n2,NA\n3,null\n4,-\n")
+    t = jdb.loadtable(str(tmp_path / "na.csv"), spark=spark,
+                      nastrings=["NA", "null", "-"])
+    got = t.collect()
+    assert got["s"].notna().sum() == 1
+    assert got[got["a"] == 1]["s"].iloc[0] == "ok"
+
+
+def test_csv_samecols(spark, tmp_path):
+    # reference samecols (src/io.jl:55): differently-named columns treated
+    # as one ('vendor_id' and 'VendorID'); first name in the group wins
+    (tmp_path / "v1.csv").write_text("vendor_id,x\n1,10\n")
+    (tmp_path / "v2.csv").write_text("VendorID,x\n2,20\n")
+    t = jdb.loadtable([str(tmp_path / "v1.csv"), str(tmp_path / "v2.csv")],
+                      spark=spark, samecols=[("vendor_id", "VendorID")])
+    got = t.collect()
+    assert sorted(got.columns) == ["vendor_id", "x"]
+    assert sorted(got["vendor_id"]) == [1, 2]
+
+
+def test_loadndsparse_implicit_row_index(spark, tmp_path):
+    # reference implicit 1:n index when indexcols omitted
+    # (src/io.jl:151-154, src/util.jl:121-123)
+    (tmp_path / "d1.csv").write_text("x,y\n10,1\n20,2\n")
+    (tmp_path / "d2.csv").write_text("x,y\n30,3\n")
+    nd = jdb.loadndsparse([str(tmp_path / "d1.csv"), str(tmp_path / "d2.csv")],
+                          spark=spark)
+    got = nd.collect()
+    assert nd.pkey == ("row",)
+    assert sorted(got["row"]) == [1, 2, 3]          # contiguous 1:n
+    assert sorted(got["x"]) == [10, 20, 30]
+
+
 def test_mosaic(tables):
     m = ST.mosaic(tables["lineitem"].df, "l_returnflag", "l_linestatus").toPandas()
     assert set(m.columns) == {"l_returnflag", "F", "O"}
