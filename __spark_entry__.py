@@ -1201,6 +1201,32 @@ def q65(spark, sf_dir):
     return jdb.bloom_semi_join(o, rich, on="o_custkey").df
 
 
+@_q("q66_partitionplot", """
+WITH b AS (
+  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x,
+         CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+         min(CAST(l_quantity AS DOUBLE)) OVER (PARTITION BY l_returnflag) AS lo,
+         max(CAST(l_quantity AS DOUBLE)) OVER (PARTITION BY l_returnflag) AS hi
+  FROM lineitem)
+SELECT l_returnflag,
+       CAST(least(floor((x - lo) / (CASE WHEN hi != lo THEN (hi - lo)/20.0
+                                    ELSE 1.0 END)), 19) AS INT) AS part,
+       count(*) AS n,
+       min(x) AS l_quantity_min, max(x) AS l_quantity_max,
+       min(price_c) AS price_c_min, max(price_c) AS price_c_max
+FROM b GROUP BY 1, 2
+""")
+def q66(spark, sf_dir):
+    """partitionplot data layer (reference src/recipes.jl:6-40): per-group
+    x-sections (window over the by key — parallel across groups) with an
+    Extrema summary of y per section."""
+    from juliadb_jl_spark.functions.stats import partitionplot
+    li = read_table(spark, sf_dir, "lineitem") \
+        .withColumn("price_c", _cents(F.col("l_extendedprice")))
+    return partitionplot(li, "l_quantity", "price_c", stat="extrema",
+                         nparts=20, by="l_returnflag")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================

@@ -24,6 +24,7 @@ from juliadb_jl_spark.operators.selection import (
 )
 from juliadb_jl_spark.operators.reduce import (
     reduce_, groupreduce, groupby, summarize, reducedim, reducedim_vec,
+    aggregate_stats,
 )
 from juliadb_jl_spark.operators.join import (
     join, groupjoin, asofjoin, naturaljoin, leftjoin, merge, broadcast_nd,
@@ -36,9 +37,16 @@ from juliadb_jl_spark.operators.sort import (
 from juliadb_jl_spark.operators.reshape import stack, unstack, flatten, mapslices
 from juliadb_jl_spark.operators import window
 from juliadb_jl_spark.operators.setops import union_, intersect_, except_, distinct_
-from juliadb_jl_spark.sources.csv import loadtable, loadndsparse
+from juliadb_jl_spark.sources.csv import (
+    loadtable, loadndsparse, ingest, ingest_, loadfiles, csvread,
+)
 from juliadb_jl_spark.sources.parquet import save, load
 from juliadb_jl_spark.functions import stats
+from juliadb_jl_spark.functions.stats import partitionplot
+
+# The reference exports `NA` (TextParse missing sentinel); Spark's single
+# null representation makes it plain None here.
+NA = None
 
 __all__ = [
     "get_spark", "Table", "NDSparse", "table", "ndsparse",
@@ -57,6 +65,8 @@ __all__ = [
     "stack", "unstack", "flatten", "mapslices", "window",
     "union_", "intersect_", "except_", "distinct_",
     "loadtable", "loadndsparse", "save", "load", "stats",
+    "ingest", "ingest_", "loadfiles", "csvread", "aggregate_stats",
+    "partitionplot", "NA",
 ]
 
 __version__ = "0.1.0"

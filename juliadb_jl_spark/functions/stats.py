@@ -192,6 +192,53 @@ def partition_stat(df, xcol: str, ycol: str, nbins: int = 10, agg: str = "avg"):
                  F.max(xcol).alias(f"{xcol}_max")))
 
 
+def partitionplot(df, x, y=None, stat: str = "extrema", nparts: int = 100,
+                  by=None, dropmissing: bool = False):
+    """Data layer of the reference's `partitionplot` recipe
+    (src/recipes.jl:6-40; docs/src/plotting.md:106-118): summarize `y`
+    over ~`nparts` equal sections of `x` — row position 1:n when only one
+    selection is given — optionally per `by` group (each group gets its
+    own x-sections, as each group's Partition object does in the
+    reference).  Returns the per-section stat table the recipe renders;
+    the rendering itself is plotting-stack territory and out of scope.
+
+    Scale shape: no-`by` bins use a tiny driver min/max pre-pass + one
+    grouped aggregation; per-`by` bins use a window partitioned on `by`
+    (parallel across groups — never a global single-partition window)."""
+    from juliadb_jl_spark.operators.reduce import _as_stat, _stat_exprs
+    if hasattr(df, "df"):
+        df = df.df
+    if y is None:
+        from juliadb_jl_spark.operators.sort import with_global_rownum
+        y, x = x, "__x"
+        df = with_global_rownum(df, "__x")
+    if dropmissing:
+        df = df.na.drop(subset=[x, y])
+    st = _as_stat(stat)
+    if st is None:
+        raise TypeError(f"unrecognized partitionplot stat {stat!r}")
+    gb = [by] if isinstance(by, str) else list(by or ())
+    xv = F.col(x).cast("double")
+    if gb:
+        from pyspark.sql import Window as W
+        w = W.partitionBy(*gb)
+        lo, hi = F.min(xv).over(w), F.max(xv).over(w)
+        width = F.when(hi != lo, (hi - lo) / nparts).otherwise(F.lit(1.0))
+        bin_ = F.least(F.floor((xv - lo) / width), F.lit(nparts - 1))
+    else:
+        lo_v, hi_v = df.agg(F.min(xv), F.max(xv)).head(1)[0]
+        width = (hi_v - lo_v) / nparts if hi_v != lo_v else 1.0
+        bin_ = F.least(F.floor((xv - F.lit(lo_v)) / F.lit(width)),
+                       F.lit(nparts - 1))
+    binned = df.withColumn("__part", bin_.cast("int"))
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.min(xv).alias(f"{x}_min"), F.max(xv).alias(f"{x}_max")]
+    aggs += [expr.alias(name)
+             for name, expr in _stat_exprs(st, F.col(y), y)]
+    return (binned.groupBy(*gb, F.col("__part").alias("part"))
+            .agg(*aggs))
+
+
 # String shorthands accepted wherever a reducer is expected.
 _BY_NAME: dict[str, Any] = {
     "sum": Sum, "mean": Mean, "avg": Mean, "min": Min, "max": Max,

@@ -311,6 +311,17 @@ def summarize(f: Any, t: Table, by: Any, select: Any = None) -> Table:
     return Table(out, tuple(by_names))
 
 
+def aggregate_stats(s: Any, t: Table, by: Any = None,
+                    with_: Any = None) -> Table:
+    """Deprecated reference alias (src/reduce.jl:135):
+    `aggregate_stats(s, t; by, with)` → `groupreduce(s, t, by; select=with)`."""
+    import warnings
+    warnings.warn("aggregate_stats is deprecated in the reference; "
+                  "use groupreduce", DeprecationWarning, stacklevel=2)
+    by = by if by is not None else tuple(t.pkey)
+    return groupreduce(s, t, by=by, select=with_)
+
+
 # ---------------------------------------------------------------------------
 # NDSparse dimension reduction
 # ---------------------------------------------------------------------------

@@ -65,6 +65,7 @@ def loadtable(files: str | Sequence[str], spark: SparkSession | None = None,
               nastrings: Sequence[str] | None = None, skiplines_begin: int = 0,
               filenamecol: str | None = None, schema: Any = None,
               samecols: Sequence[Sequence[str]] | None = None,
+              dateformat: str | None = None, timestampformat: str | None = None,
               output: str | None = None, chunks: int | None = None,
               append: bool = False) -> Table:
     """Load CSV file(s)/dir/glob into a Table (reference src/io.jl:33-64).
@@ -87,6 +88,12 @@ def loadtable(files: str | Sequence[str], spark: SparkSession | None = None,
                   .option("inferSchema", "true" if schema is None else "false"))
         if nastrings:
             reader = reader.option("nullValue", nastrings[0])
+        if dateformat:
+            # the reference's @dateformat_str / colparsers date formats
+            # (src/io.jl:56) → Spark's reader-side format options
+            reader = reader.option("dateFormat", dateformat)
+        if timestampformat:
+            reader = reader.option("timestampFormat", timestampformat)
         if schema is not None:
             reader = reader.schema(schema)
         if not skiplines_begin:
@@ -148,6 +155,36 @@ def loadtable(files: str | Sequence[str], spark: SparkSession | None = None,
         save(t, output, mode="append" if append else "overwrite")
         return load(output, spark)
     return t
+
+
+def ingest(files: str | Sequence[str], output: str,
+           spark: SparkSession | None = None, **kw: Any) -> Table:
+    """Out-of-core ingest (reference `ingest`, src/io.jl:87-117): parse
+    CSVs and write straight through to the binary store (parquet here),
+    reopening the stored table — the input never has to fit in memory."""
+    return loadtable(files, spark=spark, output=output, **kw)
+
+
+def ingest_(files: str | Sequence[str], output: str,
+            spark: SparkSession | None = None, **kw: Any) -> Table:
+    """Reference `ingest!` (src/io.jl:119-142): append new files into an
+    existing ingest output."""
+    return loadtable(files, spark=spark, output=output, append=True, **kw)
+
+
+def loadfiles(files: str | Sequence[str], *a: Any, **kw: Any) -> Table:
+    """Deprecated reference alias of loadtable (kept for surface parity)."""
+    import warnings
+    warnings.warn("loadfiles is deprecated in the reference; use loadtable",
+                  DeprecationWarning, stacklevel=2)
+    return loadtable(files, *a, **kw)
+
+
+def csvread(file: str, delim: str = ",",
+            spark: SparkSession | None = None, **kw: Any) -> Table:
+    """Single-CSV read (the reference re-exports TextParse.csvread); the
+    column-vectors return form collapses to a Table here."""
+    return loadtable(file, spark=spark, delim=delim, **kw)
 
 
 def loadndsparse(files: str | Sequence[str],

@@ -159,3 +159,53 @@ def test_csv_output_append_ingest(spark, tmp_path):
                        output=out, append=True)
     assert t2.count() == 2
     assert sorted(t2.collect()["k"]) == [1, 2]
+
+
+def test_partitionplot_forms(tables):
+    # two-arg: per-by x-sections; one-arg: row-position sections
+    li = tables["lineitem"].df
+    two = ST.partitionplot(li, "l_quantity", "l_extendedprice",
+                           stat="extrema", nparts=5, by="l_returnflag") \
+        .toPandas()
+    assert set(two.columns) == {"l_returnflag", "part", "n",
+                                "l_quantity_min", "l_quantity_max",
+                                "l_extendedprice_min", "l_extendedprice_max"}
+    assert two.groupby("l_returnflag")["n"].sum().sum() == li.count()
+    assert two["part"].between(0, 4).all()
+    one = ST.partitionplot(li.limit(100), "l_extendedprice",
+                           stat="mean", nparts=4).toPandas()
+    assert one["n"].sum() == 100 and len(one) == 4
+
+
+def test_ingest_aliases_and_csvread(spark, tmp_path):
+    (tmp_path / "a.csv").write_text("k,v\n1,10\n2,20\n")
+    (tmp_path / "b.csv").write_text("k,v\n3,30\n")
+    store = str(tmp_path / "store")
+    t = jdb.ingest(str(tmp_path / "a.csv"), store, spark=spark, pkey="k")
+    assert len(t.collect()) == 2
+    t2 = jdb.ingest_(str(tmp_path / "b.csv"), store, spark=spark, pkey="k")
+    assert sorted(t2.collect()["k"]) == [1, 2, 3]
+    c = jdb.csvread(str(tmp_path / "a.csv"), spark=spark)
+    assert sorted(c.collect()["v"]) == [10, 20]
+
+
+def test_csv_dateformat_option(spark, tmp_path):
+    (tmp_path / "d.csv").write_text("d,v\n2024/01/31,1\n2024/02/29,2\n")
+    import pyspark.sql.types as T
+    sch = T.StructType([T.StructField("d", T.DateType()),
+                        T.StructField("v", T.IntegerType())])
+    t = jdb.loadtable(str(tmp_path / "d.csv"), spark=spark,
+                      schema=sch, dateformat="yyyy/MM/dd")
+    got = t.collect()
+    assert str(sorted(got["d"])[0]) == "2024-01-31"
+
+
+def test_aggregate_stats_deprecated_alias(tables):
+    import warnings
+    li = tables["lineitem"]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = jdb.aggregate_stats("mean", li, by="l_returnflag",
+                                  with_="l_quantity").collect()
+    assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    assert len(out) == 3
