@@ -125,6 +125,77 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.mapInPandas(_feat, "media_id long, features array<double>")
 
 
+def resize_images(df: DataFrame, width: int, height: int,
+                  fake: bool = False) -> DataFrame:
+    """Resize binary images to (width, height) via Arrow-batched
+    mapInPandas — Pillow when importable (re-encoded PNG bytes; nulls for
+    undecodable input); `fake=True` emits a deterministic byte payload of
+    the right conceptual shape so the plumbing (schema, batching,
+    partition preservation) is exercised without the decode lib."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _pil()
+        for pdf in batches:
+            if not fake and Image is None:
+                raise NotImplementedError(
+                    "image resize requires PIL (unavailable); "
+                    "use fake=True for the deterministic stub")
+            out = []
+            for b in pdf["content"]:
+                raw = bytes(b) if b is not None else b""
+                if fake:
+                    # deterministic fake: content digest + target dims
+                    out.append(hashlib.md5(raw).digest()
+                               + width.to_bytes(4, "big")
+                               + height.to_bytes(4, "big"))
+                else:
+                    import io
+                    try:
+                        with Image.open(io.BytesIO(raw)) as im:
+                            buf = io.BytesIO()
+                            im.resize((width, height)).save(buf, "PNG")
+                            out.append(buf.getvalue())
+                    except Exception:
+                        out.append(None)
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "mime": pdf["mime"], "content": out})
+
+    return df.mapInPandas(_resize, "media_id long, mime string, content binary")
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 16,
+                  fake: bool = False) -> DataFrame:
+    """Sample every `every_n`-th frame from binary video content →
+    one row per (media_id, frame_idx, frame).  Real decode needs libav
+    (not in this container); the fake derives a deterministic per-frame
+    payload and frame count from the content hash, driving the identical
+    one-to-many Arrow batch shape a real decoder UDF produces."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video frame sampling requires libav (unavailable); "
+                    "use fake=True for the deterministic stub")
+            ids, idxs, frames = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(b) if b is not None else b""
+                h = hashlib.md5(raw).digest()
+                n_frames = 1 + h[2] % (max_frames * every_n)
+                taken = 0
+                for fi in range(0, n_frames, every_n):
+                    if taken >= max_frames:
+                        break
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(h + fi.to_bytes(4, "big"))
+                    taken += 1
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
+                                "frame": frames})
+
+    return df.mapInPandas(_sample, "media_id long, frame_idx int, frame binary")
+
+
 def media_metadata(df: DataFrame) -> DataFrame:
     """Pure-native metadata pass (no decode): byte size + md5 — pushdown-
     friendly, runs at full scan speed."""

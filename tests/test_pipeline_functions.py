@@ -182,3 +182,21 @@ def test_ml_schema_featuremat(tables):
     row = out.head(1)[0]
     # 2 continuous + 25-ish nation one-hot + segment one-hot
     assert row["features"].size >= 7
+
+
+def test_multimodal_resize_and_frames(tables):
+    from juliadb_jl_spark.functions import multimodal as MM
+    d = tables["documents"].df.limit(20)
+    media = MM.attach_binary(d, "text", "doc_id")
+    rs = MM.resize_images(media, 32, 32, fake=True).toPandas()
+    assert len(rs) == 20
+    assert all(len(bytes(b)) == 16 + 8 for b in rs["content"])  # md5+dims
+    fr = MM.sample_frames(media, every_n=5, max_frames=4, fake=True).toPandas()
+    assert set(fr.columns) == {"media_id", "frame_idx", "frame"}
+    per = fr.groupby("media_id")["frame_idx"].agg(["count", "max"])
+    assert (per["count"] <= 4).all()
+    assert (fr["frame_idx"] % 5 == 0).all()
+    # real path without the decode lib raises the documented error
+    import pytest
+    with pytest.raises(Exception, match="PIL|libav"):
+        MM.resize_images(media, 8, 8).toPandas()

@@ -104,3 +104,35 @@ def test_asofjoin_matches_pandas_merge_asof(spark, data):
         .sort_values(["k", "t"], ignore_index=True)
     pd.testing.assert_frame_equal(got[["k", "t", "rv"]], exp[["k", "t", "rv"]],
                                   check_dtype=False)
+
+
+@given(l=frames(), r=frames())
+@_settings
+def test_groupjoin_outer_matches_pandas(spark, l, r):
+    # reference semantics: one row per key from EITHER side, |groups| =
+    # |l_k| * |r_k| (0 when a side is absent)
+    rl = r.rename(columns={"v": "w"})
+    lt, rt = jdb.table(l, spark=spark), jdb.table(rl, spark=spark)
+    g = jdb.groupjoin(lt, rt, how="outer", lkey="k", rkey="k").collect()
+    got = {k: len(grp) for k, grp in zip(g["k"], g["groups"])}
+    ln = l.groupby("k").size()
+    rn = rl.groupby("k").size()
+    exp = {k: int(ln.get(k, 0)) * int(rn.get(k, 0))
+           for k in set(ln.index) | set(rn.index)}
+    assert got == exp
+
+
+@given(l=frames(), r=frames())
+@_settings
+def test_join_combine_matches_pandas(spark, l, r):
+    # join(f): matched pairs combined, present side kept on outer
+    la = l.groupby("k", as_index=False).agg(v=("v", "sum"))
+    ra = r.groupby("k", as_index=False).agg(v=("v", "sum"))
+    lt, rt = jdb.table(la, spark=spark), jdb.table(ra, spark=spark)
+    got = jdb.join(lt, rt, how="outer", lkey="k", rkey="k", combine="+") \
+        .collect().set_index("k")["v"].to_dict()
+    lv, rv = la.set_index("k")["v"].to_dict(), ra.set_index("k")["v"].to_dict()
+    exp = {k: lv.get(k, 0) + rv.get(k, 0) if (k in lv and k in rv)
+           else lv.get(k, rv.get(k))
+           for k in set(lv) | set(rv)}
+    assert got == exp
