@@ -447,6 +447,11 @@ def broadcast_nd(f: Any, a: NDSparse, b: NDSparse,
         if not common:
             raise ValueError("no common dimensions; pass dimmap=")
         bsel = common
+    elif all(isinstance(d, int) for d in dimmap):
+        # reference-style int dimmap (test/test_join.jl:56: dimmap=(0,1)):
+        # dimmap[i] = j maps A's i-th dim to B's j-th dim, 0 = unmatched
+        common = [a.pkey[i] for i, j in enumerate(dimmap) if j]
+        bsel = [b.pkey[j - 1] for j in dimmap if j]
     else:
         common = list(dimmap)
         bsel = list(b.pkey)

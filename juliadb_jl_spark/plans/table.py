@@ -119,23 +119,50 @@ class Table:
         return row[0].asDict()
 
     # -- deconstruction (reference src/iteration.jl:125-246) ---------------
-    def columns_dict(self) -> dict[str, "pd.Series"]:
-        """Materialize as {name: column} (reference `columns`)."""
+    def column(self, sel) -> "pd.Series":
+        """One column as a pkey-ordered pandas Series, by name or 1-based
+        position (reference `column`, test/test_iteration.jl:5-9)."""
+        from juliadb_jl_spark.plans import selectors as S
+        names = S.resolve_names(self.df, sel, self.pkey)
+        if len(names) != 1:
+            raise ValueError(f"column() needs exactly one column, got {names}")
+        keep = list(dict.fromkeys(list(self.pkey) + names))
+        sub = Table(self.df.select(*keep), self.pkey, self.presorted)
+        return sub.collect()[names[0]]
+
+    def columns_dict(self, sel=None) -> dict[str, "pd.Series"]:
+        """Materialize as {name: column}; optional selector restricts the
+        columns (reference `columns(x, (:a, :c))`)."""
+        from juliadb_jl_spark.plans import selectors as S
         pdf = self.collect()
-        return {c: pdf[c] for c in pdf.columns}
+        names = (S.resolve_names(self.df, sel, self.pkey) if sel is not None
+                 else list(pdf.columns))
+        return {c: pdf[c] for c in names}
 
     def rows(self):
         """Iterate rows as dicts in pkey order (reference `rows`)."""
         for row in self._ordered_df().toLocalIterator():
             yield row.asDict()
 
-    def keys_(self) -> "pd.DataFrame":
-        """The pkey columns (reference `keys`)."""
-        return type(self)(self.df.select(*self.pkey), self.pkey).collect()
+    def keys_(self, sel=None) -> "pd.DataFrame":
+        """The pkey columns; a selector (name or 1-based position within
+        the keys) restricts them (reference `keys(x, :a)`)."""
+        pdf = type(self)(self.df.select(*self.pkey), self.pkey).collect()
+        if sel is None:
+            return pdf
+        from juliadb_jl_spark.plans import selectors as S
+        return pdf[S.resolve_names(self.df.select(*self.pkey), sel, self.pkey)]
 
-    def values_(self) -> "pd.DataFrame":
-        """The value columns (reference `values`)."""
-        return Table(self.df.select(*self.valnames)).collect()
+    def values_(self, sel=None) -> "pd.DataFrame":
+        """The value columns in pkey order; a selector (name or 1-based
+        position within the values) restricts them (reference
+        `values(x, 1)`)."""
+        full = self.collect()
+        names = list(self.valnames)
+        if sel is not None:
+            from juliadb_jl_spark.plans import selectors as S
+            names = S.resolve_names(self.df.select(*self.valnames), sel, ())
+        return full[names]
 
     def pairs(self):
         """Iterate (key_tuple, value_dict) in pkey order (reference `pairs`)."""

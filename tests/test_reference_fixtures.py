@@ -75,3 +75,30 @@ def test_empty_input_sweep(spark):
     assert jdb.asofjoin(empty, empty, by="k", on="v").count() == 0
     from juliadb_jl_spark.operators import window as wop
     assert wop.topk_per_group(empty, by="k", order="v", k=3).count() == 0
+
+
+def test_iteration_deconstruction_selectors(spark):
+    # reference test/test_iteration.jl:1-30: selector-filtered
+    # column/columns/keys/values deconstruction
+    nd = jdb.ndsparse({"a": [1, 1], "b": [1, 2], "c": [3, 4]},
+                      indexcols=("a", "b"), spark=spark)
+    assert list(nd.column("a")) == [1, 1]
+    assert list(nd.column("c")) == [3, 4]
+    assert list(nd.column(3)) == [3, 4]
+    cols = nd.columns_dict(("a", "c"))
+    assert sorted(cols) == ["a", "c"] and list(cols["c"]) == [3, 4]
+    assert list(nd.keys_("a")["a"]) == [1, 1]
+    assert list(nd.values_(1)["c"]) == [3, 4]
+
+
+def test_broadcast_nd_int_dimmap(spark):
+    # reference test/test_join.jl:46-58: broadcast with dimmap=(0,1) —
+    # B's single dim aligned to A's SECOND dim
+    a = jdb.ndsparse({"i": [1, 2, 3, 4], "j": [1, 1, 2, 2],
+                      "v": [5, 6, 7, 8]}, indexcols=("i", "j"), spark=spark)
+    b = jdb.ndsparse({"k": [0, 1, 2, 4], "w": [0, 10, 100, 10000]},
+                     indexcols=("k",), spark=spark)
+    out = jdb.broadcast_nd("+", a, b, dimmap=(0, 1)).collect()
+    got = {(i, j): v for i, j, v in zip(out["i"], out["j"], out["v"])}
+    # j matches b.k: j=1 → +10, j=2 → +100
+    assert got == {(1, 1): 15, (2, 1): 16, (3, 2): 107, (4, 2): 108}
