@@ -41,6 +41,7 @@ from juliadb_jl_spark.sources.csv import (
     loadtable, loadndsparse, ingest, ingest_, loadfiles, csvread,
 )
 from juliadb_jl_spark.sources.parquet import save, load
+from juliadb_jl_spark.sources.jdbc import load_jdbc, save_jdbc
 from juliadb_jl_spark.functions import stats
 from juliadb_jl_spark.functions.stats import partitionplot
 
@@ -66,6 +67,7 @@ __all__ = [
     "union_", "intersect_", "except_", "distinct_",
     "loadtable", "loadndsparse", "save", "load", "stats",
     "ingest", "ingest_", "loadfiles", "csvread", "aggregate_stats",
+    "load_jdbc", "save_jdbc",
     "partitionplot", "NA",
 ]
 

@@ -102,6 +102,34 @@ def streaming_dedup(df: DataFrame, keys: list[str] | str,
     return df.dropDuplicates(keys)
 
 
+def stream_join(l: DataFrame, r: DataFrame, on, l_ts: str, r_ts: str,
+                watermark: str = "1 hour", within: str = "1 hour",
+                how: str = "inner") -> DataFrame:
+    """Stream-stream equi-join with bounded state: both sides get an
+    event-time watermark and the join carries a time-range predicate
+    (`r_ts` within [l_ts - within, l_ts]) so Spark can evict state —
+    without the range condition a stream-stream join buffers forever.
+    Works identically on batch DataFrames (the time predicate just
+    becomes a filter), which is how the batch-equivalence test runs it."""
+    from pyspark.sql import functions as F
+    if l.isStreaming:
+        l = l.withWatermark(l_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(r_ts, watermark)
+    on = [on] if isinstance(on, str) else list(on)
+    cond = None
+    for k in on:
+        c = l[k] == r[k]
+        cond = c if cond is None else cond & c
+    rng = ((r[r_ts] >= l[l_ts] - F.expr(f"INTERVAL {within}")) &
+           (r[r_ts] <= l[l_ts]))
+    out = l.join(r, cond & rng, how)
+    # drop the duplicate right-side key columns
+    for k in on:
+        out = out.drop(r[k])
+    return out
+
+
 def stream_from_parquet(spark, path: str, schema=None,
                         max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over a parquet directory (smoke/testing shape —

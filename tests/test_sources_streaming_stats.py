@@ -209,3 +209,61 @@ def test_aggregate_stats_deprecated_alias(tables):
                                   with_="l_quantity").collect()
     assert any(issubclass(x.category, DeprecationWarning) for x in w)
     assert len(out) == 3
+
+
+def test_jdbc_roundtrip_and_partitioned_read(spark, tables, tmp_path):
+    # real JDBC against the Derby driver bundled with Spark: write a
+    # table out, read it back plain AND as a partitioned (parallel) read
+    from juliadb_jl_spark.sources.jdbc import load_jdbc, save_jdbc
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    o = jdb.table(tables["orders"].df
+                  .select("o_orderkey", "o_custkey", "o_totalprice").limit(500))
+    save_jdbc(o, url, "ORDERS_J", mode="overwrite", driver=drv)
+    back = load_jdbc(url, "ORDERS_J", spark=spark, driver=drv, pkey="o_orderkey")
+    assert back.count() == 500
+    part = load_jdbc(url, "ORDERS_J", spark=spark, driver=drv,
+                     partition_column="o_orderkey", num_partitions=4,
+                     lower_bound=0, upper_bound=100000)
+    assert part.df.rdd.getNumPartitions() == 4      # parallel range reads
+    assert part.count() == 500
+    got = sorted(back.collect()["o_orderkey"])
+    want = sorted(o.collect()["o_orderkey"])
+    assert got == want
+
+
+def test_stream_stream_join(spark, tmp_path):
+    # clicks joined to purchases within the preceding hour, per user —
+    # streaming with watermark-bounded state, then the identical code path
+    # on batch frames as the oracle
+    from juliadb_jl_spark.streaming.aggregate import stream_join
+    clicks = pd.DataFrame({
+        "user": [1, 1, 2],
+        "cts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 12:00",
+                               "2024-01-01 10:30"]),
+        "cid": [10, 11, 12]})
+    buys = pd.DataFrame({
+        "user": [1, 2],
+        "bts": pd.to_datetime(["2024-01-01 09:30", "2024-01-01 10:00"]),
+        "amt": [5.0, 7.0]})
+    src = str(tmp_path / "ss")
+    spark.createDataFrame(clicks).coalesce(1).write.parquet(src + "/c")
+    spark.createDataFrame(buys).coalesce(1).write.parquet(src + "/b")
+    cs = (spark.readStream.schema("user long, cts timestamp, cid long")
+          .parquet(src + "/c"))
+    bs = (spark.readStream.schema("user long, bts timestamp, amt double")
+          .parquet(src + "/b"))
+    out = stream_join(cs, bs, "user", "cts", "bts", within="1 hour")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("ssj").start())
+    q.processAllAvailable()
+    q.stop()
+    res = spark.sql("SELECT * FROM ssj").toPandas()
+    # click 10 (10:00) matches buy 09:30; click 12 (10:30) matches 10:00;
+    # click 11 (12:00) matches nothing within the hour
+    assert sorted(zip(res["cid"], res["amt"])) == [(10, 5.0), (12, 7.0)]
+    # batch equivalence through the same helper
+    bout = stream_join(spark.createDataFrame(clicks),
+                       spark.createDataFrame(buys),
+                       "user", "cts", "bts", within="1 hour").toPandas()
+    assert sorted(zip(bout["cid"], bout["amt"])) == [(10, 5.0), (12, 7.0)]
