@@ -326,11 +326,13 @@ def aggregate_stats(s: Any, t: Table, by: Any = None,
 # NDSparse dimension reduction
 # ---------------------------------------------------------------------------
 
-def reducedim(f: Any, nd: NDSparse, dims: Sequence[str] | str) -> NDSparse:
+def reducedim(f: Any, nd: NDSparse, dims: Sequence[str | int] | str | int) -> NDSparse:
     """Reduce out index dimensions (reference `reduce(f, t; dims)` →
-    _reducedim src/reduce.jl:107-115): groupreduce on the kept dims."""
-    if isinstance(dims, str):
+    _reducedim src/reduce.jl:107-115): groupreduce on the kept dims.
+    Dims may be names or 1-based positions (test/test_query.jl:63-78)."""
+    if isinstance(dims, (str, int)):
         dims = (dims,)
+    dims = [nd.pkey[d - 1] if isinstance(d, int) else d for d in dims]
     kept = [d for d in nd.pkey if d not in set(dims)]
     if not kept:
         raise ValueError("cannot reduce out all dimensions; use reduce_")
@@ -339,12 +341,14 @@ def reducedim(f: Any, nd: NDSparse, dims: Sequence[str] | str) -> NDSparse:
     return NDSparse(red.df, tuple(kept))
 
 
-def reducedim_vec(f: Callable, nd: NDSparse, dims: Sequence[str] | str,
+def reducedim_vec(f: Callable, nd: NDSparse, dims: Sequence[str | int] | str | int,
                   schema: str | None = None) -> NDSparse:
     """Dimension-reduce with a vector→scalar function (reference
-    src/reduce.jl:117-134): holistic, via groupby's applyInPandas path."""
-    if isinstance(dims, str):
+    src/reduce.jl:117-134): holistic, via groupby's applyInPandas path.
+    Dims may be names or 1-based positions."""
+    if isinstance(dims, (str, int)):
         dims = (dims,)
+    dims = [nd.pkey[d - 1] if isinstance(d, int) else d for d in dims]
     kept = [d for d in nd.pkey if d not in set(dims)]
     g = groupby(f, nd, by=tuple(kept),
                 select=nd.valnames[0] if len(nd.valnames) == 1 else tuple(nd.valnames),

@@ -42,9 +42,12 @@ def unstack(t: Table, variable: str = "variable", value: str = "value",
     return Table(out, tuple(keys))
 
 
-def flatten(t: Table, col: str) -> Table:
+def flatten(t: Table, col: str | int) -> Table:
     """Explode a vector- or struct-array column, repeating other columns
-    (reference src/flatten.jl:28-30; tests test/test_query.jl:109-118)."""
+    (reference src/flatten.jl:28-30; tests test/test_query.jl:109-118).
+    `col` may be a name or 1-based position (`flatten(x, 2)`)."""
+    if isinstance(col, int):
+        col = t.df.columns[col - 1]
     dtype = t.df.schema[col].dataType
     from pyspark.sql import types as T
     if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StructType):

@@ -40,6 +40,39 @@ def select(t: Table, sel: Any) -> Table:
     return cls(out, tuple(prefix), t.presorted and tuple(prefix) == t.pkey)
 
 
+def _row_closure_udf(fn: Callable, sel_resolved, rtype) -> Column:
+    """Whole-row Python closure over a multi-column selection: the
+    selection rides in ONE struct column (Arrow batch → pandas DataFrame),
+    the closure is applied per row with attribute access (`p.x`)."""
+    import pandas as pd
+    struct_out = isinstance(rtype, T.StructType)
+
+    def _apply(pdf):
+        vals = [fn(row) for row in pdf.itertuples(index=False)]
+        # a StructType return contract wants a DataFrame (one column per
+        # field); scalar contracts want a Series
+        return pd.DataFrame(vals) if struct_out else pd.Series(vals)
+
+    udf = F.pandas_udf(_apply, rtype)
+    return udf(F.struct(*[c.alias(n) for n, c in sel_resolved]))
+
+
+def _pred_cond(col: Column, p: Any) -> Column:
+    """Compile one per-column predicate: Column-returning callable (native),
+    Python closure (pandas_udf fallback), or literal equality."""
+    if callable(p):
+        out = None
+        try:
+            out = p(col)
+        except S._PROBE_ERRORS:
+            out = None
+        if isinstance(out, Column):
+            return out
+        udf = F.pandas_udf(lambda s, _p=p: s.map(_p), T.BooleanType())
+        return udf(col)
+    return col == p
+
+
 def filter_(t: Table, pred: Any = None, select: Any = None, **col_preds: Any) -> Table:
     """Predicate filter (reference src/selection.jl:20-23).
 
@@ -48,6 +81,9 @@ def filter_(t: Table, pred: Any = None, select: Any = None, **col_preds: Any) ->
       * ``filter_(t, x=lambda c: c > 3, y=5)`` — per-column predicates,
         conjoined (reference tuple-of-`col=>pred` form,
         test/test_table.jl:227-235). A non-callable value means equality.
+      * ``filter_(t, {1: f, "b": g})`` — selector-keyed predicates, for
+        positional (1-based) keys the kwargs form can't express
+        (reference test/test_query.jl:24-38).
       * ``filter_(t, python_callable, select="x")`` — row/selection closure
         (slow path: pandas_udf boolean).
     """
@@ -56,7 +92,19 @@ def filter_(t: Table, pred: Any = None, select: Any = None, **col_preds: Any) ->
         conds.append(pred)
     elif isinstance(pred, str):
         conds.append(F.expr(pred))
+    elif isinstance(pred, dict):
+        for sel, p in pred.items():
+            resolved = S.resolve(t.df, sel, t.pkey)
+            if len(resolved) != 1:
+                raise ValueError(f"filter predicate key {sel!r} must name "
+                                 "one column")
+            conds.append(_pred_cond(resolved[0][1], p))
     elif pred is not None and callable(pred):
+        # NDSparse: a bare closure filters the VALUES by default
+        # (reference test/test_table.jl:229 `filter(y->y<2, x)`)
+        if select is None and isinstance(t, NDSparse):
+            select = (t.valnames[0] if len(t.valnames) == 1
+                      else tuple(t.valnames))
         sel_resolved = S.resolve(t.df, select, t.pkey)
         if len(sel_resolved) == 1:
             name, col = sel_resolved[0]
@@ -71,23 +119,14 @@ def filter_(t: Table, pred: Any = None, select: Any = None, **col_preds: Any) ->
                 udf = F.pandas_udf(lambda s: s.map(pred), T.BooleanType())
                 conds.append(udf(col))
         else:
-            raise ValueError("row-closure filter over multiple columns: "
-                             "pass a Column predicate instead")
+            # whole-row closure (reference `filter(p->p.x/p.t<100, t)`,
+            # test/test_table.jl:227-231): rows arrive as a pandas
+            # DataFrame through a struct-typed Arrow batch; the closure
+            # sees attribute-style rows (p.x, p.t)
+            conds.append(_row_closure_udf(pred, sel_resolved,
+                                          T.BooleanType()))
     for cname, p in col_preds.items():
-        col = F.col(cname)
-        if callable(p):
-            out = None
-            try:
-                out = p(col)
-            except S._PROBE_ERRORS:
-                out = None
-            if isinstance(out, Column):
-                conds.append(out)
-            else:
-                udf = F.pandas_udf(lambda s, _p=p: s.map(_p), T.BooleanType())
-                conds.append(udf(col))
-        else:
-            conds.append(col == p)
+        conds.append(_pred_cond(F.col(cname), p))
     df = t.df
     for c in conds:
         df = df.filter(c)
@@ -99,10 +138,18 @@ def map_(f: Any, t: Table, select: Any = None, rtype: Any = None,
     """Row-wise function application (reference src/selection.jl:1-6).
 
     `f` over the selection; native Column math when possible, pandas_udf
-    otherwise. Returns a 1-column table named `name` (or a multi-column
-    table if `f` returns a dict of Columns — the named-tuple case,
-    test/test_table.jl:31).
+    otherwise. For a Table: returns a 1-column table named `name` (or a
+    multi-column table when `f` returns a dict of Columns — the
+    named-tuple case, test/test_table.jl:31). For an NDSparse: the index
+    is KEPT and `f` maps the value column(s), as in the reference
+    (test/test_query.jl:1-6 `map(-, d)`).
     """
+    is_nd = isinstance(t, NDSparse)
+    if is_nd and select is None:
+        select = t.valnames[0] if len(t.valnames) == 1 else tuple(t.valnames)
+        if len(t.valnames) == 1:
+            name = t.valnames[0]
+
     resolved = S.resolve(t.df, select, t.pkey)
     cols = [c for _, c in resolved]
     out = None
@@ -111,23 +158,50 @@ def map_(f: Any, t: Table, select: Any = None, rtype: Any = None,
     except S._PROBE_ERRORS:
         out = None
     if isinstance(out, Column):
-        return type(t)(t.df.select(out.alias(name)), ())
-    if isinstance(out, dict) and all(isinstance(v, Column) for v in out.values()):
-        return type(t)(t.df.select(*[v.alias(k) for k, v in out.items()]), ())
-    # Slow path: pandas UDF over the selected columns.
-    spark_rtype = rtype or T.DoubleType()
-    if isinstance(spark_rtype, str):
-        spark_rtype = T._parse_datatype_string(spark_rtype)
-    if len(cols) == 1:
-        udf = F.pandas_udf(lambda s: s.map(f), spark_rtype)
-        return type(t)(t.df.select(udf(cols[0]).alias(name)), ())
-    import pandas as pd
+        mapped = [out.alias(name)]
+    elif isinstance(out, dict) and all(isinstance(v, Column) for v in out.values()):
+        mapped = [v.alias(k) for k, v in out.items()]
+    else:
+        # Slow path: pandas UDF over the selected columns.
+        spark_rtype = rtype or T.DoubleType()
+        if isinstance(spark_rtype, str):
+            spark_rtype = T._parse_datatype_string(spark_rtype)
+        if len(cols) == 1:
+            udf = F.pandas_udf(lambda s: s.map(f), spark_rtype)
+            mapped = [udf(cols[0]).alias(name)]
+        else:
+            import inspect
+            try:
+                sig = inspect.signature(f)
+                n_params = len([p for p in sig.parameters.values()
+                                if p.kind in (p.POSITIONAL_ONLY,
+                                              p.POSITIONAL_OR_KEYWORD)])
+            except (TypeError, ValueError):
+                n_params = len(cols)
+            if n_params == 1:
+                # whole-row closure (reference `map(row->row.x+row.y, t)`,
+                # test/test_table.jl:200-203); a struct rtype (e.g.
+                # "r double, theta double") expands into columns — the
+                # named-tuple result case
+                mapped = [_row_closure_udf(f, resolved, spark_rtype)
+                          .alias(name)]
+            else:
+                import pandas as pd
 
-    def _apply(*series: "pd.Series") -> "pd.Series":
-        return pd.Series([f(*vals) for vals in zip(*series)])
+                def _apply(*series: "pd.Series") -> "pd.Series":
+                    return pd.Series([f(*vals) for vals in zip(*series)])
 
-    udf = F.pandas_udf(_apply, spark_rtype)
-    return type(t)(t.df.select(udf(*cols).alias(name)), ())
+                udf = F.pandas_udf(_apply, spark_rtype)
+                mapped = [udf(*cols).alias(name)]
+        if isinstance(spark_rtype, T.StructType):
+            keys = list(t.pkey) if is_nd else []
+            pre = t.df.select(*keys, *mapped)
+            out_df = pre.select(*keys, F.col(name + ".*"))
+            return (NDSparse(out_df, t.pkey, t.presorted) if is_nd
+                    else Table(out_df, ()))
+    if is_nd:
+        return NDSparse(t.df.select(*t.pkey, *mapped), t.pkey, t.presorted)
+    return Table(t.df.select(*mapped), ())
 
 
 def transform(t: Table, **changes: Any) -> Table:
@@ -231,11 +305,14 @@ def selectvalues(nd: NDSparse, sel: Any) -> NDSparse:
     return NDSparse(nd.df.select(*cols), nd.pkey, nd.presorted)
 
 
-def convertdim(nd: NDSparse, dim: str, f: Any, agg: Any = None,
+def convertdim(nd: NDSparse, dim: str | int, f: Any, agg: Any = None,
                vecagg: Any = None, rtype: Any = None) -> NDSparse:
     """Map one key dimension through a function/dict, aggregating
     many-to-one collisions (reference src/selection.jl:36-81;
-    tests test/test_query.jl:45-59)."""
+    tests test/test_query.jl:45-59). `dim` may be a name or 1-based
+    position."""
+    if isinstance(dim, int):
+        dim = nd.pkey[dim - 1]
     if isinstance(f, dict):
         mapping = F.create_map(*[F.lit(x) for kv in f.items() for x in kv])
         newdim = mapping[F.col(dim)]

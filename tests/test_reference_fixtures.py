@@ -102,3 +102,60 @@ def test_broadcast_nd_int_dimmap(spark):
     got = {(i, j): v for i, j, v in zip(out["i"], out["j"], out["v"])}
     # j matches b.k: j=1 → +10, j=2 → +100
     assert got == {(1, 1): 15, (2, 1): 16, (3, 2): 107, (4, 2): 108}
+
+
+def test_query_jl_map_filter_dims_parity(spark):
+    # reference test/test_query.jl: NDSparse map keeps the index (:1-6),
+    # positional-pair filter (:24-38), int dims in convertdim (:45-59)
+    # and reduce dims (:63-78)
+    nd = jdb.ndsparse({"a": [1, 1, 2, 2], "b": [1, 2, 1, 2],
+                       "v": [1, 2, 3, 4]}, indexcols=("a", "b"), spark=spark)
+    # map(-, d): index kept, values negated
+    neg = jdb.map_(lambda c: -c, nd).collect()
+    assert list(neg.columns) == ["a", "b", "v"]
+    assert sorted(neg["v"]) == [-4, -3, -2, -1]
+    # filter with positional 1-based keys
+    f = jdb.filter_(nd, {1: lambda c: c == c, 2: lambda c: c % 2 == 0})
+    assert sorted(f.collect()["v"]) == [2, 4]
+    # empty result (reference #228 regression)
+    f0 = jdb.filter_(nd, {1: lambda c: c != c, 2: lambda c: c % 2 == 0})
+    assert len(f0.collect()) == 0
+    # reduce(+, t1, dims=1) — reduce out the FIRST dim
+    rd = jdb.reducedim("sum", nd, dims=1).collect()
+    assert {b: s for b, s in zip(rd["b"], rd["sum"])} == {1: 4, 2: 6}
+    # reducedim_vec(length, t1, 2)
+    rv = jdb.reducedim_vec(len, nd, 2).collect()
+    assert {a: n for a, n in zip(rv["a"], rv["value"])} == {1: 2, 2: 2}
+    # convertdim by position with predicate mapping
+    cd = jdb.convertdim(nd, 2, lambda c: (c >= 2).cast("int"), agg="sum")
+    got = cd.collect()
+    assert {(a, b): v for a, b, v in zip(got["a"], got["b"], got["v"])} == {
+        (1, 0): 1, (1, 1): 2, (2, 0): 3, (2, 1): 4}
+
+
+def test_row_closure_filter_and_map(spark):
+    # reference test/test_table.jl:200-203, 227-231: whole-row closures
+    t = jdb.table({"n": ["a", "b", "c"], "t": [0.01, 0.05, 0.07],
+                   "x": [2, 1, 0]}, spark=spark)
+    f = jdb.filter_(t, lambda p: p.x / p.t < 100)
+    assert sorted(f.collect()["n"]) == ["b", "c"]
+    # row closure over an explicit sub-selection
+    f2 = jdb.filter_(t, lambda p: p.x / p.t < 100, select=("x", "t"))
+    assert sorted(f2.collect()["n"]) == ["b", "c"]
+    # NDSparse bare closure filters the VALUES
+    nd = jdb.ndsparse({"n": ["a", "b", "c"], "t": [0.01, 0.05, 0.07],
+                       "v": [2, 1, 0]}, indexcols=("n", "t"), spark=spark)
+    fn = jdb.filter_(nd, lambda y: y < 2)
+    assert sorted(fn.collect()["n"]) == ["b", "c"]
+    # whole-row map: manhattan + named-tuple (struct rtype) polar form
+    manh = jdb.map_(lambda row: float(row.x + row.t), t, select=("t", "x"))
+    assert sorted(round(v, 2) for v in manh.collect()["map"]) == \
+        [0.07, 1.05, 2.01]
+    import math
+    polar = jdb.map_(lambda p: {"r": math.hypot(p.x + p.t, 0.0),
+                                "theta": math.atan2(p.t, p.x)},
+                     t, select=("t", "x"),
+                     rtype="r double, theta double")
+    got = polar.collect()
+    assert set(got.columns) == {"r", "theta"}
+    assert len(got) == 3
