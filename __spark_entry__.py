@@ -1228,6 +1228,112 @@ def q66(spark, sf_dir):
 
 
 # ===========================================================================
+# Portable hash family: MinHash / SimHash fully oracle-checked (q67-q69)
+# ===========================================================================
+# The default MinHash/SimHash family is xxhash64 (native, the 100-TB path;
+# q36/q37 rows-only). The portable 31-bit family ((h*31+codepoint) mod
+# 2^31-1 char fold + linear permutations with inlined constants) is
+# bit-identical in DuckDB, so the SAME pipeline is value-checked end-to-end.
+
+def _charfold_sql(s: str) -> str:
+    """DuckDB rendering of functions.dedup.portable_hash (verified
+    bit-identical incl. unicode + empty string)."""
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"[CAST(ascii(substring({s}, i, 1)) AS BIGINT) "
+            f"FOR i IN range(1, length({s})+1)]), "
+            f"(h, c) -> (h*31 + c) % 2147483647)")
+
+
+# distinct word-3-gram shingles per doc — same construction q35 verifies
+_SH_CTE = r"""
+  SELECT DISTINCT doc_id AS id, s FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 3
+             THEN [array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')
+                   FOR i IN range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1)]
+             ELSE [] END) AS s
+    FROM documents)"""
+
+_MH_N = 16
+_MH_A, _MH_B = DD.perm_constants(_MH_N)
+_PERM_VALUES = ", ".join(f"({i}, {_MH_A[i]}, {_MH_B[i]})" for i in range(_MH_N))
+
+
+@_q("q67_minhash_portable", f"""
+WITH sh AS ({_SH_CTE}),
+hb AS (SELECT id, {_charfold_sql('s')} AS h FROM sh),
+perm(i, a, b) AS (VALUES {_PERM_VALUES})
+SELECT id AS doc_id, i AS hash_index,
+       CAST(min((a * h + b) % 2147483647) AS BIGINT) AS min_hash
+FROM hb, perm GROUP BY 1, 2
+""")
+def q67(spark, sf_dir):
+    """MinHash signatures, portable family — every signature value is
+    oracle-checked (the xxhash64 q36 counterpart is rows-only)."""
+    d = read_table(spark, sf_dir, "documents")
+    sig = DD.minhash_signature(d, "doc_id", k=3, num_hashes=_MH_N,
+                               hash_family="portable")
+    return sig.select(F.col("id").alias("doc_id"),
+                      F.posexplode("signature").alias("hash_index", "min_hash"))
+
+
+_SH_BITS = 31
+_SH_BITSUMS = ",\n       ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(_SH_BITS))
+_SH_OR = " | ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
+                    for i in range(_SH_BITS))
+
+
+@_q("q68_simhash_portable", f"""
+WITH tok AS (SELECT doc_id AS id,
+                    unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+             FROM documents WHERE length(trim(text)) > 0),
+hb AS (SELECT id, {_charfold_sql('t')} AS h FROM tok),
+bits AS (SELECT id, {_SH_BITSUMS}
+         FROM hb GROUP BY id)
+SELECT id AS doc_id, CAST({_SH_OR} AS BIGINT) AS simhash FROM bits
+""")
+def q68(spark, sf_dir):
+    """31-bit SimHash signatures, portable family — value-checked
+    (the 64-bit xxhash64 q37 counterpart is rows-only)."""
+    d = read_table(spark, sf_dir, "documents") \
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+    sig = DD.simhash(d, "doc_id", bits=_SH_BITS, hash_family="portable")
+    return sig.select(F.col("id").alias("doc_id"), "simhash")
+
+
+@_q("q69_minhash_lsh_portable", f"""
+WITH sh AS ({_SH_CTE}),
+hb AS (SELECT id, s, {_charfold_sql('s')} AS h FROM sh),
+perm(i, a, b) AS (VALUES {_PERM_VALUES}),
+mh AS (SELECT id, i, CAST(min((a * h + b) % 2147483647) AS BIGINT) AS mh
+       FROM hb, perm GROUP BY 1, 2),
+banded AS (SELECT id, i // 2 AS band, list(mh ORDER BY i) AS bucket
+           FROM mh GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+          FROM cand c JOIN sh a ON a.id = c.id_a
+                      JOIN sh b ON b.id = c.id_b AND a.s = b.s
+          GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+""")
+def q69(spark, sf_dir):
+    """FULL MinHash-LSH near-dup pipeline (signatures → banded buckets →
+    candidate join → exact-Jaccard verify) under the portable family —
+    the complete LSH path value-checked end-to-end, closing the q36
+    rows-only gap at identical algorithmic shape (bands=8, r=2)."""
+    d = read_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(d, "doc_id", k=3, num_hashes=_MH_N, bands=8,
+                                threshold=0.5, hash_family="portable")
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 

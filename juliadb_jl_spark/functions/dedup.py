@@ -154,17 +154,66 @@ def verify_pairs_jaccard(df: DataFrame, cand: DataFrame, id_col: str,
 
 
 # ---------------------------------------------------------------------------
+# Portable hash family (oracle-reproducible)
+# ---------------------------------------------------------------------------
+
+_P31 = 2147483647  # 2^31 - 1, Mersenne prime
+
+
+def portable_hash(col: Column) -> Column:
+    """31-bit polynomial string hash: fold (h*31 + codepoint) mod 2^31-1
+    over the characters. Pure ANSI arithmetic — bit-identical in Spark
+    (aggregate over sequence) and in the DuckDB oracle (list_reduce), so
+    hash-family operators built on it are fully oracle-checkable.
+    All intermediates fit int64 under ANSI overflow checking
+    (h < 2^31, h*31 + c < 2^36)."""
+    fold = F.aggregate(
+        F.sequence(F.lit(1), F.length(col)),
+        F.lit(0).cast("long"),
+        lambda h, i: (h * 31 + F.ascii(F.substring(col, i, F.lit(1))))
+        % F.lit(_P31))
+    # sequence(1, 0) counts DOWN — guard the empty string explicitly
+    return F.when(F.length(col) == 0, F.lit(0).cast("long")).otherwise(fold)
+
+
+def perm_constants(n: int, seed: int = 7) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) for the linear permutation family
+    hash_i(x) = (a_i*x + b_i) mod 2^31-1, from a Lehmer LCG (x*48271 mod p)
+    — a_i never 0 (multiplicative group of a prime). Same constants are
+    inlined as literals into the oracle SQL."""
+    x, out = seed, []
+    for _ in range(2 * n):
+        x = (x * 48271) % _P31
+        out.append(x)
+    return out[0::2], out[1::2]
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str = "text",
-                      k: int = 3, num_hashes: int = 32) -> DataFrame:
-    """Per-doc MinHash signature: hash_i(shingle) = xxhash64(i, shingle)
-    (native, deterministic); signature[i] = min over shingles."""
+                      k: int = 3, num_hashes: int = 32,
+                      hash_family: str = "xxhash64") -> DataFrame:
+    """Per-doc MinHash signature; signature[i] = min over shingles of
+    hash_i(shingle).
+
+    hash_family="xxhash64" (default): hash_i(s) = xxhash64(i, s) — native,
+    JVM-side, the 100-TB path. "portable": hash_i(s) =
+    (a_i*portable_hash(s) + b_i) mod 2^31-1 — slower (char fold) but
+    reproducible in the DuckDB oracle, so the whole signature is
+    value-checked (q67)."""
     sh = _shingle_sets(df, id_col, text_col, k) \
         .select("id", F.explode("shset").alias("sh"))
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
-            for i in range(num_hashes)]
+    if hash_family == "portable":
+        a_, b_ = perm_constants(num_hashes)
+        sh = sh.select("id", portable_hash(F.col("sh")).alias("hb"))
+        mins = [F.min((F.lit(a_[i]) * F.col("hb") + F.lit(b_[i]))
+                      % F.lit(_P31)).alias(f"h{i}")
+                for i in range(num_hashes)]
+    else:
+        mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+                for i in range(num_hashes)]
     sig = sh.groupBy("id").agg(*mins)
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)])
                       .alias("signature"))
@@ -172,22 +221,30 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str = "text",
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                       k: int = 3, num_hashes: int = 32, bands: int = 8,
-                      threshold: float = 0.5, verify: bool = True) -> DataFrame:
+                      threshold: float = 0.5, verify: bool = True,
+                      hash_family: str = "xxhash64") -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH; same-band candidates are
     (optionally) verified with exact shingle Jaccard ≥ threshold.
 
     rows-per-band buckets: r = num_hashes/bands; candidate recall follows
     the usual 1-(1-s^r)^b curve. Only bucket-mates are joined — at 100 TB
-    the band shuffle replaces the quadratic comparison."""
+    the band shuffle replaces the quadratic comparison.
+
+    hash_family="portable" buckets on the raw r-value signature slice
+    (array equality) instead of xxhash64-of-slice, keeping the entire
+    pipeline oracle-reproducible (q69)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, k, num_hashes)
+    sig = minhash_signature(df, id_col, text_col, k, num_hashes, hash_family)
+    if hash_family == "portable":
+        band_exprs = [F.array(*[F.col("signature")[bi * r + j]
+                                for j in range(r)]) for bi in range(bands)]
+    else:
+        band_exprs = [F.xxhash64(F.lit(bi), *[F.col("signature")[bi * r + j]
+                                              for j in range(r)])
+                      for bi in range(bands)]
     banded = sig.select(
-        "id",
-        F.posexplode(F.array(*[
-            F.xxhash64(F.lit(bi), *[F.col("signature")[bi * r + j]
-                                    for j in range(r)])
-            for bi in range(bands)])).alias("band", "bucket"))
+        "id", F.posexplode(F.array(*band_exprs)).alias("band", "bucket"))
     # both sides of the bucket self-join read `banded` — persist so the
     # signature aggregation runs once, and co-partition by bucket so the
     # join parallelizes instead of broadcasting into one task
@@ -210,12 +267,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def simhash(df: DataFrame, id_col: str, text_col: str = "text",
-            bits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc, fully native: explode tokens, xxhash64 each,
-    per-bit ±1 sums, sign → bit. One shuffle (groupBy id)."""
+            bits: int = 64, hash_family: str = "xxhash64") -> DataFrame:
+    """SimHash per doc, fully native: explode tokens, hash each,
+    per-bit ±1 sums, sign → bit. One shuffle (groupBy id).
+
+    hash_family="xxhash64" (default, 64-bit); "portable" uses the 31-bit
+    oracle-reproducible hash (requires bits <= 31; q68)."""
     tok = _spread(df).select(F.col(id_col).alias("id"),
                              F.explode(tokens(F.col(text_col))).alias("t"))
-    h = F.xxhash64(F.col("t"))
+    if hash_family == "portable":
+        if bits > 31:
+            raise ValueError("portable hash family is 31-bit; pass bits<=31")
+        h = portable_hash(F.col("t"))
+    else:
+        h = F.xxhash64(F.col("t"))
     # shiftleft, not python 1<<i — 1<<63 overflows a JVM long literal
     mask = lambda i: F.shiftleft(F.lit(1).cast("long"), i)  # noqa: E731
     bit_sums = [F.sum(F.when(h.bitwiseAND(mask(i)) != 0, 1)

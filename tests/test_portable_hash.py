@@ -1,0 +1,101 @@
+"""Portable (oracle-reproducible) hash family: Spark ≡ DuckDB bit parity,
+and the portable MinHash/SimHash paths agree with their exact baselines.
+
+The xxhash64 family stays the 100-TB default; the portable family exists
+so the SAME MinHash/SimHash pipelines are value-checkable end-to-end
+(driver queries q67-q69)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from juliadb_jl_spark.functions import dedup as DD
+
+SAMPLES = ["hello world", "a", "the quick brown fox", "héllo ünïcode 中文",
+           "", "  spaced  out  ", "punct!?;:", "x" * 200]
+
+
+def _duck_charfold(strings: list[str]) -> dict[str, int]:
+    con = duckdb.connect()
+    vals = ", ".join("(?)" for _ in strings)
+    rows = con.execute(
+        f"""SELECT s, list_reduce(list_prepend(CAST(0 AS BIGINT),
+              [CAST(ascii(substring(s, i, 1)) AS BIGINT)
+               FOR i IN range(1, length(s)+1)]),
+              (h, c) -> (h*31 + c) % 2147483647)
+            FROM (VALUES {vals}) t(s)""", strings).fetchall()
+    con.close()
+    return dict(rows)
+
+
+def test_portable_hash_bit_parity_with_duckdb(spark):
+    df = spark.createDataFrame([(s,) for s in SAMPLES], ["s"])
+    got = {r["s"]: r["hv"] for r in
+           df.select("s", DD.portable_hash(F.col("s")).alias("hv")).collect()}
+    want = _duck_charfold(SAMPLES)
+    assert got == want
+    # 31-bit range invariant
+    assert all(0 <= v < 2**31 - 1 for v in got.values())
+
+
+def test_perm_constants_deterministic_nonzero():
+    a1, b1 = DD.perm_constants(32)
+    a2, b2 = DD.perm_constants(32)
+    assert (a1, b1) == (a2, b2)
+    assert all(a != 0 for a in a1)  # multiplicative-group guarantee
+    assert len(set(zip(a1, b1))) == 32
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river"),
+    (2, "the quick brown fox jumps over the lazy dog near the creek"),
+    (3, "completely different text about spark query engines and scale"),
+    (4, "the quick brown fox jumps over the lazy dog near the river"),  # dup of 1
+    (5, "short"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_minhash_portable_identical_docs_identical_sigs(docs):
+    sig = {r["id"]: r["signature"] for r in
+           DD.minhash_signature(docs, "doc_id", k=3, num_hashes=16,
+                                hash_family="portable").collect()}
+    assert sig[1] == sig[4]
+    assert sig[1] != sig[3]
+    assert 5 not in sig  # <3 tokens → no shingles → absent
+    assert all(0 <= v < 2**31 - 1 for v in sig[1])
+
+
+def test_lsh_portable_pairs_match_exact_jaccard(docs):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           DD.minhash_lsh_pairs(docs, "doc_id", k=3, num_hashes=16, bands=8,
+                                threshold=0.5,
+                                hash_family="portable").collect()}
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             DD.ngram_jaccard_pairs(docs, "doc_id", k=3,
+                                    threshold=0.5).collect()}
+    # LSH pairs are a subset of exact pairs with identical jaccard values;
+    # the exact-dup pair (1,4) shares every band → guaranteed recall
+    assert set(got) <= set(exact)
+    assert (1, 4) in got and got[(1, 4)] == 1.0
+    for pair, j in got.items():
+        assert exact[pair] == j
+
+
+def test_simhash_portable_bits_and_dup_invariance(docs):
+    sig = {r["id"]: r["simhash"] for r in
+           DD.simhash(docs, "doc_id", bits=31,
+                      hash_family="portable").collect()}
+    assert sig[1] == sig[4]
+    assert all(0 <= v < 2**31 for v in sig.values())
+
+
+def test_simhash_portable_rejects_wide_bits(docs):
+    with pytest.raises(ValueError, match="bits<=31"):
+        DD.simhash(docs, "doc_id", bits=64, hash_family="portable")
