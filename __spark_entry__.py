@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 
 import juliadb_jl_spark as jdb
 from juliadb_jl_spark.functions import dedup as DD
+from juliadb_jl_spark.functions import rollup as RU
+from juliadb_jl_spark.functions import sampling as SP
 from juliadb_jl_spark.functions import similarity as SIM
 from juliadb_jl_spark.functions import text as TX
 from juliadb_jl_spark.functions.text import LANG_KEYWORDS, STOPWORDS
@@ -1331,6 +1333,103 @@ def q69(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     return DD.minhash_lsh_pairs(d, "doc_id", k=3, num_hashes=_MH_N, bands=8,
                                 threshold=0.5, hash_family="portable")
+
+
+# ===========================================================================
+# Training-data selection & incremental rollup (q70-q73)
+# ===========================================================================
+# Deterministic hash-based selection (functions/sampling.py): membership
+# is a pure function of the key, reproducible across engines — each op is
+# value-checked against the identical formula in DuckDB.
+
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _unit_sql(key_expr: str, seed: int) -> str:
+    a, b = SP.unit_constants(seed)
+    fold = _charfold_sql(f"md5(CAST({key_expr} AS VARCHAR))")
+    return f"(({a} * {fold} + {b}) % 2147483647) / 2147483647.0"
+
+
+_SPLIT_CASE = "CASE " + " ".join(
+    f"WHEN u < {bound!r} THEN '{name}'"
+    for name, bound in SP.split_thresholds(_SPLIT_FRACS)[:-1]) + \
+    f" ELSE '{SP.split_thresholds(_SPLIT_FRACS)[-1][0]}' END"
+
+
+@_q("q70_hash_split", f"""
+WITH h AS (SELECT doc_id, {_unit_sql('doc_id', 1)} AS u FROM documents)
+SELECT doc_id, {_SPLIT_CASE} AS split FROM h
+""")
+def q70(spark, sf_dir):
+    """deterministic train/val/test split by key hash — a pure no-shuffle
+    map; membership is append-stable and engine-reproducible."""
+    d = read_table(spark, sf_dir, "documents")
+    return SP.split_by_hash(d, "doc_id", _SPLIT_FRACS, seed=1) \
+        .select("doc_id", "split")
+
+
+@_q("q71_stratified_sample", f"""
+WITH h AS (SELECT doc_id, lang, {_unit_sql('doc_id', 3)} AS u FROM documents)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS r
+  FROM h)
+WHERE r <= 50
+""")
+def q71(spark, sf_dir):
+    """deterministic stratified sample: exactly 50 docs per language,
+    ranked by permuted key hash — one window shuffle, parallel groups."""
+    d = read_table(spark, sf_dir, "documents")
+    return SP.stratified_sample(d, by="lang", n=50, key="doc_id", seed=3) \
+        .select("doc_id", "lang")
+
+
+@_q("q72_token_packing", """
+SELECT doc_id,
+       CAST(floor(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 5000.0)
+         AS BIGINT) AS bin
+FROM documents
+""")
+def q72(spark, sf_dir):
+    """context-window packing: contiguous 5000-char bins over doc order
+    via the scale-safe two-pass global cumsum (no single-partition
+    Exchange — the oracle's global window is exactly what we avoid)."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return SP.pack_tokens(d, "n_chars", budget=5000, order=["doc_id"]) \
+        .select("doc_id", "bin")
+
+
+@_q("q73_incremental_rollup", """
+WITH e AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS v FROM events)
+SELECT user_id, count(*) AS n,
+       CAST(sum(v) AS BIGINT) AS value_c_sum,
+       min(v) AS value_c_min, max(v) AS value_c_max,
+       round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_r6,
+       CASE WHEN count(*) > 1 THEN
+         round((CAST(sum(v*v) AS DOUBLE)
+                - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE) / count(*))
+               / (count(*) - 1.0), 6)
+       END AS var_r6
+FROM e GROUP BY user_id
+""")
+def q73(spark, sf_dir):
+    """incremental rollup (functions/rollup.py): mergeable state built on
+    two disjoint halves of events, merged, finalized — the oracle
+    aggregates the full table directly, so the check proves
+    merge(state(A), state(B)) == state(A ∪ B)."""
+    ev = read_table(spark, sf_dir, "events") \
+        .select("event_id", "user_id", _cents(F.col("value")).alias("value_c"))
+    s0 = RU.rollup_state(ev.filter(F.col("event_id") % 2 == 0),
+                         by="user_id", cols="value_c")
+    s1 = RU.rollup_state(ev.filter(F.col("event_id") % 2 == 1),
+                         by="user_id", cols="value_c")
+    out = RU.rollup_finalize(RU.rollup_merge(s0, s1), "value_c")
+    return out.select("user_id", "n", "value_c_sum", "value_c_min",
+                      "value_c_max",
+                      F.round("value_c_mean", 6).alias("mean_r6"),
+                      F.round("value_c_var", 6).alias("var_r6"))
 
 
 # ===========================================================================

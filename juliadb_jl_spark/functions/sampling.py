@@ -1,0 +1,138 @@
+"""Deterministic data-selection operators for training pipelines:
+hash-based split, stratified sampling, mixture downsampling, and
+token-budget packing.
+
+Selection is a pure function of the DATA (portable 31-bit hash of the
+key + a seeded linear permutation), not of RNG state or row order — so
+train/val/test membership is reproducible across runs, engines (every
+op is oracle-checkable in DuckDB), partition counts, and cluster sizes,
+and a re-run after appending new rows never reassigns old rows.
+
+Scale (100 TB): every op is native Column expressions; sampling and
+splitting are embarrassingly parallel filters (no shuffle at all);
+stratified sampling is one window shuffle on the group key; global
+packing uses the two-pass cumulative-sum (per-partition totals + driver
+offsets) — no single-partition Exchange anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from juliadb_jl_spark.functions.dedup import _P31, perm_constants, portable_hash
+from juliadb_jl_spark.operators.sort import with_global_cumsum
+
+
+def unit_constants(seed: int = 1) -> tuple[int, int]:
+    """(a, b) of the seeded permutation behind `hash_unit` — exposed so
+    oracle SQL can inline the identical literals. 2*seed+1 keeps the LCG
+    off the zero fixed point for any seed >= 0."""
+    a, b = perm_constants(1, seed=2 * seed + 1)
+    return a[0], b[0]
+
+
+def hash_unit(col: Column, seed: int = 1) -> Column:
+    """Deterministic uniform value in [0,1) from any column: cast to
+    string, md5 (identical lowercase hex in every engine), portable
+    31-bit fold of the hex — uniform because the 32 hex chars are — then
+    a seeded linear permutation for independent streams per seed; divide
+    by the modulus. Both operands are exact in double, so the quotient
+    is bit-identical in any IEEE engine. (A fold of the raw key string
+    alone is NOT uniform for sequential keys — the md5 round is what
+    buys uniformity.)"""
+    a, b = unit_constants(seed)
+    h = portable_hash(F.md5(col.cast("string")))
+    return ((F.lit(a) * h + F.lit(b)) % F.lit(_P31)) / F.lit(float(_P31))
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, float]]:
+    """Cumulative (name, upper_bound) pairs; the float accumulation is
+    done ONCE here so Spark and oracle SQL inline identical doubles."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1 (got {total})")
+    out, acc = [], 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        out.append((name, acc))
+    return out
+
+
+def split_by_hash(df: DataFrame, key: str, fractions: dict[str, float],
+                  seed: int = 1, name: str = "split") -> DataFrame:
+    """Assign every row to a named split (e.g. train/val/test) by the
+    deterministic key hash. Pure map — no shuffle, append-stable."""
+    u = hash_unit(F.col(key), seed)
+    expr = None
+    pairs = split_thresholds(fractions)
+    for split_name, bound in pairs[:-1]:
+        clause = F.when(u < F.lit(bound), F.lit(split_name))
+        expr = clause if expr is None else expr.when(u < F.lit(bound),
+                                                     F.lit(split_name))
+    last = F.lit(pairs[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(name, expr)
+
+
+def sample_by_hash(df: DataFrame, key: str, fraction: float,
+                   seed: int = 1) -> DataFrame:
+    """Keep a deterministic `fraction` of rows by key hash (no shuffle)."""
+    return df.filter(hash_unit(F.col(key), seed) < F.lit(float(fraction)))
+
+
+def stratified_sample(df: DataFrame, by: str | Sequence[str], n: int,
+                      key: str, seed: int = 1) -> DataFrame:
+    """Exactly `n` rows per group (all rows for smaller groups), chosen
+    deterministically: rank by (permuted key hash, key) within each group
+    and keep rank <= n. One shuffle (the window partition); groups are
+    processed in parallel."""
+    by_cols = [by] if isinstance(by, str) else list(by)
+    u = hash_unit(F.col(key), seed)
+    w = W.partitionBy(*by_cols).orderBy(u.asc(), F.col(key).asc())
+    return (df.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n).drop("__r"))
+
+
+def downsample_sources(df: DataFrame, source_col: str,
+                       rates: dict[str, float], key: str,
+                       seed: int = 1) -> DataFrame:
+    """Mixture reweighting: keep each row iff hash_unit(key) <
+    rates[source]; sources absent from `rates` are kept whole. The
+    standard way to hit a target corpus mixture — a pure filter, no
+    shuffle, append-stable."""
+    u = hash_unit(F.col(key), seed)
+    rate = None
+    for src, r in rates.items():
+        clause = (F.col(source_col) == src, F.lit(float(r)))
+        rate = (F.when(*clause) if rate is None else rate.when(*clause))
+    rate = F.lit(1.0) if rate is None else rate.otherwise(F.lit(1.0))
+    return df.filter(u < rate)
+
+
+def pack_tokens(df: DataFrame, token_col: str, budget: int,
+                order: Sequence[str], by: str | None = None,
+                name: str = "bin") -> DataFrame:
+    """Context-window packing: assign documents to contiguous token-budget
+    bins, bin = floor(exclusive_running_sum(tokens) / budget) over a
+    deterministic `order` — the concat-and-chunk shape used to build
+    fixed-length LLM pretraining batches. Bins are contiguous in `order`
+    and may overrun by at most one document (offset-based packing).
+
+    `by=None` packs globally via the two-pass cumulative sum (scale-safe,
+    no single-partition Exchange); `by=col` packs within each group with
+    one ordinary window (parallel across groups)."""
+    if by is None:
+        out = with_global_cumsum(df, token_col, "__cum", order=list(order))
+    else:
+        w = (W.partitionBy(by).orderBy(*[F.col(c) for c in order])
+             .rowsBetween(W.unboundedPreceding, -1))
+        out = df.withColumn(
+            "__cum", F.coalesce(F.sum(token_col).over(w),
+                                F.lit(0)).cast("long"))
+    # exact-int doubles below 2^53 → floor(x/b) identical in any engine
+    b = out.withColumn(name, F.floor(F.col("__cum") / F.lit(float(budget)))
+                       .cast("long"))
+    return b.drop("__cum")

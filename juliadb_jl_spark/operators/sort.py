@@ -111,6 +111,37 @@ def with_global_rownum(df, name: str = "__rn", order: Sequence | None = None):
             .drop("__pid", "__mid"))
 
 
+def with_global_cumsum(df, value_col: str, name: str = "__cum",
+                       order: Sequence | None = None):
+    """Add an EXCLUSIVE global running sum of `value_col` in `order`
+    WITHOUT a single-partition window (same two-pass shape as
+    `with_global_rownum`): range-partition + local sort on the order
+    keys, per-partition totals (one tiny row per partition) → cumulative
+    offsets on the driver → local exclusive window sum + offset.
+    Every stage stays parallel at any scale."""
+    keys = [c if not isinstance(c, str) else F.col(c) for c in (order or [])]
+    base = df
+    if keys:
+        base = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
+        order_cols = keys
+    else:
+        base = base.withColumn("__mid", F.monotonically_increasing_id())
+        order_cols = [F.col("__mid")]
+    base = base.withColumn("__pid", F.spark_partition_id())
+    parts = base.groupBy("__pid").agg(F.sum(value_col).alias("s")).collect()
+    offsets, acc = [], 0
+    for row in sorted(parts, key=lambda r: r["__pid"]):
+        offsets += [F.lit(row["__pid"]), F.lit(acc)]
+        acc += row["s"] or 0
+    off = (F.coalesce(F.create_map(*offsets)[F.col("__pid")], F.lit(0))
+           if offsets else F.lit(0))
+    w = (W.partitionBy("__pid").orderBy(*order_cols)
+         .rowsBetween(W.unboundedPreceding, -1))
+    cum = F.coalesce(F.sum(value_col).over(w), F.lit(0)) + off
+    return (base.withColumn(name, cum.cast("long"))
+            .drop("__pid", "__mid"))
+
+
 def subtable(t: Table, start: int, stop: int) -> Table:
     """Contiguous positional row-range [start, stop] (1-based, inclusive)
     in pkey order (reference src/ndsparse.jl:497-527, src/util.jl:12-18).

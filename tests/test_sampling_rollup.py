@@ -1,0 +1,139 @@
+"""Deterministic data-selection (sampling.py) and incremental rollup
+(rollup.py): determinism, append-stability, partition invariance, the
+no-single-partition-Exchange scale guarantee, and exact state-merge
+semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from juliadb_jl_spark.functions import rollup as RU
+from juliadb_jl_spark.functions import sampling as SP
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"src{i % 3}", (i * 37) % 1000 + 1) for i in range(1000)]
+    return spark.createDataFrame(rows, ["id", "source", "n_tok"])
+
+
+def test_split_fractions_and_determinism(docs):
+    out = SP.split_by_hash(docs, "id", {"train": 0.8, "val": 0.1,
+                                        "test": 0.1}, seed=1)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 1000
+    assert abs(counts["train"] - 800) < 80  # hash-uniformity tolerance
+    # deterministic: identical assignment on re-run and on repartitioned input
+    again = SP.split_by_hash(docs.repartition(7), "id",
+                             {"train": 0.8, "val": 0.1, "test": 0.1}, seed=1)
+    assert (out.select("id", "split").exceptAll(
+        again.select("id", "split")).count() == 0)
+
+
+def test_split_append_stability(docs):
+    """Old rows keep their split when new rows are appended — the property
+    RNG-based sampling does not have."""
+    first = SP.split_by_hash(docs.filter(F.col("id") < 500), "id",
+                             {"a": 0.5, "b": 0.5}, seed=2)
+    full = SP.split_by_hash(docs, "id", {"a": 0.5, "b": 0.5}, seed=2) \
+        .filter(F.col("id") < 500)
+    assert first.select("id", "split").exceptAll(
+        full.select("id", "split")).count() == 0
+
+
+def test_split_rejects_bad_fractions(docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        SP.split_by_hash(docs, "id", {"a": 0.5, "b": 0.3})
+
+
+def test_stratified_exact_n_per_group(docs):
+    out = SP.stratified_sample(docs, by="source", n=25, key="id", seed=5)
+    sizes = {r["source"]: r["n"] for r in
+             out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {"src0": 25, "src1": 25, "src2": 25}
+    # smaller group than n → whole group kept
+    small = SP.stratified_sample(docs.filter(F.col("id") < 4), "source",
+                                 n=25, key="id")
+    assert small.count() == 4
+
+
+def test_sample_by_hash_subset_semantics(docs):
+    s = SP.sample_by_hash(docs, "id", 0.25, seed=9)
+    n = s.count()
+    assert 150 < n < 350
+    # a larger fraction strictly contains a smaller one (nested samples)
+    s2 = SP.sample_by_hash(docs, "id", 0.5, seed=9)
+    assert s.exceptAll(s2).count() == 0
+
+
+def test_downsample_sources_rates(docs):
+    out = SP.downsample_sources(docs, "source", {"src0": 0.1, "src1": 0.5},
+                                key="id", seed=4)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["src2"] == 333            # untouched source kept whole
+    assert counts["src0"] < counts["src1"] < counts["src2"]
+
+
+def test_pack_tokens_matches_pandas_and_scales(docs):
+    out = SP.pack_tokens(docs, "n_tok", budget=4000, order=["id"])
+    pdf = out.select("id", "n_tok", "bin").toPandas().sort_values("id")
+    cum_excl = pdf["n_tok"].cumsum() - pdf["n_tok"]
+    assert (pdf["bin"] == cum_excl // 4000).all()
+    # bins are contiguous and nondecreasing in order
+    assert pdf["bin"].is_monotonic_increasing
+    # scale guarantee: no single-partition Exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_pack_tokens_grouped(docs):
+    out = SP.pack_tokens(docs, "n_tok", budget=4000, order=["id"],
+                         by="source")
+    pdf = out.select("source", "id", "n_tok", "bin").toPandas()
+    for _, g in pdf.groupby("source"):
+        g = g.sort_values("id")
+        cum_excl = g["n_tok"].cumsum() - g["n_tok"]
+        assert (g["bin"] == cum_excl // 4000).all()
+
+
+def test_rollup_merge_equals_full_state(docs):
+    """merge(state(A), state(B)) == state(A ∪ B), exactly."""
+    a = RU.rollup_state(docs.filter(F.col("id") % 2 == 0), "source", "n_tok")
+    b = RU.rollup_state(docs.filter(F.col("id") % 2 == 1), "source", "n_tok")
+    merged = RU.rollup_merge(a, b)
+    full = RU.rollup_state(docs, "source", "n_tok")
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_rollup_finalize_matches_direct_agg(docs):
+    state = RU.rollup_state(docs, "source", "n_tok")
+    fin = RU.rollup_finalize(state, "n_tok").toPandas().set_index("source")
+    direct = (docs.groupBy("source")
+              .agg(F.avg("n_tok").alias("mean"),
+                   F.var_samp(F.col("n_tok").cast("double")).alias("var"))
+              .toPandas().set_index("source"))
+    for src in direct.index:
+        assert abs(fin.loc[src, "n_tok_mean"] - direct.loc[src, "mean"]) < 1e-9
+        assert abs(fin.loc[src, "n_tok_var"] - direct.loc[src, "var"]) < 1e-6
+
+
+def test_rollup_time_bucketed(spark):
+    rows = [(1, "2024-01-01 10:00:00", 5), (1, "2024-01-01 23:00:00", 7),
+            (1, "2024-01-02 01:00:00", 1)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    st = RU.rollup_state(df, "k", "v", time_col="ts", grain="day")
+    got = {str(r["bucket"])[:10]: (r["n"], r["v_sum"]) for r in st.collect()}
+    assert got == {"2024-01-01": (2, 12), "2024-01-02": (1, 1)}
+
+
+def test_rollup_var_null_for_single_row(spark):
+    df = spark.createDataFrame([(1, 10)], ["k", "v"])
+    fin = RU.rollup_finalize(RU.rollup_state(df, "k", "v"), "v")
+    row = fin.collect()[0]
+    assert row["v_var"] is None and row["v_mean"] == 10.0
