@@ -2,7 +2,8 @@
 100 TB design targets:
 
   ingest → text features → quality filter → exact dedup → near-dup dedup
-  (MinHash-LSH) → embedding near-dup → save curated corpus + IVF index
+  (MinHash-LSH) → embedding near-dup → deterministic train/val/test split
+  → context-window packing → save curated corpus + IVF index
 
 Run: python examples/pipeline.py [sf_dir] (default /root/testdata/sf0.001)
 """
@@ -16,6 +17,7 @@ from pyspark.sql import functions as F
 
 import juliadb_jl_spark as jdb
 from juliadb_jl_spark.functions import dedup as DD
+from juliadb_jl_spark.functions import sampling as SP
 from juliadb_jl_spark.functions import similarity as SIM
 from juliadb_jl_spark.functions import text as TX
 from juliadb_jl_spark.sources.testdata import read_table
@@ -41,22 +43,38 @@ def main():
                                      bands=16, threshold=0.6)
         # drop the higher doc_id of each near-dup pair
         losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-        kept = kept.join(losers, "doc_id", "left_anti")
+        # the curated set feeds split/pack/save/counts — persist so the
+        # dedup chain runs once, not per downstream action
+        kept = kept.join(losers, "doc_id", "left_anti").persist()
 
     with jdb.tracktime("embedding-neardup", spark):
         emb = read_table(spark, sf_dir, "embeddings")
         epairs = DD.embedding_neardup_pairs(emb, "vec_id", "embedding",
                                             threshold=0.95)
 
+    with jdb.tracktime("split+pack", spark):
+        # deterministic, append-stable selection: split by key hash, then
+        # pack the train docs into contiguous token-budget bins
+        kept = SP.split_by_hash(kept, "doc_id",
+                                {"train": 0.9, "val": 0.05, "test": 0.05})
+        train = kept.filter(F.col("split") == "train")
+        train = SP.pack_tokens(train, "n_tokens", budget=2048,
+                               order=["doc_id"])
+
     with jdb.tracktime("save+index", spark):
-        jdb.save(jdb.table(kept, pkey="doc_id"), f"{out_dir}/documents")
+        jdb.save(jdb.table(kept.drop("split"), pkey="doc_id"),
+                 f"{out_dir}/documents")
         tagged, cents = SIM.ivf_build(emb, n_cells=8)
         SIM.ivf_save(tagged, cents, f"{out_dir}/ivf")
 
     n_in = docs.count()
     n_out = kept.count()
+    splits = {r["split"]: r["n"] for r in
+              kept.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_bins = train.agg(F.max("bin")).head()[0]
     print(f"\ncorpus: {n_in} docs in -> {n_out} kept "
           f"({n_in - n_out} dropped by quality/dedup); "
+          f"splits {splits}; train packed into {(n_bins or 0) + 1} bins; "
           f"{epairs.count()} embedding near-dup pairs flagged")
     print("\nstage timings:")
     print(jdb.timings().drop(columns=["ts"]).to_string(index=False))

@@ -3,9 +3,10 @@
 `ml_schema` ≙ ML.schema: per-column stats — Continuous → (mean, std),
 Categorical → distinct values, Maybe → null handling (reference
 src/ml.jl:20-102).  `featuremat` ≙ ML.featuremat (src/ml.jl:159-177):
-standardized continuous + one-hot categorical feature matrix, built on
-Spark ML transformers (StringIndexer/OneHotEncoder/StandardScaler/
-VectorAssembler) — distributed, no driver-side materialization.
+standardized continuous (native projection from the one-pass schema
+stats) + null-indicator (Maybe) + one-hot categorical (StringIndexer/
+OneHotEncoder/VectorAssembler) — distributed, no driver-side
+materialization.
 """
 
 from __future__ import annotations
@@ -58,27 +59,36 @@ def ml_schema(t: Table, hints: dict[str, str] | None = None) -> dict[str, dict]:
 def featuremat(t: Table, hints: dict[str, str] | None = None,
                output_col: str = "features") -> DataFrame:
     """Standardized/one-hot feature matrix as a Spark ML vector column
-    (reference ML.featuremat). Continuous → impute-mean + standardize;
-    categorical → StringIndexer + OneHotEncoder; assembled into one
-    vector. Returns the input DF + `features`."""
+    (reference ML.featuremat, src/ml.jl:159-177). Continuous →
+    (x - mean)/std with mean/std over the OBSERVED values only (nulls
+    skipped), nulls imputed to z=0 plus a null-indicator feature
+    (ML.Maybe, src/ml.jl:104-157, test/test_ml.jl:21-22); categorical →
+    StringIndexer + OneHotEncoder. Standardization is a native
+    projection from the ml_schema stats — no second fitting pass over
+    the data. Returns the input DF + `features`."""
     from pyspark.ml import Pipeline
-    from pyspark.ml.feature import (OneHotEncoder, StandardScaler,
-                                    StringIndexer, VectorAssembler)
+    from pyspark.ml.feature import (OneHotEncoder, StringIndexer,
+                                    VectorAssembler)
 
     schema = ml_schema(t, hints)
     cont = [c for c, s in schema.items() if s["kind"] == "continuous"]
     cat = [c for c, s in schema.items() if s["kind"] == "categorical"]
 
     df = t.df
+    z_cols, na_cols = [], []
     for c in cont:
-        df = df.withColumn(c, F.col(c).cast("double"))
-        mean = schema[c]["mean"]
-        df = df.fillna({c: mean if mean is not None else 0.0})
+        if schema[c]["nulls"]:
+            df = df.withColumn(f"__na_{c}", F.col(c).isNull().cast("double"))
+            na_cols.append(f"__na_{c}")
+        m, s = schema[c]["mean"], schema[c]["std"]
+        if s:  # std None (n<2) or 0 (constant) → feature is all zeros
+            z = (F.coalesce(F.col(c).cast("double"), F.lit(float(m)))
+                 - F.lit(float(m))) / F.lit(float(s))
+        else:
+            z = F.lit(0.0)
+        df = df.withColumn(f"__z_{c}", z)
+        z_cols.append(f"__z_{c}")
     stages = []
-    if cont:
-        stages.append(VectorAssembler(inputCols=cont, outputCol="__cont"))
-        stages.append(StandardScaler(inputCol="__cont", outputCol="__cont_std",
-                                     withMean=True, withStd=True))
     enc_cols = []
     for c in cat:
         stages.append(StringIndexer(inputCol=c, outputCol=f"__i_{c}",
@@ -86,7 +96,7 @@ def featuremat(t: Table, hints: dict[str, str] | None = None,
         stages.append(OneHotEncoder(inputCol=f"__i_{c}", outputCol=f"__o_{c}",
                                     dropLast=False))
         enc_cols.append(f"__o_{c}")
-    assembled_inputs = (["__cont_std"] if cont else []) + enc_cols
+    assembled_inputs = z_cols + na_cols + enc_cols
     stages.append(VectorAssembler(inputCols=assembled_inputs, outputCol=output_col))
     model = Pipeline(stages=stages).fit(df)
     out = model.transform(df)

@@ -184,6 +184,26 @@ def test_ml_schema_featuremat(tables):
     assert row["features"].size >= 7
 
 
+def test_featuremat_maybe_golden(spark):
+    """Reference test/test_ml.jl:21-22: featuremat([1,2,missing]) ≈
+    [-Δ Δ 0] standardized over the OBSERVED values (std([1,2])) plus a
+    null-indicator feature [0 0 1] — NOT a scaler fit on imputed data."""
+    import math
+
+    from juliadb_jl_spark.ml import featuremat
+
+    t = jdb.table(spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, None)], ["id", "x"]),
+        pkey=("id",))
+    out = featuremat(jdb.select(t, ("x",)))
+    feats = {i: row["features"].toArray().tolist()
+             for i, row in enumerate(out.collect())}
+    delta = 0.5 / (math.sqrt(0.5))  # 0.5/std([1,2])
+    assert feats[0] == pytest.approx([-delta, 0.0])
+    assert feats[1] == pytest.approx([delta, 0.0])
+    assert feats[2] == pytest.approx([0.0, 1.0])
+
+
 def test_multimodal_resize_and_frames(tables):
     from juliadb_jl_spark.functions import multimodal as MM
     d = tables["documents"].df.limit(20)
