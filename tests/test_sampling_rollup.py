@@ -132,6 +132,23 @@ def test_rollup_time_bucketed(spark):
     assert got == {"2024-01-01": (2, 12), "2024-01-02": (1, 1)}
 
 
+def test_rollup_hll_distinct_merge(docs):
+    """HLL sketches merge exactly (sketch-union == sketch-of-union) and
+    estimate within HLL error of the true distinct count."""
+    a = RU.rollup_state(docs.filter(F.col("id") % 2 == 0), "source", "n_tok",
+                        distinct_cols="n_tok")
+    b = RU.rollup_state(docs.filter(F.col("id") % 2 == 1), "source", "n_tok",
+                        distinct_cols="n_tok")
+    fin = RU.rollup_finalize(RU.rollup_merge(a, b), "n_tok") \
+        .toPandas().set_index("source")
+    truth = (docs.groupBy("source")
+             .agg(F.count_distinct("n_tok").alias("d"))
+             .toPandas().set_index("source"))
+    for src in truth.index:
+        est, true = fin.loc[src, "n_tok_ndistinct"], truth.loc[src, "d"]
+        assert abs(est - true) / true < 0.05, (src, est, true)
+
+
 def test_rollup_var_null_for_single_row(spark):
     df = spark.createDataFrame([(1, 10)], ["k", "v"])
     fin = RU.rollup_finalize(RU.rollup_state(df, "k", "v"), "v")
