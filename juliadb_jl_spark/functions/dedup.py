@@ -138,11 +138,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
 
 
 def verify_pairs_jaccard(df: DataFrame, cand: DataFrame, id_col: str,
-                         text_col: str, k: int, threshold: float) -> DataFrame:
+                         text_col: str, k: int, threshold: float,
+                         sets: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard for an (id_a, id_b) candidate set only — joins the
     (few) candidates against per-doc shingle arrays and intersects
-    natively; avoids re-running the full inverted-index join."""
-    sets_ = _shingle_sets(df, id_col, text_col, k).persist()  # feeds both sides
+    natively; avoids re-running the full inverted-index join. Pass a
+    precomputed/persisted (id, shset) frame via `sets` to skip the
+    corpus re-scan."""
+    if sets is None:
+        sets = _shingle_sets(df, id_col, text_col, k).persist()
+    sets_ = sets  # feeds both join sides
     a = sets_.select(F.col("id").alias("id_a"), F.col("shset").alias("sh_a"))
     b = sets_.select(F.col("id").alias("id_b"), F.col("shset").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -192,19 +197,13 @@ def perm_constants(n: int, seed: int = 7) -> tuple[list[int], list[int]]:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(df: DataFrame, id_col: str, text_col: str = "text",
-                      k: int = 3, num_hashes: int = 32,
-                      hash_family: str = "xxhash64") -> DataFrame:
-    """Per-doc MinHash signature; signature[i] = min over shingles of
-    hash_i(shingle).
-
-    hash_family="xxhash64" (default): hash_i(s) = xxhash64(i, s) — native,
-    JVM-side, the 100-TB path. "portable": hash_i(s) =
-    (a_i*portable_hash(s) + b_i) mod 2^31-1 — slower (char fold) but
-    reproducible in the DuckDB oracle, so the whole signature is
-    value-checked (q67)."""
-    sh = _shingle_sets(df, id_col, text_col, k) \
-        .select("id", F.explode("shset").alias("sh"))
+def _signature_from_sets(sets_: DataFrame, num_hashes: int,
+                         hash_family: str) -> DataFrame:
+    """MinHash signatures from a precomputed (id, shset) frame — split
+    out so minhash_lsh_pairs can reuse ONE persisted shingle pass for
+    both the signature aggregation and the verify join (one corpus scan,
+    not two)."""
+    sh = sets_.select("id", F.explode("shset").alias("sh"))
     if hash_family == "portable":
         a_, b_ = perm_constants(num_hashes)
         sh = sh.select("id", portable_hash(F.col("sh")).alias("hb"))
@@ -217,6 +216,21 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str = "text",
     sig = sh.groupBy("id").agg(*mins)
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)])
                       .alias("signature"))
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str = "text",
+                      k: int = 3, num_hashes: int = 32,
+                      hash_family: str = "xxhash64") -> DataFrame:
+    """Per-doc MinHash signature; signature[i] = min over shingles of
+    hash_i(shingle).
+
+    hash_family="xxhash64" (default): hash_i(s) = xxhash64(i, s) — native,
+    JVM-side, the 100-TB path. "portable": hash_i(s) =
+    (a_i*portable_hash(s) + b_i) mod 2^31-1 — slower (char fold) but
+    reproducible in the DuckDB oracle, so the whole signature is
+    value-checked (q67)."""
+    return _signature_from_sets(_shingle_sets(df, id_col, text_col, k),
+                                num_hashes, hash_family)
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
@@ -235,7 +249,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     pipeline oracle-reproducible (q69)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, k, num_hashes, hash_family)
+    # ONE shingle pass feeds both the signature aggregation and (when
+    # verifying) the exact-Jaccard join — at 100 TB this halves the
+    # corpus scans; the persisted set frame is ~1-2% of corpus bytes
+    sets_ = _shingle_sets(df, id_col, text_col, k)
+    if verify:
+        sets_ = sets_.persist()
+    sig = _signature_from_sets(sets_, num_hashes, hash_family)
     if hash_family == "portable":
         band_exprs = [F.array(*[F.col("signature")[bi * r + j]
                                 for j in range(r)]) for bi in range(bands)]
@@ -259,7 +279,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
             .repartition(p, "id_a", "id_b").distinct())
     if not verify:
         return cand
-    return verify_pairs_jaccard(df, cand, id_col, text_col, k, threshold)
+    return verify_pairs_jaccard(df, cand, id_col, text_col, k, threshold,
+                                sets=sets_)
 
 
 # ---------------------------------------------------------------------------
