@@ -30,7 +30,10 @@ from juliadb_jl_spark.operators.join import (
     join, groupjoin, asofjoin, naturaljoin, leftjoin, merge, broadcast_nd,
     innerjoin, salted_join, range_join, bloom_semi_join, bloom_bitmap,
 )
-from juliadb_jl_spark.plans.diagnostics import tracktime, timings, reset_timings
+from juliadb_jl_spark.plans.diagnostics import (
+    tracktime, timings, reset_timings, start_tracking_time,
+    stop_tracking_time, fetch_timings,
+)
 from juliadb_jl_spark.operators.sort import (
     sort, reindex, rechunk, subtable, permutedims_nd, partition_iter,
 )
@@ -44,6 +47,16 @@ from juliadb_jl_spark.sources.parquet import save, load
 from juliadb_jl_spark.sources.jdbc import load_jdbc, save_jdbc
 from juliadb_jl_spark.functions import stats
 from juliadb_jl_spark.functions.stats import partitionplot
+from juliadb_jl_spark import ml as ML
+from juliadb_jl_spark.api import (
+    ColDict, Columns, chunks, colnames, column, columns, compute,
+    distribute, glob, keys_, pairs, rechunk_together, rows, values_,
+)
+from juliadb_jl_spark.sources.csv import loadtable as load_table
+from juliadb_jl_spark.plans.table import NDSparse as _ND
+
+# reference insert_row! — immutable set_value divergence (documented)
+insert_row = _ND.set_value
 
 # The reference exports `NA` (TextParse missing sentinel); Spark's single
 # null representation makes it plain None here.
@@ -69,6 +82,10 @@ __all__ = [
     "ingest", "ingest_", "loadfiles", "csvread", "aggregate_stats",
     "load_jdbc", "save_jdbc",
     "partitionplot", "NA",
+    "ColDict", "Columns", "chunks", "colnames", "column", "columns",
+    "compute", "distribute", "glob", "keys_", "pairs", "rechunk_together",
+    "rows", "values_", "ML", "load_table", "insert_row",
+    "start_tracking_time", "stop_tracking_time", "fetch_timings",
 ]
 
 __version__ = "0.1.0"

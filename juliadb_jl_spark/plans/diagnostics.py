@@ -54,3 +54,24 @@ def timings() -> pd.DataFrame:
 
 def reset_timings() -> None:
     _EVENTS.clear()
+
+
+# Imperative form of the same tracker (reference start_tracking_time /
+# stop_tracking_time / fetch_timings!, src/diagnostics.jl)
+_ACTIVE: list = []
+
+
+def start_tracking_time(label: str = "tracked",
+                        spark: SparkSession | None = None) -> None:
+    cm = tracktime(label, spark)
+    cm.__enter__()
+    _ACTIVE.append(cm)
+
+
+def stop_tracking_time() -> None:
+    if _ACTIVE:
+        _ACTIVE.pop().__exit__(None, None, None)
+
+
+def fetch_timings() -> pd.DataFrame:
+    return timings()
