@@ -136,3 +136,36 @@ def pack_tokens(df: DataFrame, token_col: str, budget: int,
     b = out.withColumn(name, F.floor(F.col("__cum") / F.lit(float(budget)))
                        .cast("long"))
     return b.drop("__cum")
+
+
+def pack_tokens_exact(df: DataFrame, token_col: str, budget: int,
+                      order: Sequence[str], by: str,
+                      name: str = "bin") -> DataFrame:
+    """Greedy packing with reset: walk the group in `order`, open a new
+    bin whenever adding the next document would exceed `budget` — bins
+    never overrun (an oversized single document gets its own bin).
+
+    The greedy scan is inherently sequential, so this variant REQUIRES a
+    group key (`by`) and parallelizes across groups (applyInPandas, one
+    Arrow batch per group); use the offset-based `pack_tokens` when a
+    global packing must scale. Bin ids are per-group, 0-based."""
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in df.schema.fields)
+    out_schema = f"{ddl}, `{name}` bigint"
+    order_cols = list(order)
+
+    def _pack(pdf):
+        import pandas as pd  # noqa: F401 (worker-side)
+        pdf = pdf.sort_values(order_cols, ignore_index=True)
+        bins, fill, cur = [], 0, 0
+        for tok in pdf[token_col]:
+            t = int(tok)
+            if fill > 0 and fill + t > budget:
+                cur += 1
+                fill = 0
+            bins.append(cur)
+            fill += t
+        pdf[name] = bins
+        return pdf
+
+    return df.groupBy(by).applyInPandas(_pack, schema=out_schema)

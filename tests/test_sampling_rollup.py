@@ -100,6 +100,67 @@ def test_pack_tokens_grouped(docs):
         assert (g["bin"] == cum_excl // 4000).all()
 
 
+def test_pack_tokens_exact_greedy_reset(docs):
+    out = SP.pack_tokens_exact(docs, "n_tok", budget=4000, order=["id"],
+                               by="source")
+    pdf = out.select("source", "id", "n_tok", "bin").toPandas()
+    for _, g in pdf.groupby("source"):
+        g = g.sort_values("id", ignore_index=True)
+        # python greedy reference
+        bins, fill, cur = [], 0, 0
+        for t in g["n_tok"]:
+            if fill > 0 and fill + t > 4000:
+                cur, fill = cur + 1, 0
+            bins.append(cur)
+            fill += t
+        assert g["bin"].tolist() == bins
+        # invariant: no bin exceeds the budget (max n_tok is 1000 < budget)
+        assert (g.groupby("bin")["n_tok"].sum() <= 4000).all()
+
+
+def test_pack_tokens_exact_oversized_doc(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 5000), (3, 10)], ["id", "n_tok"]) \
+        .withColumn("g", F.lit("x"))
+    pdf = SP.pack_tokens_exact(df, "n_tok", budget=100, order=["id"],
+                               by="g").toPandas().sort_values("id")
+    # the oversized doc opens (and overruns) its own bin
+    assert pdf["bin"].tolist() == [0, 1, 2]
+
+
+def test_sampling_chunk_invariance(docs):
+    """Hash-based selection must not depend on partitioning — the core
+    distributed-correctness property (reference sweeps chunk counts)."""
+    base = None
+    for n in [1, 2, 5]:
+        d = docs.repartition(n)
+        split = SP.split_by_hash(d, "id", {"a": 0.5, "b": 0.5}) \
+            .select("id", "split").toPandas().sort_values("id",
+                                                          ignore_index=True)
+        strat = SP.stratified_sample(d, "source", 10, key="id") \
+            .select("id").toPandas().sort_values("id", ignore_index=True)
+        pack = SP.pack_tokens(d, "n_tok", budget=4000, order=["id"]) \
+            .select("id", "bin").toPandas().sort_values("id",
+                                                        ignore_index=True)
+        got = (split, strat, pack)
+        if base is None:
+            base = got
+        else:
+            for b, g in zip(base, got):
+                assert b.equals(g)
+
+
+def test_rollup_chunk_invariance(docs):
+    base = None
+    for n in [1, 2, 5]:
+        st = RU.rollup_state(docs.repartition(n), "source", "n_tok") \
+            .toPandas().sort_values("source", ignore_index=True)
+        if base is None:
+            base = st
+        else:
+            assert base.equals(st)
+
+
 def test_rollup_merge_equals_full_state(docs):
     """merge(state(A), state(B)) == state(A ∪ B), exactly."""
     a = RU.rollup_state(docs.filter(F.col("id") % 2 == 0), "source", "n_tok")
