@@ -37,11 +37,16 @@ class RollupSink:
     finalize with functions.rollup.rollup_finalize."""
 
     def __init__(self, path: str, by, cols, time_col: str | None = None,
-                 grain: str = "day", keep_versions: int = 2):
+                 grain: str = "day", keep_versions: int = 2,
+                 partition_by: list[str] | None = None):
         self.path = path
         self.by, self.cols = by, cols
         self.time_col, self.grain = time_col, grain
         self.keep_versions = keep_versions
+        # e.g. partition_by=["bucket"]: state files laid out by time
+        # bucket, so serving queries with a bucket predicate read only
+        # matching partitions (partition pruning on the state table)
+        self.partition_by = partition_by
 
     def _versions(self) -> list[int]:
         if not os.path.isdir(self.path):
@@ -74,7 +79,10 @@ class RollupSink:
         else:
             merged = delta
         target = os.path.join(self.path, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(target)
+        writer = merged.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(target)
         # prune versions older than the predecessors a retry could need
         for v in self._versions()[:-self.keep_versions]:
             shutil.rmtree(os.path.join(self.path, f"v{v}"),

@@ -55,6 +55,23 @@ def test_incremental_rollup_equals_batch(spark, tmp_path):
     assert (got["v_var"] - want["v_var"]).abs().max() < 1e-6
 
 
+def test_partitioned_state_layout(spark, tmp_path):
+    """partition_by lays the state out for partition pruning on serving
+    queries (e.g. by time bucket)."""
+    from pyspark.sql import functions as F
+    state = str(tmp_path / "state")
+    sink = RollupSink(state, by="k", cols="v", time_col="ts", grain="day",
+                      partition_by=["bucket"])
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5), (1, "2024-01-02 09:00:00", 7)],
+        ["k", "ts", "v"]).withColumn("ts", F.col("ts").cast("timestamp"))
+    sink(df, 0)
+    vdir = os.path.join(state, "v0")
+    assert any(d.startswith("bucket=") for d in os.listdir(vdir))
+    got = sink.current(spark)
+    assert got.count() == 2 and "bucket" in got.columns
+
+
 def test_retry_does_not_double_count(spark, tmp_path):
     """Replaying a batch id (foreachBatch at-least-once) re-merges from
     the same predecessor instead of double-counting."""
