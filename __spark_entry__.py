@@ -626,8 +626,9 @@ def q33(spark, sf_dir):
     out = (ev.withColumn("prev_ts", F.lag("ts").over(w))
            .withColumn("new_s",
                        (F.col("prev_ts").isNull() |
-                        (F.col("ts").cast("long") - F.col("prev_ts").cast("long")
-                         > 3600)).cast("int"))
+                        (F.unix_micros(F.col("ts"))
+                         - F.unix_micros(F.col("prev_ts"))
+                         > 3_600_000_000)).cast("int"))
            .groupBy("user_id")
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.sum("new_s").alias("n_sessions")))
@@ -1149,19 +1150,22 @@ SELECT p.user_id, p.event_id AS purchase_id, count(c.event_id) AS n_prior_clicks
 FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
 JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id
- AND epoch(p.ts) - epoch(c.ts) BETWEEN 0 AND 3600
+ AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000
 GROUP BY 1, 2
 """)
 def q63(spark, sf_dir):
     """bucketized range join (theta-join gap, operators/join.py:range_join):
     clicks within the hour before each purchase, per user — equi-join on
-    (user, bucket) + residual predicate, bounded replication, no cartesian."""
+    (user, bucket) + residual predicate, bounded replication, no cartesian.
+    Exact MICROSECOND bounds on both sides (unix_micros/epoch_us) — a
+    seconds-truncated cast admits pairs up to 1s outside the window
+    (caught by the sf0.1 sweep: a click 0.06s AFTER a purchase)."""
     ev = read_table(spark, sf_dir, "events")
     sel = lambda et: jdb.table(  # noqa: E731
         ev.filter(F.col("event_type") == et)
-        .select("user_id", "event_id", F.col("ts").cast("long").alias("t")))
+        .select("user_id", "event_id", F.unix_micros(F.col("ts")).alias("t")))
     j = jdb.range_join(sel("purchase"), sel("click"), on="user_id",
-                       l_col="t", r_col="t", lower=0, upper=3600)
+                       l_col="t", r_col="t", lower=0, upper=3_600_000_000)
     return (j.df.groupBy("user_id", F.col("event_id").alias("purchase_id"))
             .agg(F.count(F.lit(1)).alias("n_prior_clicks")))
 

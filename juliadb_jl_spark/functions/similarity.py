@@ -126,7 +126,13 @@ def ivf_topk(tagged_corpus: DataFrame, centroids, queries: DataFrame,
              k: int = 5, nprobe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", q_id_col: str | None = None) -> DataFrame:
     """ANN top-k: per query, score only the `nprobe` nearest cells.
-    Corpus partitioned/bucketed by cell → partition pruning does the work."""
+    Corpus partitioned/bucketed by cell → partition pruning does the work.
+
+    Scale assumption (by design): the QUERY set is collected to the
+    driver to route queries to cells — this is the top-k *serving* shape
+    (queries ≪ corpus; thousands, not billions). For query sets too big
+    for the driver, cross-join queries to centroids distributed and take
+    per-query nprobe mins instead."""
     import numpy as np
     q_id_col = q_id_col or id_col
     qpdf = queries.select(F.col(q_id_col).alias("query_id"),
