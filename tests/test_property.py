@@ -136,3 +136,39 @@ def test_join_combine_matches_pandas(spark, l, r):
            else lv.get(k, rv.get(k))
            for k in set(lv) | set(rv)}
     assert got == exp
+
+
+@st.composite
+def range_frames(draw):
+    """Two keyed frames with integer 'times' clustered tightly so range
+    windows and bucket boundaries are hit often."""
+    def side():
+        n = draw(st.integers(2, 20))
+        return pd.DataFrame({
+            "k": draw(st.lists(st.sampled_from(KEYS), min_size=n, max_size=n)),
+            "t": draw(st.lists(st.integers(0, 30), min_size=n, max_size=n)),
+            "i": range(n),
+        })
+    lower = draw(st.integers(-5, 5))
+    width = draw(st.integers(0, 10))
+    bucket = draw(st.sampled_from([None, 1, 3, 7]))
+    return side(), side(), lower, lower + width, bucket
+
+
+@given(data=range_frames())
+@_settings
+def test_range_join_matches_naive_cross(spark, data):
+    """Bucketized range join ≡ naive cross-join + predicate, including
+    exact boundary values and every bucket width (the q63 bug class)."""
+    lp, rp, lower, upper, bucket = data
+    lt = jdb.table(lp, spark=spark)
+    rt = jdb.table(rp, spark=spark)
+    got = jdb.range_join(lt, rt, on="k", l_col="t", r_col="t",
+                         lower=lower, upper=upper, bucket=bucket) \
+        .collect()
+    naive = lp.merge(rp, on="k", suffixes=("", "_1"))
+    naive = naive[(naive["t"] - naive["t_1"] >= lower)
+                  & (naive["t"] - naive["t_1"] <= upper)]
+    gkey = sorted(zip(got["k"], got["i"], got["i_1"]))
+    nkey = sorted(zip(naive["k"], naive["i"], naive["i_1"]))
+    assert gkey == nkey
