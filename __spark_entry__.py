@@ -1405,6 +1405,22 @@ def q72(spark, sf_dir):
         .select("doc_id", "bin")
 
 
+@_q("q74_mixture_downsample", f"""
+WITH h AS (SELECT doc_id, source, {_unit_sql('doc_id', 5)} AS u
+           FROM documents)
+SELECT doc_id, source FROM h
+WHERE u < (CASE WHEN source = 'src0' THEN 0.2
+                WHEN source = 'src1' THEN 0.7 ELSE 1.0 END)
+""")
+def q74(spark, sf_dir):
+    """mixture downsampling (functions/sampling.py:downsample_sources):
+    per-source deterministic keep rates — a pure filter, append-stable."""
+    d = read_table(spark, sf_dir, "documents")
+    return SP.downsample_sources(d, "source", {"src0": 0.2, "src1": 0.7},
+                                 key="doc_id", seed=5) \
+        .select("doc_id", "source")
+
+
 @_q("q73_incremental_rollup", """
 WITH e AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS v FROM events)
 SELECT user_id, count(*) AS n,
