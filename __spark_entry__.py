@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 import juliadb_jl_spark as jdb
+from juliadb_jl_spark.functions import curation as CU
 from juliadb_jl_spark.functions import dedup as DD
 from juliadb_jl_spark.functions import rollup as RU
 from juliadb_jl_spark.functions import sampling as SP
@@ -1450,6 +1451,161 @@ def q73(spark, sf_dir):
                       "value_c_max",
                       F.round("value_c_mean", 6).alias("mean_r6"),
                       F.round("value_c_var", 6).alias("var_r6"))
+
+
+# ===========================================================================
+# Corpus curation: repetition / PII / contamination / global shuffle
+# (q75-q78, functions/curation.py)
+# ===========================================================================
+
+@_q("q75_repetition_stats", r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id, toks,
+        CASE WHEN len(toks) >= 2
+          THEN [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+          ELSE [] END AS g2,
+        CASE WHEN len(toks) >= 3
+          THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                FOR i IN range(1, len(toks) - 1)]
+          ELSE [] END AS g3
+      FROM t)
+SELECT doc_id,
+  round(CASE WHEN len(toks) > 0
+    THEN 1.0 - len(list_distinct(toks)) / len(toks) ELSE 0.0 END, 6)
+    AS dup_tok_r6,
+  round(CASE WHEN len(g2) > 0
+    THEN 1.0 - len(list_distinct(g2)) / len(g2) ELSE 0.0 END, 6)
+    AS dup_2gram_r6,
+  round(CASE WHEN len(g3) > 0
+    THEN 1.0 - len(list_distinct(g3)) / len(g3) ELSE 0.0 END, 6)
+    AS dup_3gram_r6,
+  round(CASE WHEN len(g2) > 0
+    THEN list_aggregate(list_transform(list_distinct(g2),
+           x -> len(list_filter(g2, y -> y = x))), 'max') / len(g2)
+    ELSE 0.0 END, 6) AS top_2gram_r6
+FROM g
+""")
+def q75(spark, sf_dir):
+    """Gopher-style repetition signals (curation.repetition_stats):
+    duplicate-token / duplicate-n-gram / top-n-gram fractions — pure
+    per-row native expressions, zero shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    out = CU.repetition_stats(d)
+    return out.select(
+        "doc_id",
+        F.round("dup_tok_frac", 6).alias("dup_tok_r6"),
+        F.round("dup_2gram_frac", 6).alias("dup_2gram_r6"),
+        F.round("dup_3gram_frac", 6).alias("dup_3gram_r6"),
+        F.round("top_2gram_frac", 6).alias("top_2gram_r6"))
+
+
+# Deterministic PII fixture: the synthetic corpus is PII-free, so both
+# engines append identical doc_id-keyed PII strings, then detect/redact.
+_PII_AUG_SQL = """CASE doc_id % 4
+  WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+  WHEN 1 THEN ' call 555-123-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+  WHEN 2 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+              || CAST(doc_id % 254 + 1 AS VARCHAR)
+  ELSE '' END"""
+
+
+def _pii_aug_spark():
+    did = F.col("doc_id")
+    return (F.when(did % 4 == 0,
+                   F.concat(F.lit(" contact user"), did.cast("string"),
+                            F.lit("@example.com")))
+            .when(did % 4 == 1,
+                  F.concat(F.lit(" call 555-123-"),
+                           (did % 9000 + 1000).cast("string")))
+            .when(did % 4 == 2,
+                  F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                           F.lit("."), (did % 254 + 1).cast("string")))
+            .otherwise(F.lit("")))
+
+
+@_q("q76_pii_scrub", f"""
+WITH aug AS (SELECT doc_id, text || {_PII_AUG_SQL} AS text FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '{CU.PII_PATTERNS["email"]}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text,
+         '{CU.PII_PATTERNS["ipv4"]}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text,
+         '{CU.PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+         '{CU.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+         '{CU.PII_PATTERNS["ipv4"]}', '<IPV4>', 'g'),
+         '{CU.PII_PATTERNS["phone"]}', '<PHONE>', 'g')) AS scrub_md5
+FROM aug
+""")
+def q76(spark, sf_dir):
+    """PII detect + redact (curation.pii_counts / scrub_pii) over a
+    deterministic doc_id-keyed PII augmentation; the scrubbed text is
+    value-checked by md5. Native regexes, zero shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    aug = d.withColumn("text", F.concat(F.col("text"), _pii_aug_spark()))
+    out = CU.add_pii_columns(aug)
+    return out.select(
+        "doc_id",
+        F.col("n_pii_email").cast("long").alias("n_email"),
+        F.col("n_pii_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_pii_phone").cast("long").alias("n_phone"),
+        F.md5("text_scrubbed").alias("scrub_md5"))
+
+
+@_q("q77_contamination", r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 5
+          THEN [array_to_string(toks[i:i+4], ' ')
+                FOR i IN range(1, len(toks) - 3)]
+          ELSE [] END)) AS s
+      FROM t),
+bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 97 = 0),
+corp AS (SELECT doc_id, s FROM g WHERE doc_id % 97 <> 0)
+SELECT d.doc_id,
+       CAST(count(c.s) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       round(CASE WHEN count(c.s) > 0
+         THEN CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(c.s) ELSE 0.0 END, 6) AS contamination_r6
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN corp c ON d.doc_id = c.doc_id
+LEFT JOIN bench b ON c.s = b.s
+GROUP BY d.doc_id
+""")
+def q77(spark, sf_dir):
+    """benchmark-contamination check (curation.contamination_report):
+    distinct word-5-gram overlap of every corpus doc against a held-out
+    benchmark slice (doc_id % 97 == 0). The benchmark reduces to its
+    distinct n-gram set and broadcasts — the corpus is never shuffled
+    beyond one per-doc aggregation."""
+    d = read_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corp = d.filter(F.col("doc_id") % 97 != 0)
+    rep = CU.contamination_report(corp, bench, n=5)
+    return rep.select("doc_id", "n_grams", "n_hits",
+                      F.round("contamination", 6).alias("contamination_r6"))
+
+
+@_q("q78_global_shuffle", f"""
+WITH h AS (SELECT doc_id, {_unit_sql('doc_id', 7)} AS u FROM documents)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY u, doc_id) - 1 AS BIGINT) AS pos
+FROM h
+""")
+def q78(spark, sf_dir):
+    """deterministic global shuffle of training order
+    (curation.shuffle_rows): sort by seeded portable key hash — a
+    reproducible seed-keyed permutation; position via the two-pass
+    parallel numbering (no single-partition Exchange; the oracle's
+    global window is exactly what we avoid)."""
+    d = read_table(spark, sf_dir, "documents")
+    return CU.shuffle_rows(d, "doc_id", seed=7, pos_col="pos") \
+        .select("doc_id", "pos")
 
 
 # ===========================================================================

@@ -1,0 +1,225 @@
+"""Corpus-curation operators for LLM training-data pipelines:
+repetition signals (Gopher-style quality rules), PII detection and
+redaction, benchmark-contamination checks, and deterministic global
+shuffling of training order.
+
+Scale (100 TB):
+- Repetition and PII operators are pure per-row native Column
+  expressions — embarrassingly parallel maps, zero shuffle, fully
+  codegen'd JVM-side. (`top_element_fraction` is O(distinct·len) per
+  row — fine for documents chunked at ingest; for pathological
+  multi-MB docs use the explode-based `top_ngram_fraction_grouped`.)
+- Contamination joins the exploded corpus n-grams against the
+  benchmark n-gram set; the benchmark (an eval suite) is tiny relative
+  to the corpus, so it broadcasts and the corpus is never shuffled —
+  one explode + one per-doc aggregation.
+- `shuffle_rows` is sort-by-seeded-hash: a deterministic, seed-keyed
+  permutation realized as ONE range repartition; the optional global
+  position uses the two-pass parallel numbering (no single-partition
+  Exchange).
+
+Every operator is mirrorable in ANSI/DuckDB SQL for the correctness
+oracle (list_distinct / regexp_extract_all / identical hash constants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from juliadb_jl_spark.functions.sampling import hash_unit
+from juliadb_jl_spark.functions.text import shingles
+from juliadb_jl_spark.operators.sort import with_global_rownum
+
+# ---------------------------------------------------------------------------
+# Repetition signals (the Gopher repetition-filter family)
+# ---------------------------------------------------------------------------
+
+
+def lines_(col: Column) -> Column:
+    """Non-empty lines of a document as array<string>."""
+    return F.filter(F.split(col, "\n"), lambda x: F.length(x) > 0)
+
+
+def paragraphs(col: Column) -> Column:
+    """Non-blank paragraphs (blank-line separated) as array<string>."""
+    parts = F.split(col, r"\n\s*\n")
+    return F.filter(parts, lambda x: F.length(F.trim(x)) > 0)
+
+
+def dup_fraction(arr: Column) -> Column:
+    """Fraction of array elements that are repeats of an earlier element:
+    1 - distinct/total (0 for empty arrays). Native, per-row."""
+    n = F.size(arr)
+    return F.when(n > 0,
+                  F.lit(1.0) - F.size(F.array_distinct(arr)) / n) \
+        .otherwise(F.lit(0.0))
+
+
+def top_element_fraction(arr: Column) -> Column:
+    """Occurrences of the most frequent element / total elements (0 for
+    empty arrays). Per-row native expression: counts each DISTINCT
+    element with a higher-order filter — O(distinct·len) per row, no
+    shuffle. For multi-MB documents prefer `top_ngram_fraction_grouped`."""
+    n = F.size(arr)
+    counts = F.transform(
+        F.array_distinct(arr),
+        lambda x: F.size(F.filter(arr, lambda y: y == x)))
+    return F.when(n > 0, F.array_max(counts) / n).otherwise(F.lit(0.0))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard repetition-quality columns (all per-row
+    native; the Gopher-style 'repetitious document' signals):
+
+    - dup_line_frac / dup_para_frac — duplicate lines / paragraphs
+    - dup_tok_frac — duplicate whitespace tokens
+    - dup_2gram_frac / dup_3gram_frac — duplicate word n-grams
+    - top_2gram_frac — share of the single most frequent 2-gram
+
+    Filter rule of thumb (Gopher): drop when dup_line_frac > 0.30,
+    dup_para_frac > 0.30, or top_2gram_frac > 0.20.
+    """
+    c = F.col(text_col)
+    return (df
+            .withColumn("dup_line_frac", dup_fraction(lines_(c)))
+            .withColumn("dup_para_frac", dup_fraction(paragraphs(c)))
+            .withColumn("dup_tok_frac",
+                        dup_fraction(F.split(F.trim(c), r"\s+")))
+            .withColumn("dup_2gram_frac", dup_fraction(shingles(c, 2)))
+            .withColumn("dup_3gram_frac", dup_fraction(shingles(c, 3)))
+            .withColumn("top_2gram_frac",
+                        top_element_fraction(shingles(c, 2))))
+
+
+def top_ngram_fraction_grouped(df: DataFrame, id_col: str,
+                               text_col: str = "text", n: int = 2,
+                               name: str = "top_ngram_frac") -> DataFrame:
+    """Explode-based variant of `top_element_fraction` for very large
+    documents: explode n-grams, count per (doc, gram), take the per-doc
+    max — two shuffles but per-row work is linear. Returns
+    (id_col, name); docs with < n tokens get 0.0."""
+    grams = df.select(F.col(id_col),
+                      F.explode_outer(shingles(F.col(text_col), n))
+                      .alias("__g"))
+    per_gram = grams.groupBy(id_col, "__g") \
+        .agg(F.count(F.lit(1)).alias("__c"))
+    return (per_gram.groupBy(id_col)
+            .agg(F.when(F.max(F.col("__g").isNotNull().cast("int")) == 1,
+                        F.max("__c") / F.sum("__c"))
+                 .otherwise(F.lit(0.0)).alias(name)))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+# Patterns stay inside the RE2 ∩ java.util.regex common subset (no
+# lookaround, no backreferences) so Spark and the DuckDB oracle compile
+# the IDENTICAL pattern strings. Redaction order is fixed (email first:
+# its local/domain parts can embed digit runs the later patterns match).
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"(\+?\d{1,2}[-. ])?(\(\d{3}\)|\d{3})[-. ]?\d{3}[-. ]\d{4}",
+}
+
+_PII_ORDER = ("email", "ipv4", "phone")
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-category PII match counts (native regexp_count, no shuffle)."""
+    return {name: F.regexp_count(col, F.lit(pat))
+            for name, pat in PII_PATTERNS.items()}
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact every PII category to a `<CATEGORY>` placeholder, in the
+    fixed `_PII_ORDER` so overlapping matches resolve deterministically."""
+    out = col
+    for name in _PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name.upper()}>")
+    return out
+
+
+def add_pii_columns(df: DataFrame, text_col: str = "text",
+                    scrubbed_col: str = "text_scrubbed") -> DataFrame:
+    """Attach n_pii_<cat> count columns and the scrubbed text."""
+    c = F.col(text_col)
+    for name, cnt in pii_counts(c).items():
+        df = df.withColumn(f"n_pii_{name}", cnt)
+    return df.withColumn(scrubbed_col, scrub_pii(c))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_report(corpus: DataFrame, benchmark: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n: int = 5,
+                         broadcast_benchmark: bool = True) -> DataFrame:
+    """Per-corpus-document overlap with a benchmark/eval document set,
+    measured on DISTINCT word n-grams (the standard decontamination
+    check: an eval example 'leaks' into training data when long n-grams
+    of it appear verbatim).
+
+    Returns (id_col, n_grams, n_hits, contamination) where
+    contamination = n_hits / n_grams in [0,1]; documents with < n
+    tokens report 0 grams / 0 hits / 0.0.
+
+    Scale: the benchmark side reduces to its distinct n-gram set —
+    eval suites are tiny next to a 100 TB corpus — and broadcasts, so
+    the corpus is ONE explode + ONE per-doc aggregation with no corpus
+    shuffle beyond the groupBy(id). Set broadcast_benchmark=False to
+    fall back to a shuffled join when the 'benchmark' is itself huge
+    (e.g. corpus-vs-corpus leakage).
+    """
+    grams = corpus.select(
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(shingles(F.col(text_col), n)))
+        .alias("__g"))
+    bench = benchmark.select(
+        F.explode(F.array_distinct(shingles(F.col(text_col), n)))
+        .alias("__g")).distinct().withColumn("__hit", F.lit(1))
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    joined = grams.join(bench, "__g", "left")
+    n_grams = F.sum(F.col("__g").isNotNull().cast("long"))
+    n_hits = F.sum(F.coalesce(F.col("__hit"), F.lit(0)).cast("long"))
+    return (joined.groupBy(id_col)
+            .agg(n_grams.alias("n_grams"), n_hits.alias("n_hits"))
+            .withColumn("contamination",
+                        F.when(F.col("n_grams") > 0,
+                               F.col("n_hits") / F.col("n_grams"))
+                        .otherwise(F.lit(0.0))))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle (training order)
+# ---------------------------------------------------------------------------
+
+
+def shuffle_rows(df: DataFrame, key: str, seed: int = 1,
+                 pos_col: str | None = None) -> DataFrame:
+    """Deterministic global shuffle: order rows by the seeded portable
+    key hash (`sampling.hash_unit`) with the key as tie-break — a
+    reproducible random permutation of training order, keyed only by
+    (data, seed): stable across runs, engines, partition counts and
+    cluster sizes; changing `seed` gives an independent epoch order.
+
+    Realized as one repartitionByRange + local sort (partitions come
+    out range-ordered by hash — exactly the layout a sharded training
+    reader wants). `pos_col` additionally materializes the 0-based
+    global position via the two-pass parallel numbering (no
+    single-partition Exchange).
+    """
+    out = df.withColumn("__u", hash_unit(F.col(key), seed))
+    out = (out.repartitionByRange(F.col("__u"), F.col(key))
+           .sortWithinPartitions(F.col("__u"), F.col(key)))
+    if pos_col is not None:
+        out = with_global_rownum(out, pos_col,
+                                 order=[F.col("__u"), F.col(key)])
+        out = out.withColumn(pos_col, F.col(pos_col) - 1)
+    return out.drop("__u")
