@@ -1,0 +1,140 @@
+"""Corpus-curation operators (functions/curation.py): repetition
+signals vs hand-computed goldens, PII detect/redact, contamination
+against a brute-force oracle, and the deterministic global shuffle
+(permutation, seed-keying, partition invariance, scale-plan assert)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from juliadb_jl_spark.functions import curation as CU
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the cat sat on the mat the cat sat again"),
+        (1, "a a a a a a a a"),
+        (2, "all tokens here are completely distinct words"),
+        (3, "para one\n\npara one\n\npara two"),
+        (4, ""),
+        (5, "line1\nline1\nline2\nline3"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_repetition_stats_golden(corpus):
+    out = {r["doc_id"]: r for r in CU.repetition_stats(corpus).collect()}
+    # doc 1: 8 tokens, 1 distinct -> dup_tok 7/8; 7 bigrams all "a a"
+    assert out[1]["dup_tok_frac"] == pytest.approx(7 / 8)
+    assert out[1]["dup_2gram_frac"] == pytest.approx(6 / 7)
+    assert out[1]["top_2gram_frac"] == pytest.approx(1.0)
+    # doc 2: all distinct
+    assert out[2]["dup_tok_frac"] == 0.0
+    assert out[2]["dup_2gram_frac"] == 0.0
+    # doc 3: 3 paragraphs, 2 distinct
+    assert out[3]["dup_para_frac"] == pytest.approx(1 / 3)
+    # doc 5: 4 lines, 3 distinct
+    assert out[5]["dup_line_frac"] == pytest.approx(1 / 4)
+    # doc 0: "the cat sat" family — 10 tokens, 6 distinct; top bigram
+    # "the cat"/"cat sat" appears 2x of 9
+    assert out[0]["dup_tok_frac"] == pytest.approx(4 / 10)
+    assert out[0]["top_2gram_frac"] == pytest.approx(2 / 9)
+    # empty doc: all zeros, no nulls
+    assert all(out[4][c] == 0.0 for c in
+               ("dup_line_frac", "dup_para_frac", "dup_tok_frac",
+                "dup_2gram_frac", "dup_3gram_frac", "top_2gram_frac"))
+
+
+def test_top_ngram_grouped_matches_per_row(corpus):
+    """The explode-based large-doc variant must agree with the per-row
+    native expression on every doc (including < n tokens -> 0.0)."""
+    per_row = {r["doc_id"]: r["top_2gram_frac"]
+               for r in CU.repetition_stats(corpus).collect()}
+    grouped = {r["doc_id"]: r["top_ngram_frac"]
+               for r in CU.top_ngram_fraction_grouped(
+                   corpus, "doc_id", n=2).collect()}
+    assert set(grouped) == set(per_row)
+    for k in per_row:
+        assert grouped[k] == pytest.approx(per_row[k]), k
+
+
+def test_pii_counts_and_scrub(spark):
+    rows = [
+        (0, "mail me at alice.smith+x@example.co.uk or bob@test.org"),
+        (1, "server 192.168.1.254 then call (415) 555-2671 now"),
+        (2, "nothing sensitive here 12345"),
+        (3, "mixed a@b.io from 10.0.0.1 phone 555-867-5309"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r for r in CU.add_pii_columns(df).collect()}
+    assert (out[0]["n_pii_email"], out[0]["n_pii_ipv4"],
+            out[0]["n_pii_phone"]) == (2, 0, 0)
+    assert (out[1]["n_pii_email"], out[1]["n_pii_ipv4"],
+            out[1]["n_pii_phone"]) == (0, 1, 1)
+    assert (out[2]["n_pii_email"], out[2]["n_pii_ipv4"],
+            out[2]["n_pii_phone"]) == (0, 0, 0)
+    assert (out[3]["n_pii_email"], out[3]["n_pii_ipv4"],
+            out[3]["n_pii_phone"]) == (1, 1, 1)
+    assert out[2]["text_scrubbed"] == out[2]["text"]  # no-op on clean text
+    s = out[3]["text_scrubbed"]
+    assert "<EMAIL>" in s and "<IPV4>" in s and "<PHONE>" in s
+    assert "a@b.io" not in s and "10.0.0.1" not in s and "5309" not in s
+    # email scrubbed before ipv4/phone: the address never half-matches
+    assert out[0]["text_scrubbed"] == \
+        "mail me at <EMAIL> or <EMAIL>"
+
+
+def test_contamination_vs_bruteforce(spark):
+    import itertools
+    texts = ["alpha beta gamma delta epsilon zeta",
+             "alpha beta gamma delta epsilon eta theta",
+             "one two three four five six seven",
+             "short doc", ""]
+    corpus = spark.createDataFrame(list(enumerate(texts)),
+                                   ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon"),
+         (1, "five six seven eight nine")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           CU.contamination_report(corpus, bench, n=5).collect()}
+
+    def grams(t, n=5):
+        toks = t.split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    bset = set(itertools.chain.from_iterable(
+        grams(t) for _, t in [(0, "alpha beta gamma delta epsilon"),
+                              (1, "five six seven eight nine")]))
+    for i, t in enumerate(texts):
+        g = grams(t)
+        assert out[i]["n_grams"] == len(g), i
+        assert out[i]["n_hits"] == len(g & bset), i
+        expect = len(g & bset) / len(g) if g else 0.0
+        assert out[i]["contamination"] == pytest.approx(expect), i
+
+
+def test_shuffle_rows_permutation_and_seed(spark):
+    df = spark.createDataFrame([(i, i * 2) for i in range(500)],
+                               ["k", "v"])
+    out = CU.shuffle_rows(df, "k", seed=3, pos_col="pos").collect()
+    assert sorted(r["k"] for r in out) == list(range(500))   # permutation
+    assert sorted(r["pos"] for r in out) == list(range(500))  # 0-based dense
+    order1 = [r["k"] for r in sorted(out, key=lambda r: r["pos"])]
+    assert order1 != list(range(500))  # actually shuffled
+    # deterministic: same seed + repartitioned input -> identical order
+    out2 = CU.shuffle_rows(df.repartition(13), "k", seed=3,
+                           pos_col="pos").collect()
+    order2 = [r["k"] for r in sorted(out2, key=lambda r: r["pos"])]
+    assert order2 == order1
+    # seed-keyed: a different seed gives a different permutation
+    out3 = CU.shuffle_rows(df, "k", seed=4, pos_col="pos").collect()
+    order3 = [r["k"] for r in sorted(out3, key=lambda r: r["pos"])]
+    assert order3 != order1
+
+
+def test_shuffle_rows_no_single_partition_exchange(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    plan = CU.shuffle_rows(df, "k", pos_col="pos") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
