@@ -1608,6 +1608,70 @@ def q78(spark, sf_dir):
         .select("doc_id", "pos")
 
 
+# Shared CTE text: near-dup pairs (q35's oracle) + recursive transitive
+# closure -> (node, component-min). DuckDB's recursive UNION dedups, so the
+# closure terminates; components are minima over the reachable set.
+_CLUSTER_CTE_SQL = r"""
+sh AS (
+  SELECT DISTINCT doc_id AS id, s FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 3
+             THEN [array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')
+                   FOR i IN range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1)]
+             ELSE [] END) AS s
+    FROM documents)),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b
+          FROM inter JOIN sizes sa ON id_a = sa.id
+                     JOIN sizes sb ON id_b = sb.id
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+und AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u),
+comp AS (SELECT u AS node, least(u, min(v)) AS component
+         FROM reach GROUP BY u)
+"""
+
+
+@_q("q79_dup_clusters", f"""
+WITH RECURSIVE {_CLUSTER_CTE_SQL}
+SELECT node, component FROM comp
+""")
+def q79(spark, sf_dir):
+    """duplicate-cluster resolution (dedup.connected_components):
+    transitive closure over the exact n-gram-Jaccard pair list via
+    alternating large-star/small-star (Kiveris et al., SoCC'14) —
+    O(log^2 n) rounds, each one groupBy-min + one join, no adjacency
+    list ever materialized in a single task. The oracle computes the
+    same closure with a recursive CTE (fine at sf, exponential blowup
+    at scale — exactly why the star algorithm exists)."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, "doc_id", k=3, threshold=0.5)
+    return DD.connected_components(pairs)
+
+
+@_q("q80_dedup_clusters", f"""
+WITH RECURSIVE {_CLUSTER_CTE_SQL}
+SELECT d.doc_id, md5(d.text) AS text_md5 FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+""")
+def q80(spark, sf_dir):
+    """end-to-end near-dup removal (dedup.dedup_by_clusters): drop every
+    non-canonical member of each duplicate cluster, keep the smallest-id
+    representative; unpaired docs pass through. One left-anti join
+    against the loser set — the corpus itself is never shuffled."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, "doc_id", k=3, threshold=0.5)
+    return DD.dedup_by_clusters(d, pairs, "doc_id") \
+        .select("doc_id", F.md5("text").alias("text_md5"))
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================

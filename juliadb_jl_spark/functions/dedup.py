@@ -370,3 +370,90 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
     return (cand.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                         cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+# Any of the pair generators above (jaccard / minhash / simhash / embedding)
+# emits an undirected "is-duplicate-of" edge list; deduplication needs the
+# transitive closure: A~B and B~C puts all three in one cluster even if A,C
+# were never compared. Computed with the alternating large-star / small-star
+# MapReduce algorithm (Kiveris et al., "Connected Components in MapReduce
+# and Beyond", SoCC'14): converges in O(log^2 n) rounds (2-3 in practice for
+# dedup graphs, which are unions of near-cliques), every round is one
+# groupBy-min plus one join — no collect_list of neighbor sets, so a hot
+# node with millions of neighbors never materializes its adjacency in one
+# task. Each round's edge set is persisted and localCheckpoint'd to truncate
+# the lineage (iterative plans otherwise grow exponentially).
+
+
+def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Resolve an undirected edge list into components.
+
+    Returns (node, component) for every node that appears in `pairs`,
+    where `component` is the smallest node id in that node's component
+    (component minima map to themselves).
+    """
+    edges = (pairs.select(F.col(a).cast("long").alias("u"),
+                          F.col(b).cast("long").alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct())
+    members = (edges.select(F.col("u").alias("node"))
+               .union(edges.select(F.col("v").alias("node"))).distinct()
+               .persist())
+    members.count()
+
+    def large_star(e: DataFrame) -> DataFrame:
+        und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = und.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        return (und.join(mins, "u").filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .distinct())
+
+    def small_star(e: DataFrame) -> DataFrame:
+        dird = e.select(F.greatest("u", "v").alias("u"),
+                        F.least("u", "v").alias("v"))
+        mins = dird.groupBy("u").agg(F.min("v").alias("m"))
+        out = (dird.join(mins, "u")
+               .select(F.col("v").alias("u"), F.col("m").alias("v"))
+               .union(mins.select(F.col("u"), F.col("m").alias("v"))))
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    cur = edges.persist()
+    prev_sig = None
+    for _ in range(max_iter):
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        sig = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h")
+        ).collect()[0]
+        cur.unpersist()
+        cur = nxt
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+
+    # At the fixpoint the edges form stars (node -> component min); centers
+    # (the minima) appear only on the right, so default them to themselves.
+    labels = (members.join(cur.withColumnRenamed("u", "node"), "node", "left")
+              .select("node",
+                      F.coalesce("v", "node").alias("component")))
+    members.unpersist()
+    return labels
+
+
+def dedup_by_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
+                      a: str = "id_a", b: str = "id_b") -> DataFrame:
+    """Full-pipeline dedup: collapse transitive duplicate clusters, keeping
+    the smallest-id member of each cluster; rows in no pair pass through.
+    One anti-join against the (tiny relative to the corpus) non-canonical
+    member set — the corpus itself is never shuffled."""
+    comp = connected_components(pairs, a, b)
+    losers = comp.filter(F.col("node") != F.col("component")) \
+        .select(F.col("node").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

@@ -220,3 +220,69 @@ def test_multimodal_resize_and_frames(tables):
     import pytest
     with pytest.raises(Exception, match="PIL|libav"):
         MM.resize_images(media, 8, 8).toPandas()
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+def _uf_min_components(edges):
+    """Brute-force oracle: union-find, then min node id per component."""
+    nodes = sorted({x for e in edges for x in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for n in nodes:
+        groups[find(n)].append(n)
+    return {n: min(groups[find(n)]) for n in nodes}
+
+
+@pytest.mark.parametrize("edges", [
+    [(i, i + 1) for i in range(40)],                   # 40-node chain
+    [(5, 1), (1, 3), (3, 5), (10, 12), (12, 14),       # cliques + bridge
+     (14, 10), (3, 10), (100, 200)],
+    [(1, 2), (2, 1), (1, 2), (7, 7), (3, 4)],          # dups + self-loop
+])
+def test_connected_components_vs_union_find(spark, edges):
+    from juliadb_jl_spark.functions.dedup import connected_components
+    want = _uf_min_components([(u, v) for u, v in edges if u != v])
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == want
+
+
+def test_connected_components_random(spark):
+    import random
+    from juliadb_jl_spark.functions.dedup import connected_components
+    rnd = random.Random(7)
+    edges = [(rnd.randrange(80), rnd.randrange(80)) for _ in range(70)]
+    edges = [(u, v) for u, v in edges if u != v]
+    want = _uf_min_components(edges)
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == want
+
+
+def test_dedup_by_clusters_transitive(spark):
+    """A~B and B~C (A,C never paired) must still collapse to one doc."""
+    from juliadb_jl_spark.functions.dedup import dedup_by_clusters
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"])
+    kept = sorted(r["doc_id"]
+                  for r in dedup_by_clusters(docs, pairs, "doc_id").collect())
+    assert kept == [0, 3, 4]  # cluster {0,1,2}->0, {4,5}->4, 3 unpaired
