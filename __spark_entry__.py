@@ -25,6 +25,7 @@ from juliadb_jl_spark.functions import curation as CU
 from juliadb_jl_spark.functions import dedup as DD
 from juliadb_jl_spark.functions import rollup as RU
 from juliadb_jl_spark.functions import sampling as SP
+from juliadb_jl_spark.functions import search as SR
 from juliadb_jl_spark.functions import similarity as SIM
 from juliadb_jl_spark.functions import text as TX
 from juliadb_jl_spark.functions.text import LANG_KEYWORDS, STOPWORDS
@@ -1670,6 +1671,34 @@ def q80(spark, sf_dir):
     pairs = DD.ngram_jaccard_pairs(d, "doc_id", k=3, threshold=0.5)
     return DD.dedup_by_clusters(d, pairs, "doc_id") \
         .select("doc_id", F.md5("text").alias("text_md5"))
+
+
+@_q("q81_bm25", r"""
+WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents),
+lens AS (SELECT doc_id, len(toks) AS dl FROM base),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+       WHERE term IN ('merge', 'scan', 'window') GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS dfx FROM tf GROUP BY 1)
+SELECT t.doc_id,
+       round(sum(ln(1 + (n - dfx + 0.5) / (dfx + 0.5))
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+         AS score_r6
+FROM tf t JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+GROUP BY 1
+""")
+def q81(spark, sf_dir):
+    """BM25 full-text relevance (search.bm25_scores, k1=1.2 b=0.75,
+    Lucene idf): the exploded token stream is filtered to the query's
+    terms BEFORE any aggregation, corpus constants ride a broadcast
+    1-row cross-join, document frequencies broadcast back — the full
+    token stream is never shuffled. Top-k retrieval (bm25_topk =
+    TakeOrdered) is pytest-verified against a brute-force oracle."""
+    d = read_table(spark, sf_dir, "documents")
+    return SR.bm25_scores(d, "merge scan window", "doc_id") \
+        .select("doc_id", F.round("score", 6).alias("score_r6"))
 
 
 # ===========================================================================

@@ -286,3 +286,67 @@ def test_dedup_by_clusters_transitive(spark):
     kept = sorted(r["doc_id"]
                   for r in dedup_by_clusters(docs, pairs, "doc_id").collect())
     assert kept == [0, 3, 4]  # cluster {0,1,2}->0, {4,5}->4, 3 unpaired
+
+
+# ---------------------------------------------------------------------------
+# BM25 full-text search
+# ---------------------------------------------------------------------------
+
+def _bm25_bruteforce(docs, terms, k1=1.2, b=0.75):
+    """Pure-python BM25 (Lucene idf) over [(id, text)] -> {id: score}."""
+    import math
+    toks = {i: t.split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out = {}
+    for i, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0 or dfreq[t] == 0:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(v) / avgdl))
+        if s > 0:
+            out[i] = s
+    return out
+
+
+def test_bm25_scores_vs_bruteforce(spark):
+    from juliadb_jl_spark.functions.search import bm25_scores
+    docs = [(0, "spark shuffle join join join"),
+            (1, "join once in a long document with many many other words"),
+            (2, "no matching terms at all"),
+            (3, "shuffle shuffle"),
+            (4, "spark")]
+    want = _bm25_bruteforce(docs, ["spark", "join", "shuffle"])
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_scores(df, "spark join shuffle", "doc_id").collect()}
+    assert set(got) == set(want)   # only matching docs emitted
+    for i in want:
+        assert got[i] == pytest.approx(want[i], rel=1e-9), i
+
+
+def test_bm25_topk_order_and_cut(spark):
+    from juliadb_jl_spark.functions.search import bm25_topk
+    docs = [(i, "target " * (i + 1) + "filler " * (20 - i))
+            for i in range(10)]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in docs],
+                               ["doc_id", "text"])
+    got = bm25_topk(df, "target", "doc_id", k=3).collect()
+    assert len(got) == 3
+    want = _bm25_bruteforce([(i, t.strip()) for i, t in docs], ["target"])
+    order = sorted(want, key=lambda i: (-want[i], i))[:3]
+    assert [r["doc_id"] for r in got] == order
+    assert got[0]["score"] >= got[1]["score"] >= got[2]["score"]
+
+
+def test_term_stats_full_index(spark):
+    from juliadb_jl_spark.functions.search import term_stats
+    df = spark.createDataFrame([(1, "a b a"), (2, "b")], ["id", "text"])
+    rows = {(r["id"], r["term"]): (r["tf"], r["dl"])
+            for r in term_stats(df, "id").collect()}
+    assert rows == {(1, "a"): (2, 3), (1, "b"): (1, 3), (2, "b"): (1, 1)}
