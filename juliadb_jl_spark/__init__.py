@@ -47,6 +47,10 @@ from juliadb_jl_spark.sources.parquet import save, load
 from juliadb_jl_spark.sources.jdbc import load_jdbc, save_jdbc
 from juliadb_jl_spark.functions import stats
 from juliadb_jl_spark.functions.stats import partitionplot
+# LLM-training-pipeline layers (SURVEY.md §2.12): one namespace each
+from juliadb_jl_spark.functions import (
+    curation, dedup, multimodal, rollup, sampling, search, similarity, text,
+)
 from juliadb_jl_spark import ml as ML
 from juliadb_jl_spark.api import (
     ColDict, Columns, chunks, colnames, column, columns, compute,
