@@ -1,9 +1,14 @@
 """Loader for the driver-generated TPC-H-ish testdata (TESTDATA.md).
 
-`events.parquet` stores its `ts` column as parquet TIMESTAMP(NANOS), which
-Spark has no native type for; with `spark.sql.legacy.parquet.nanosAsLong`
-the scan yields a bigint of nanoseconds, converted here to a microsecond
-timestamp (`ts DIV 1000` — truncation matches DuckDB's ns→µs cast).
+Timestamp normalization: the generated parquet has stored timestamps two
+ways across driver rounds — TIMESTAMP(NANOS) (read as bigint under
+`spark.sql.legacy.parquet.nanosAsLong`, converted here via `DIV 1000`,
+matching DuckDB's ns→µs truncation) and plain `timestamp[us]` with
+isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Both are normalized to
+session-tz TIMESTAMP (LTZ) so every downstream operator sees one type;
+the engine session pins `spark.sql.session.timeZone=UTC`, making the
+NTZ→LTZ cast value-preserving and bit-identical to the DuckDB oracle's
+naive reading.
 """
 
 from __future__ import annotations
@@ -45,6 +50,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in _NANOS_TS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` DIV 1000)"))
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     if os.environ.get("SPARK_GRAFT_CACHE_INPUT") == "1":
         df = df.repartition(spark.sparkContext.defaultParallelism).persist()
     _CACHE[key] = df

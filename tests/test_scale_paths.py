@@ -111,11 +111,13 @@ def test_streaming_dedup(spark, tmp_path):
 def test_range_join_vs_cross(spark, tables):
     from juliadb_jl_spark.operators.join import range_join
     ev = tables["events"].df.limit(300)
+    # unix_micros, not cast("double"): the testdata's ts is TIMESTAMP_NTZ,
+    # which Spark refuses to cast to double directly
+    t_sec = (F.unix_micros(F.col("ts")) / F.lit(1e6))
     clicks = jdb.table(ev.filter(F.col("event_type") == "click")
-                       .select("user_id", F.col("ts").cast("double").alias("t"),
-                               "event_id"))
+                       .select("user_id", t_sec.alias("t"), "event_id"))
     buys = jdb.table(ev.filter(F.col("event_type") == "purchase")
-                     .select("user_id", F.col("ts").cast("double").alias("bt"),
+                     .select("user_id", t_sec.alias("bt"),
                              F.col("event_id").alias("bid")))
     # purchases within 24h AFTER a click: 0 <= bt - t... we want l=click
     # diff = t - bt in [-86400, 0]
