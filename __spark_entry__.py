@@ -1701,6 +1701,73 @@ def q81(spark, sf_dir):
         .select("doc_id", F.round("score", 6).alias("score_r6"))
 
 
+@_q("q82_c4_line_clean", r"""
+WITH aug AS (SELECT doc_id, text || chr(10)
+    || 'This is summary sentence number ' || CAST(doc_id AS VARCHAR) || '.'
+    || chr(10) || 'tiny line' || chr(10)
+    || 'Lorem ipsum filler would be dropped here.' AS text
+  FROM documents),
+lines AS (SELECT doc_id,
+    list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS nb
+  FROM aug),
+kept AS (SELECT doc_id, nb,
+    list_filter(nb, l ->
+      len(list_filter(string_split_regex(trim(l), '\s+'),
+                      x -> len(x) > 0)) >= 3
+      AND regexp_matches(l, '[.!?"'']\s*$')
+      AND NOT contains(lower(l), 'lorem ipsum')
+      AND NOT contains(lower(l), 'javascript')
+      AND NOT contains(lower(l), '{')) AS kl
+  FROM lines)
+SELECT doc_id, len(nb) AS n_lines, len(kl) AS n_kept,
+       md5(coalesce(array_to_string(kl, chr(10)), '')) AS clean_md5
+FROM kept
+""")
+def q82(spark, sf_dir):
+    """C4-style line-level cleaning (curation.c4_line_clean): per-line
+    sentence heuristics (>=3 words, terminal punctuation, phrase
+    blocklist), survivors rejoined — a pure per-row native map, zero
+    shuffle, the first stage of a curation pipeline at 100 TB. The
+    synthetic corpus has no sentence punctuation, so both engines
+    append identical keep/drop/blocklist lines to exercise every
+    branch of the keep predicate."""
+    d = read_table(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    aug = d.withColumn("text", F.concat(
+        F.col("text"), nl,
+        F.lit("This is summary sentence number "),
+        F.col("doc_id").cast("string"), F.lit("."), nl,
+        F.lit("tiny line"), nl,
+        F.lit("Lorem ipsum filler would be dropped here.")))
+    out = CU.c4_line_clean(aug)
+    return out.select("doc_id", "n_lines", "n_kept",
+                      F.md5("text_clean").alias("clean_md5"))
+
+
+@_q("q83_bpe_pairs", r"""
+WITH words AS (SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+')))
+                 AS word FROM documents),
+wf AS (SELECT word, count(*) AS freq FROM words
+       WHERE word <> '' GROUP BY word),
+pairs AS (SELECT unnest(CASE WHEN length(word) >= 2
+            THEN [word[i] || ' ' || word[i+1]
+                  FOR i IN range(1, length(word))]
+            ELSE [] END) AS pair, freq
+          FROM wf)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair LIMIT 20
+""")
+def q83(spark, sf_dir):
+    """BPE vocabulary induction, first merge round (text.bpe_top_pairs):
+    corpus word-frequency table (one shuffle over the corpus), then
+    adjacent char-pair counts weighted by word frequency on the
+    vocabulary-sized table only; top-k lowers to TakeOrdered — the
+    corpus token stream is aggregated once and never re-shuffled."""
+    d = read_table(spark, sf_dir, "documents")
+    return TX.bpe_top_pairs(d, top_n=20)
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================

@@ -111,6 +111,52 @@ def top_ngram_fraction_grouped(df: DataFrame, id_col: str,
 
 
 # ---------------------------------------------------------------------------
+# C4-style line-level cleaning
+# ---------------------------------------------------------------------------
+
+C4_LINE_BLOCKLIST = ("lorem ipsum", "javascript", "{")
+
+
+def c4_keep_line(line: Column, min_words: int = 3,
+                 require_terminal: bool = True,
+                 blocklist: tuple[str, ...] = C4_LINE_BLOCKLIST) -> Column:
+    """The C4 (Raffel et al. 2020) per-line keep predicate, as one native
+    boolean expression: >= min_words words, ends in terminal punctuation,
+    and contains no blocklisted phrase (case-insensitive)."""
+    words = F.filter(F.split(F.trim(line), r"\s+"),
+                     lambda x: F.length(x) > 0)
+    cond = F.size(words) >= min_words
+    if require_terminal:
+        cond = cond & line.rlike(r"""[.!?"']\s*$""")
+    low = F.lower(line)
+    for phrase in blocklist:
+        cond = cond & ~low.contains(phrase)
+    return cond
+
+
+def c4_line_clean(df: DataFrame, text_col: str = "text",
+                  clean_col: str = "text_clean", min_words: int = 3,
+                  require_terminal: bool = True,
+                  blocklist: tuple[str, ...] = C4_LINE_BLOCKLIST) -> DataFrame:
+    """C4-style line-level document cleaning: keep only lines that look
+    like real sentences, rejoin survivors with newlines, and report
+    (n_lines, n_kept) per document.
+
+    Scale: a pure per-row native map (split / higher-order filter /
+    array_join) — zero shuffle, fully codegen'd; safe as the first stage
+    of a 100 TB curation pipeline. Mirrorable in DuckDB via
+    list_filter + array_to_string for the oracle."""
+    nonblank = lines_(F.col(text_col))
+    kept = F.filter(nonblank,
+                    lambda l: c4_keep_line(l, min_words, require_terminal,
+                                           blocklist))
+    return (df
+            .withColumn("n_lines", F.size(nonblank))
+            .withColumn("n_kept", F.size(kept))
+            .withColumn(clean_col, F.array_join(kept, "\n")))
+
+
+# ---------------------------------------------------------------------------
 # PII detection / redaction
 # ---------------------------------------------------------------------------
 # Patterns stay inside the RE2 ∩ java.util.regex common subset (no

@@ -133,6 +133,52 @@ def shingles(col: Column, k: int = 3) -> Column:
     return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
 
 
+def word_freqs(df: DataFrame, text_col: str = "text",
+               lowercase: bool = True) -> DataFrame:
+    """Corpus word-frequency table (word, freq).
+
+    Scale: explode + groupBy — ONE shuffle with map-side partial
+    aggregation; the output is vocabulary-sized (≪ corpus)."""
+    w = F.explode(tokens(F.col(text_col))).alias("word")
+    out = df.select(w)
+    if lowercase:
+        out = out.select(F.lower(F.col("word")).alias("word"))
+    return (out.filter(F.length("word") > 0)
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+
+
+def bpe_pair_counts(word_freq: DataFrame, word_col: str = "word",
+                    freq_col: str = "freq") -> DataFrame:
+    """Adjacent-symbol pair counts over a (word, freq) table — the
+    statistic a BPE trainer maximizes each merge step (symbols here are
+    characters, i.e. the first merge round).
+
+    Scale: operates on the vocabulary table, not the corpus — the
+    explode fans out to ~avg_word_len × vocab rows and the groupBy is
+    the only (tiny) shuffle. The corpus itself is touched once, by
+    `word_freqs`."""
+    w = F.col(word_col)
+    idx = F.sequence(F.lit(1), F.length(w) - 1)
+    pairs = F.transform(
+        idx, lambda i: F.concat(F.substr(w, i, F.lit(1)), F.lit(" "),
+                                F.substr(w, i + 1, F.lit(1))))
+    # sequence(1, x<1) counts DOWN — guard 1-char words to an empty array
+    pairs = F.when(F.length(w) >= 2, pairs) \
+        .otherwise(F.array().cast("array<string>"))
+    return (word_freq.select(F.explode(pairs).alias("pair"),
+                             F.col(freq_col).alias("__f"))
+            .groupBy("pair").agg(F.sum("__f").alias("pair_count")))
+
+
+def bpe_top_pairs(df: DataFrame, text_col: str = "text",
+                  top_n: int = 20) -> DataFrame:
+    """Top-N candidate BPE merges for a corpus: (pair, pair_count),
+    ordered by count desc with the pair string as deterministic
+    tie-break. limit() lowers to TakeOrdered — no global sort."""
+    pc = bpe_pair_counts(word_freqs(df, text_col))
+    return pc.orderBy(F.desc("pair_count"), F.asc("pair")).limit(top_n)
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the standard text-analysis columns."""
     c = F.col(text_col)

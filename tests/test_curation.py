@@ -138,3 +138,32 @@ def test_shuffle_rows_no_single_partition_exchange(spark):
     plan = CU.shuffle_rows(df, "k", pos_col="pos") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_c4_line_clean_golden(spark):
+    rows = [
+        (0, "A real sentence with enough words here.\n"
+            "too short.\n"
+            "no terminal punctuation at all\n"
+            "Lorem Ipsum should always be dropped, obviously.\n"
+            "Another proper sentence survives the filter!\n"
+            "\n"
+            "function() { code-looking line is dropped. }"),
+        (1, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in CU.c4_line_clean(df).collect()}
+    assert out[0]["n_lines"] == 6          # blank line excluded
+    assert out[0]["n_kept"] == 2
+    assert out[0]["text_clean"] == (
+        "A real sentence with enough words here.\n"
+        "Another proper sentence survives the filter!")
+    assert out[1]["n_lines"] == 0 and out[1]["n_kept"] == 0
+    assert out[1]["text_clean"] == ""
+
+
+def test_c4_line_clean_is_shuffle_free(spark):
+    df = spark.createDataFrame([(0, "x.")], ["doc_id", "text"])
+    plan = CU.c4_line_clean(df) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

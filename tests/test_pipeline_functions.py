@@ -350,3 +350,20 @@ def test_term_stats_full_index(spark):
     rows = {(r["id"], r["term"]): (r["tf"], r["dl"])
             for r in term_stats(df, "id").collect()}
     assert rows == {(1, "a"): (2, 3), (1, "b"): (1, 3), (2, "b"): (1, 1)}
+
+
+def test_bpe_top_pairs_golden(spark):
+    from juliadb_jl_spark.functions import text as TX
+    # classic BPE toy corpus: low x5, lower x2, newest x6, widest x3
+    docs = [(0, " ".join(["low"] * 5 + ["lower"] * 2)),
+            (1, " ".join(["newest"] * 6 + ["widest"] * 3)),
+            (2, "I")]  # 1-char word contributes no pairs
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    wf = {r["word"]: r["freq"] for r in TX.word_freqs(df).collect()}
+    assert wf == {"low": 5, "lower": 2, "newest": 6, "widest": 3, "i": 1}
+    top = TX.bpe_top_pairs(df, top_n=3).collect()
+    got = [(r["pair"], r["pair_count"]) for r in top]
+    # es/st appear in newest(6)+widest(3)=9 — the canonical first merges
+    assert got[0] == ("e s", 9) and got[1] == ("s t", 9)
+    assert got[0][0] < got[1][0]  # deterministic tie-break by pair
+    assert got[2] == ("w e", 8)   # newest(6)+lower(2)
