@@ -1701,6 +1701,36 @@ def q81(spark, sf_dir):
         .select("doc_id", F.round("score", 6).alias("score_r6"))
 
 
+@_q("q84_semantic_dedup", r"""
+WITH RECURSIVE
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM v a, v b
+          WHERE a.vec_id < b.vec_id
+            AND list_cosine_similarity(a.e, b.e) >= 0.35),
+und AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u),
+comp AS (SELECT u AS node, least(u, min(v)) AS component
+         FROM reach GROUP BY u)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT node FROM comp WHERE node <> component)
+""")
+def q84(spark, sf_dir):
+    """SemDeDup-style semantic dedup (dedup.semantic_dedup): cosine
+    near-dup pairs → connected components → keep the smallest-id
+    representative per cluster. exact=True here so the oracle's
+    brute-force pair set is identical; the LSH-blocked scale path is
+    recall-tested in pytest and shares every stage after pair
+    generation."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return DD.semantic_dedup(emb, "vec_id", "embedding",
+                             threshold=0.35, exact=True).select("vec_id")
+
+
 @_q("q82_c4_line_clean", r"""
 WITH aug AS (SELECT doc_id, text || chr(10)
     || 'This is summary sentence number ' || CAST(doc_id AS VARCHAR) || '.'

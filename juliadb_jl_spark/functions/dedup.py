@@ -372,6 +372,42 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
             .filter(F.col("cosine") >= threshold))
 
 
+def embedding_pairs_exact(df: DataFrame, id_col: str, vec_col: str,
+                          threshold: float = 0.95) -> DataFrame:
+    """ALL cosine-≥-threshold pairs by brute force (crossJoin). O(n²) —
+    the oracle-checkable baseline for `embedding_neardup_pairs`; use only
+    on bounded corpora (eval sets, per-cluster refinement)."""
+    from juliadb_jl_spark.functions.similarity import cosine_expr
+    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a = keyed.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = keyed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
+                   threshold: float = 0.95, n_planes: int = 8,
+                   seed: int = 42, exact: bool = False) -> DataFrame:
+    """SemDeDup-style semantic deduplication: drop every document whose
+    embedding sits in a cosine-≥-threshold duplicate cluster, keeping the
+    smallest-id representative per cluster (Abbas et al. 2023 semantics,
+    with deterministic representative choice).
+
+    Composition: near-dup pair generation (hyperplane-LSH-blocked with
+    exact cosine verify; `exact=True` switches to the brute-force pair
+    generator for oracle baselines) → large-star/small-star connected
+    components → one anti-join. The corpus itself is never shuffled —
+    only ids and embeddings move."""
+    pairs = (embedding_pairs_exact(df, id_col, vec_col, threshold)
+             if exact else
+             embedding_neardup_pairs(df, id_col, vec_col, threshold,
+                                     n_planes, seed))
+    return dedup_by_clusters(df, pairs, id_col)
+
+
 # ---------------------------------------------------------------------------
 # Duplicate-cluster resolution (connected components over candidate pairs)
 # ---------------------------------------------------------------------------

@@ -367,3 +367,26 @@ def test_bpe_top_pairs_golden(spark):
     assert got[0] == ("e s", 9) and got[1] == ("s t", 9)
     assert got[0][0] < got[1][0]  # deterministic tie-break by pair
     assert got[2] == ("w e", 8)   # newest(6)+lower(2)
+
+
+def test_semantic_dedup_exact_and_lsh(spark):
+    import math
+    from juliadb_jl_spark.functions import dedup as DD
+    # three near-identical groups on the unit circle + one loner;
+    # within-group cosine ~1, across-group well below threshold
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)]
+    rows = [(0, vec(0.00)), (1, vec(0.01)), (2, vec(0.02)),   # cluster A
+            (10, vec(1.50)), (11, vec(1.51)),                 # cluster B
+            (20, vec(3.00))]                                  # loner
+    df = spark.createDataFrame(rows, ["vec_id", "emb"])
+    kept = sorted(r["vec_id"] for r in
+                  DD.semantic_dedup(df, "vec_id", "emb", threshold=0.99,
+                                    exact=True).collect())
+    assert kept == [0, 10, 20]  # smallest id per cluster + the loner
+    # LSH-blocked path: 2-D vectors, enough planes that each tight
+    # cluster lands in one bucket with this seed
+    kept_lsh = sorted(r["vec_id"] for r in
+                      DD.semantic_dedup(df, "vec_id", "emb", threshold=0.99,
+                                        n_planes=4).collect())
+    assert kept_lsh == [0, 10, 20]
