@@ -172,3 +172,48 @@ def test_range_join_matches_naive_cross(spark, data):
     gkey = sorted(zip(got["k"], got["i"], got["i_1"]))
     nkey = sorted(zip(naive["k"], naive["i"], naive["i_1"]))
     assert gkey == nkey
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab \n.!x", min_size=0, max_size=40),
+    min_size=1, max_size=8))
+@_settings
+def test_bpe_pairs_match_pure_python(spark, texts):
+    """bpe_pair_counts over word_freqs ≡ a direct pure-Python count of
+    adjacent char pairs weighted by word frequency."""
+    from collections import Counter
+    from juliadb_jl_spark.functions import text as TX
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r["pair"]: r["pair_count"]
+           for r in TX.bpe_pair_counts(TX.word_freqs(df)).collect()}
+    want: Counter = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            for a, b in zip(w, w[1:]):
+                want[f"{a} {b}"] += 1
+    assert got == dict(want)
+
+
+@given(texts=st.lists(
+    st.text(alphabet="abc xyz.\n!?{J", min_size=0, max_size=60),
+    min_size=1, max_size=8),
+    min_words=st.integers(1, 4))
+@_settings
+def test_c4_line_clean_matches_pure_python(spark, texts, min_words):
+    from juliadb_jl_spark.functions import curation as CU
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = {r["doc_id"]: r
+           for r in CU.c4_line_clean(df, min_words=min_words).collect()}
+
+    def keep(line):
+        return (len(line.split()) >= min_words
+                and len(line) > 0 and line.rstrip()[-1:] in ".!?\"'"
+                and not any(p in line.lower()
+                            for p in CU.C4_LINE_BLOCKLIST))
+
+    for i, t in enumerate(texts):
+        nonblank = [l for l in t.split("\n") if l]
+        kept = [l for l in nonblank if keep(l)]
+        assert out[i]["n_lines"] == len(nonblank), (i, t)
+        assert out[i]["n_kept"] == len(kept), (i, t)
+        assert out[i]["text_clean"] == "\n".join(kept), (i, t)
