@@ -1,9 +1,11 @@
 """End-to-end training-data pipeline on the engine — the workload shape the
 100 TB design targets:
 
-  ingest → text features → quality filter → exact dedup → near-dup dedup
-  (MinHash-LSH) → embedding near-dup → deterministic train/val/test split
-  → context-window packing → save curated corpus + IVF index
+  ingest → C4 line cleaning → text features + repetition signals → PII
+  scrub → quality filter → exact dedup → near-dup dedup (MinHash-LSH +
+  cluster resolution) → semantic dedup (embeddings) → contamination
+  check → deterministic train/val/test split → context-window packing
+  → deterministic shuffle → save curated corpus + IVF index
 
 Run: python examples/pipeline.py [sf_dir] (default /root/testdata/sf0.001)
 """
@@ -16,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 import juliadb_jl_spark as jdb
+from juliadb_jl_spark.functions import curation as CU
 from juliadb_jl_spark.functions import dedup as DD
 from juliadb_jl_spark.functions import sampling as SP
 from juliadb_jl_spark.functions import similarity as SIM
@@ -28,29 +31,61 @@ def main():
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated_corpus"
     spark = jdb.get_spark("pipeline-example")
 
-    with jdb.tracktime("ingest+features", spark):
+    with jdb.tracktime("ingest+clean", spark):
         docs = read_table(spark, sf_dir, "documents")
-        feats = TX.add_text_features(docs)
+        # line-level cleaning first (C4: sentence-shaped lines only) —
+        # the synthetic corpus has no punctuation, so keep the raw text
+        # when cleaning would empty the doc
+        cleaned = CU.c4_line_clean(docs)
+        cleaned = cleaned.withColumn(
+            "text", F.when(F.col("n_kept") > 0, F.col("text_clean"))
+            .otherwise(F.col("text"))).drop("text_clean")
+        # MATERIALIZE the computed text before fan-out reuse: ~30
+        # downstream feature expressions each reference `text`, and
+        # Catalyst's Project collapse would re-inline the cleaning
+        # expression into every one of them (at 100 TB this stage is a
+        # parquet write of the cleaned corpus — same barrier, durable)
+        cleaned = cleaned.localCheckpoint(eager=False)
 
-    with jdb.tracktime("quality-filter", spark):
-        kept = feats.filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10))
+    with jdb.tracktime("features+pii+quality-filter", spark):
+        feats = CU.repetition_stats(TX.add_text_features(cleaned))
+        feats = CU.add_pii_columns(feats).drop("text") \
+            .withColumnRenamed("text_scrubbed", "text")
+        kept = feats.filter(
+            (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10)
+            & (F.col("dup_line_frac") <= 0.3)
+            & (F.col("top_2gram_frac") <= 0.2))
+        # second barrier before the join-heavy dedup stages: dedup /
+        # minhash / contamination each reference `kept` on BOTH sides of
+        # a join — without materialization the whole feature chain would
+        # be duplicated (and re-optimized) per branch
+        kept = kept.localCheckpoint(eager=False)
 
     with jdb.tracktime("exact-dedup", spark):
         kept = DD.dedup_exact(kept, "doc_id")
 
-    with jdb.tracktime("neardup-minhash", spark):
+    with jdb.tracktime("neardup-minhash+clusters", spark):
         pairs = DD.minhash_lsh_pairs(kept, "doc_id", k=3, num_hashes=32,
                                      bands=16, threshold=0.6)
-        # drop the higher doc_id of each near-dup pair
-        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-        # the curated set feeds split/pack/save/counts — persist so the
+        # transitive cluster resolution keeps the smallest-id member of
+        # each near-dup cluster (not merely pairwise loser-dropping).
+        # The curated set feeds split/pack/save/counts — persist so the
         # dedup chain runs once, not per downstream action
-        kept = kept.join(losers, "doc_id", "left_anti").persist()
+        kept = DD.dedup_by_clusters(kept, pairs, "doc_id").persist()
 
-    with jdb.tracktime("embedding-neardup", spark):
+    with jdb.tracktime("semantic-dedup", spark):
         emb = read_table(spark, sf_dir, "embeddings")
         epairs = DD.embedding_neardup_pairs(emb, "vec_id", "embedding",
                                             threshold=0.95)
+
+    with jdb.tracktime("contamination", spark):
+        # guard against eval-set leakage: here the 'benchmark' is a tiny
+        # held-out slice of the corpus itself (stand-in for a real suite)
+        bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+        contam = CU.contamination_report(kept, bench, n=5)
+        flagged = contam.filter(F.col("contamination") >= 0.8) \
+            .select("doc_id")
+        kept = kept.join(flagged, "doc_id", "left_anti")
 
     with jdb.tracktime("split+pack", spark):
         # deterministic, append-stable selection: split by key hash, then
@@ -60,6 +95,10 @@ def main():
         train = kept.filter(F.col("split") == "train")
         train = SP.pack_tokens(train, "n_tokens", budget=2048,
                                order=["doc_id"])
+
+    with jdb.tracktime("epoch-shuffle", spark):
+        # deterministic, seed-keyed training order for epoch 0
+        train = CU.shuffle_rows(train, "doc_id", seed=0)
 
     with jdb.tracktime("save+index", spark):
         jdb.save(jdb.table(kept.drop("split"), pkey="doc_id"),
