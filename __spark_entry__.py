@@ -1701,6 +1701,34 @@ def q81(spark, sf_dir):
         .select("doc_id", F.round("score", 6).alias("score_r6"))
 
 
+@_q("q85_centroid_scores", r"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+d AS (SELECT label, i, avg(e[i]) AS m
+      FROM v, unnest(generate_series(1, 64)) AS t(i) GROUP BY 1, 2),
+c AS (SELECT label AS class_label, list(m ORDER BY i) AS cv FROM d
+      GROUP BY label)
+SELECT v.vec_id, c.class_label,
+       round(list_cosine_similarity(v.e, c.cv), 6) AS cosine_r6
+FROM v CROSS JOIN c
+""")
+def q85(spark, sf_dir):
+    """nearest-centroid classification (ml.class_centroids +
+    ml.centroid_scores): train = per-class mean vectors in one
+    distributed aggregation (classes×dim doubles to the driver), score
+    = native cosine of each row against every centroid riding the plan
+    as literals — the fixed-linear-model quality-scoring shape: the
+    100 TB corpus streams through one projection, zero shuffle.
+    Prediction argmax is pytest-verified on controlled data (float-tie
+    argmax is not portable across engines)."""
+    from juliadb_jl_spark.ml import centroid_scores, class_centroids
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = class_centroids(emb, "embedding", "label")
+    out = centroid_scores(emb.drop("label"), "embedding", cents)
+    return out.select("vec_id", "class_label",
+                      F.round("cosine", 6).alias("cosine_r6"))
+
+
 @_q("q84_semantic_dedup", r"""
 WITH RECURSIVE
 v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),

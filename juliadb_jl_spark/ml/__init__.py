@@ -101,3 +101,67 @@ def featuremat(t: Table, hints: dict[str, str] | None = None,
     model = Pipeline(stages=stages).fit(df)
     out = model.transform(df)
     return out.drop(*[c for c in out.columns if c.startswith("__")])
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classification (model-based quality/label scoring)
+# ---------------------------------------------------------------------------
+
+def class_centroids(df: DataFrame, vec_col: str,
+                    label_col: str) -> dict[Any, list[float]]:
+    """Per-class mean vectors (the 'training' pass of a nearest-centroid
+    classifier) in ONE distributed aggregation: posexplode the vectors,
+    groupBy (label, dim) with map-side partial avg, collect the
+    classes×dim means (tiny — e.g. 10×64 doubles) to the driver.
+
+    The corpus is touched once; no Python in the loop."""
+    per_dim = (df.select(F.col(label_col).alias("__l"),
+                         F.posexplode(vec_col).alias("__p", "__x"))
+               .groupBy("__l", "__p").agg(F.avg("__x").alias("__m")))
+    rows = (per_dim.groupBy("__l")
+            .agg(F.array_sort(F.collect_list(F.struct("__p", "__m")))
+                 .alias("pm"))
+            .collect())
+    return {r["__l"]: [pm["__m"] for pm in r["pm"]] for r in rows}
+
+
+def centroid_scores(df: DataFrame, vec_col: str,
+                    centroids: dict[Any, list[float]],
+                    label_out: str = "class_label",
+                    score_out: str = "cosine") -> DataFrame:
+    """Cosine of every row's vector against every class centroid — the
+    scoring pass of a nearest-centroid classifier, and the shape of any
+    fixed-linear-model quality scorer at 100 TB: centroids ride into the
+    plan as literal arrays (broadcast with the task binary), the corpus
+    streams through ONE native projection, zero shuffle, zero Python.
+
+    Output: one row per (input row, class): all input columns except
+    `vec_col`, plus `label_out` and `score_out`."""
+    from juliadb_jl_spark.functions.similarity import cosine_expr
+    structs = []
+    for lbl in sorted(centroids):
+        cvec = F.array(*[F.lit(float(x)) for x in centroids[lbl]])
+        structs.append(F.struct(
+            F.lit(lbl).alias(label_out),
+            cosine_expr(F.col(vec_col).cast("array<double>"), cvec)
+            .alias(score_out)))
+    keep = [c for c in df.columns if c != vec_col]
+    return df.select(*keep, F.explode(F.array(*structs)).alias("__sc")) \
+        .select(*keep, f"__sc.{label_out}", f"__sc.{score_out}")
+
+
+def nearest_centroid_classify(df: DataFrame, vec_col: str,
+                              centroids: dict[Any, list[float]],
+                              pred_col: str = "pred") -> DataFrame:
+    """Predicted class = argmax cosine over the centroid set (ties break
+    toward the smaller label; array-argmax shape, same codegen-safe
+    pattern as text.lang_id). One native projection, zero shuffle."""
+    from juliadb_jl_spark.functions.similarity import cosine_expr
+    labels = sorted(centroids)
+    cos = [cosine_expr(F.col(vec_col).cast("array<double>"),
+                       F.array(*[F.lit(float(x)) for x in centroids[lbl]]))
+           for lbl in labels]
+    arr = F.array(*cos)
+    idx = F.array_position(arr, F.array_max(arr)).cast("int")
+    pred = F.element_at(F.array(*[F.lit(lbl) for lbl in labels]), idx)
+    return df.withColumn(pred_col, pred)

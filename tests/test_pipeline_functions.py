@@ -390,3 +390,37 @@ def test_semantic_dedup_exact_and_lsh(spark):
                       DD.semantic_dedup(df, "vec_id", "emb", threshold=0.99,
                                         n_planes=4).collect())
     assert kept_lsh == [0, 10, 20]
+
+
+def test_nearest_centroid_classifier(spark):
+    import math
+    from juliadb_jl_spark.ml import (centroid_scores, class_centroids,
+                                     nearest_centroid_classify)
+    # two well-separated classes around orthogonal directions
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)]
+    rows = [(0, vec(0.00), "a"), (1, vec(0.10), "a"), (2, vec(-0.10), "a"),
+            (3, vec(1.57), "b"), (4, vec(1.47), "b"), (5, vec(1.67), "b")]
+    df = spark.createDataFrame(rows, ["vec_id", "emb", "label"])
+    cents = class_centroids(df, "emb", "label")
+    assert set(cents) == {"a", "b"} and len(cents["a"]) == 2
+    # centroid of class a ≈ direction theta=0
+    na = math.hypot(*cents["a"])
+    assert cents["a"][0] / na == pytest.approx(1.0, abs=0.01)
+    # training vectors classify back to their own class
+    pred = nearest_centroid_classify(df, "emb", cents).collect()
+    assert all(r["pred"] == r["label"] for r in pred)
+    # score matrix: one row per (vec, class), self-class scores higher
+    sc = centroid_scores(df, "emb", cents).toPandas()
+    assert len(sc) == 12
+    wide = sc.pivot(index="vec_id", columns="class_label", values="cosine")
+    assert (wide.loc[0:2, "a"] > wide.loc[0:2, "b"]).all()
+    assert (wide.loc[3:5, "b"] > wide.loc[3:5, "a"]).all()
+
+
+def test_centroid_scores_plan_is_shuffle_free(spark):
+    from juliadb_jl_spark.ml import centroid_scores
+    df = spark.createDataFrame([(0, [1.0, 0.0])], ["vec_id", "emb"])
+    plan = centroid_scores(df, "emb", {0: [1.0, 0.0], 1: [0.0, 1.0]}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
