@@ -19,11 +19,23 @@ _MANIFEST = "_juliadb_manifest.json"
 
 
 def save(t: Table, path: str, mode: str = "overwrite",
-         partition_by: list[str] | None = None) -> None:
-    """Write table data + metadata manifest (reference src/io.jl:188-216)."""
+         partition_by: list[str] | None = None,
+         compression: str | None = None,
+         max_records_per_file: int | None = None) -> None:
+    """Write table data + metadata manifest (reference src/io.jl:188-216).
+
+    `compression`: parquet codec for this write (e.g. "zstd" — ~30%
+    smaller than the snappy default at similar scan speed; the right
+    trade for a 100 TB corpus read many times). `max_records_per_file`
+    caps rows per output file so downstream scans get splittable,
+    executor-memory-sized files instead of one giant file per task."""
     writer = t.df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
     manifest = {
         "kind": "ndsparse" if isinstance(t, NDSparse) else "table",

@@ -267,3 +267,18 @@ def test_stream_stream_join(spark, tmp_path):
                        spark.createDataFrame(buys),
                        "user", "cts", "bts", within="1 hour").toPandas()
     assert sorted(zip(bout["cid"], bout["amt"])) == [(10, 5.0), (12, 7.0)]
+
+
+def test_save_zstd_and_file_caps(spark, tmp_path):
+    import os
+    import juliadb_jl_spark as jdb
+    t = jdb.table(spark.range(1000).withColumnRenamed("id", "k"), pkey="k")
+    path = str(tmp_path / "zstd_out")
+    jdb.save(t, path, compression="zstd", max_records_per_file=100)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert files and all(".zstd." in f for f in files)
+    import pyarrow.parquet as pq
+    assert all(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows <= 100
+               for f in files)
+    back = jdb.load(path, spark)
+    assert back.df.count() == 1000 and back.pkey == ("k",)
