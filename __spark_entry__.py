@@ -1490,8 +1490,13 @@ FROM g
 def q75(spark, sf_dir):
     """Gopher-style repetition signals (curation.repetition_stats):
     duplicate-token / duplicate-n-gram / top-n-gram fractions — pure
-    per-row native expressions, zero shuffle."""
+    per-row native expressions, zero mandatory shuffle. The local
+    testdata is one unsplittable file, so spread it across cores first
+    (at deploy scale parquet splits provide this parallelism for free;
+    the tiny repartition is the byte-small/compute-heavy input pattern
+    from SCALING.md)."""
     d = read_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     out = CU.repetition_stats(d)
     return out.select(
         "doc_id",

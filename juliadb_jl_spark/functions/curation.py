@@ -58,14 +58,26 @@ def dup_fraction(arr: Column) -> Column:
 
 def top_element_fraction(arr: Column) -> Column:
     """Occurrences of the most frequent element / total elements (0 for
-    empty arrays). Per-row native expression: counts each DISTINCT
-    element with a higher-order filter — O(distinct·len) per row, no
-    shuffle. For multi-MB documents prefer `top_ngram_fraction_grouped`."""
+    empty arrays). Per-row native expression: sort the array, then one
+    aggregate pass tracking the longest run of equal adjacent elements —
+    O(n log n) per row, no shuffle. (The obvious nested form — a filter
+    per distinct element — is O(distinct·len) AND runs interpreted at
+    ~15 µs per comparison inside nested lambdas: 300× slower on real
+    documents.) For multi-MB documents prefer
+    `top_ngram_fraction_grouped`."""
     n = F.size(arr)
-    counts = F.transform(
-        F.array_distinct(arr),
-        lambda x: F.size(F.filter(arr, lambda y: y == x)))
-    return F.when(n > 0, F.array_max(counts) / n).otherwise(F.lit(0.0))
+    s = F.array_sort(arr)
+    acc0 = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).alias("run"), F.lit(0).alias("best"))
+
+    def step(acc, x):
+        run = (F.when(x.eqNullSafe(acc["prev"]), acc["run"] + F.lit(1))
+               .otherwise(F.lit(1)))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    best = F.aggregate(s, acc0, step, lambda a: a["best"])
+    return F.when(n > 0, best / n).otherwise(F.lit(0.0))
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
