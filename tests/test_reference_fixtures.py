@@ -159,3 +159,38 @@ def test_row_closure_filter_and_map(spark):
     got = polar.collect()
     assert set(got.columns) == {"r", "theta"}
     assert len(got) == 3
+
+
+def test_empty_input_sweep_pipeline_ops(spark):
+    """New pipeline operators behave on empty tables."""
+    from juliadb_jl_spark.functions import curation as CU
+    from juliadb_jl_spark.functions import dedup as DD
+    from juliadb_jl_spark.functions import text as TX
+    edocs = spark.createDataFrame([], "doc_id long, text string")
+    assert CU.c4_line_clean(edocs).count() == 0
+    assert CU.repetition_stats(edocs).count() == 0
+    assert TX.word_freqs(edocs).count() == 0
+    assert TX.bpe_top_pairs(edocs).count() == 0
+    evecs = spark.createDataFrame([], "vec_id long, emb array<double>")
+    assert DD.embedding_pairs_exact(evecs, "vec_id", "emb").count() == 0
+    # semantic_dedup on empty pairs: components over no edges -> no drops
+    assert DD.dedup_by_clusters(
+        evecs, DD.embedding_pairs_exact(evecs, "vec_id", "emb"),
+        "vec_id").count() == 0
+
+
+def test_read_table_timestamp_pushdown(spark):
+    """Predicate pushdown must survive the NTZ->LTZ normalization cast
+    in read_table (Catalyst unwraps the UTC no-op cast): a ts filter
+    reaches the parquet scan as a PushedFilter, and column pruning
+    holds. Regression guard for driver-regenerated testdata layouts."""
+    from juliadb_jl_spark.sources.testdata import read_table
+    df = read_table(spark, "/root/testdata/sf0.001", "events")
+    if dict(df.dtypes).get("ts") != "timestamp":
+        import pytest
+        pytest.skip("testdata layout has no normalized ts column")
+    f = df.filter(F.col("ts") > "2024-01-01").select("event_id", "ts")
+    plan = f._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert scan and "GreaterThan(ts" in scan[0]
+    assert "ReadSchema: struct<event_id:bigint,ts:timestamp" in scan[0]
