@@ -1706,6 +1706,39 @@ def q81(spark, sf_dir):
         .select("doc_id", F.round("score", 6).alias("score_r6"))
 
 
+@_q("q86_collocations", r"""
+WITH words AS (SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+')))
+                 AS w FROM documents),
+uni AS (SELECT w, count(*) AS c FROM words WHERE w <> '' GROUP BY w),
+tot AS (SELECT sum(c) AS n FROM uni),
+base AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+         FROM documents),
+bi AS (SELECT t.pr[1] AS w1, t.pr[2] AS w2
+       FROM base, unnest(CASE WHEN len(toks) >= 2
+         THEN [[toks[i], toks[i+1]] FOR i IN range(1, len(toks))]
+         ELSE [] END) AS t(pr)),
+bic AS (SELECT w1, w2, count(*) AS pair_count FROM bi GROUP BY 1, 2),
+mtot AS (SELECT sum(pair_count) AS m FROM bic)
+SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+       round(ln((pair_count / m) / ((a.c / n) * (b.c / n))), 6) AS pmi_r6
+FROM bic JOIN uni a ON bic.w1 = a.w JOIN uni b ON bic.w2 = b.w
+CROSS JOIN tot CROSS JOIN mtot
+WHERE pair_count >= 8
+""")
+def q86(spark, sf_dir):
+    """PMI collocation mining (text.collocations): unigram and adjacent-
+    bigram counts aggregate the corpus into vocabulary-sized tables
+    (map-side combine), corpus totals ride broadcast one-row
+    cross-joins, unigrams broadcast into the bigram join — the corpus
+    itself is never joined or re-shuffled. Count-thresholded (not
+    top-n) so the result set is float-order-free for cross-engine
+    hashing."""
+    d = read_table(spark, sf_dir, "documents")
+    out = TX.collocations(d, min_count=8)
+    return out.select("w1", "w2", "pair_count",
+                      F.round("pmi", 6).alias("pmi_r6"))
+
+
 @_q("q85_centroid_scores", r"""
 WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
            FROM embeddings),

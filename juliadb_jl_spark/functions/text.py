@@ -179,6 +179,56 @@ def bpe_top_pairs(df: DataFrame, text_col: str = "text",
     return pc.orderBy(F.desc("pair_count"), F.asc("pair")).limit(top_n)
 
 
+def collocations(df: DataFrame, text_col: str = "text",
+                 min_count: int = 5, top_n: int | None = None) -> DataFrame:
+    """PMI collocation mining (phrase detection): adjacent word pairs
+    scored by pointwise mutual information
+    ln( p(w1 w2) / (p(w1)·p(w2)) ), with pair count >= min_count.
+
+    Returns (w1, w2, pair_count, pmi); `top_n` optionally TakeOrders by
+    (pmi desc, pair asc) — leave None when hashing results cross-engine
+    (a float-ranked cutoff is not portable; a count threshold is).
+
+    Scale: two corpus aggregations (unigrams, adjacent bigrams — both
+    map-side-combined into vocabulary-sized tables), corpus totals ride
+    a broadcast one-row cross-join, and the unigram side broadcasts
+    into the bigram join. The corpus itself is never joined or
+    re-shuffled."""
+    low = F.lower(F.trim(F.col(text_col)))
+    toks = F.when(F.length(low) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(low, r"\s+"))
+    uni = (df.select(F.explode(toks).alias("w"))
+           .filter(F.length("w") > 0)
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - 1)
+    pairs = F.transform(idx, lambda i: F.struct(
+        F.element_at(toks, i).alias("w1"),
+        F.element_at(toks, i + 1).alias("w2")))
+    pairs = F.when(n >= 2, pairs).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi_all = (df.select(F.explode(pairs).alias("p"))
+              .select("p.w1", "p.w2")
+              .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+              .persist())  # feeds the total AND the filtered join —
+    # persist the vocabulary-sized pass so the corpus explodes once
+    # p(w1 w2) is over ALL adjacent pairs — total before the count filter
+    m_tot = F.broadcast(bi_all.agg(F.sum("pair_count").alias("__m")))
+    bi = bi_all.filter(F.col("pair_count") >= min_count)
+    totals = F.broadcast(uni.agg(F.sum("c").alias("__n")))
+    u1 = F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("__c1")))
+    u2 = F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("__c2")))
+    out = (bi.join(u1, "w1").join(u2, "w2")
+           .crossJoin(totals).crossJoin(m_tot)
+           .withColumn("pmi", F.log(
+               (F.col("pair_count") / F.col("__m")) /
+               ((F.col("__c1") / F.col("__n")) * (F.col("__c2") / F.col("__n")))))
+           .select("w1", "w2", "pair_count", "pmi"))
+    if top_n is not None:
+        out = out.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(top_n)
+    return out
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the standard text-analysis columns."""
     c = F.col(text_col)

@@ -424,3 +424,22 @@ def test_centroid_scores_plan_is_shuffle_free(spark):
     plan = centroid_scores(df, "emb", {0: [1.0, 0.0], 1: [0.0, 1.0]}) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_collocations_golden(spark):
+    import math
+    from juliadb_jl_spark.functions import text as TX
+    # "new york" always adjacent; "big apple" too; "the" is everywhere
+    docs = [(0, "new york is the big apple"),
+            (1, "i love new york and the big apple"),
+            (2, "the apple was big in new york")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {(r["w1"], r["w2"]): r for r in
+           TX.collocations(df, min_count=2).collect()}
+    assert ("new", "york") in out and out[("new", "york")]["pair_count"] == 3
+    # hand-computed PMI: 21 tokens, 18 bigrams; c(new)=c(york)=3
+    expect = math.log((3 / 18) / ((3 / 21) * (3 / 21)))
+    assert out[("new", "york")]["pmi"] == pytest.approx(expect, rel=1e-9)
+    # frequent-but-independent pair scores lower than the fixed phrase
+    if ("the", "big") in out:
+        assert out[("the", "big")]["pmi"] < out[("new", "york")]["pmi"]
