@@ -463,7 +463,9 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
     cur = edges.persist()
     prev_sig = None
     for _ in range(max_iter):
-        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        # lazy checkpoint: the signature agg below materializes it, so
+        # each round is ONE job (eager would run a second, separate job)
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=False)
         sig = nxt.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h")
