@@ -1706,6 +1706,71 @@ def q81(spark, sf_dir):
         .select("doc_id", F.round("score", 6).alias("score_r6"))
 
 
+_SUBSTR_CTE = r"""
+t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents),
+w AS (SELECT doc_id, u.s['pos'] AS pos, u.s['fp'] AS fp
+      FROM t, unnest(CASE WHEN len(toks) >= 20
+        THEN [{'pos': i, 'fp': md5(array_to_string(toks[i:i+19], ' '))}
+              FOR i IN range(1, len(toks) - 18)]
+        ELSE [] END) AS u(s)),
+keep AS (SELECT fp, min(doc_id) AS kid, count(*) AS n FROM w GROUP BY fp),
+dup AS (SELECT DISTINCT doc_id, pos AS s, pos + 20 AS e
+        FROM w JOIN keep USING (fp) WHERE n > 1 AND doc_id <> kid),
+pe AS (SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+       FROM dup),
+isl AS (SELECT doc_id, s, e,
+          sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY s
+              ROWS UNBOUNDED PRECEDING) AS g
+        FROM pe),
+merged AS (SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+           FROM isl GROUP BY doc_id, g)
+"""
+
+
+@_q("q87_duplicate_spans", f"""
+WITH {_SUBSTR_CTE}
+SELECT doc_id, span_start, span_end FROM merged
+""")
+def q87(spark, sf_dir):
+    """exact-substring duplicate spans (dedup.duplicate_spans, the Lee
+    et al. 2022 operation): rolling 20-token window fingerprints, every
+    occurrence outside the lowest-id document is duplicated, windows
+    merge to maximal spans. One explode + one groupBy(fp) + one join —
+    no pairwise self-join, so boilerplate shared by millions of docs
+    costs O(occurrences), not O(occurrences²)."""
+    d = read_table(spark, sf_dir, "documents")
+    return DD.duplicate_spans(d, "doc_id", k=20)
+
+
+@_q("q88_dedup_substrings", f"""
+WITH {_SUBSTR_CTE},
+sp AS (SELECT doc_id,
+         list({{'s': span_start, 'e': span_end}}) AS spans
+       FROM merged GROUP BY doc_id)
+SELECT t.doc_id,
+  md5(CASE WHEN sp.spans IS NULL THEN t.text
+    ELSE coalesce(array_to_string(
+      [t.toks[i] FOR i IN range(1, len(t.toks) + 1)
+       IF len(list_filter(sp.spans,
+              x -> i >= x['s'] AND i < x['e'])) = 0], ' '), '') END)
+    AS text_md5
+FROM t LEFT JOIN sp USING (doc_id)
+""")
+def q88(spark, sf_dir):
+    """exact substring dedup end-to-end (dedup.dedup_substrings): cut
+    every cross-document verbatim >= 20-token span, keeping the
+    lowest-id occurrence; untouched docs keep their original bytes.
+    The span table joins back per-doc and the cut is one native
+    positional filter over tokens."""
+    d = read_table(spark, sf_dir, "documents")
+    out = DD.dedup_substrings(d, "doc_id", k=20)
+    return out.select("doc_id", F.md5("text").alias("text_md5"))
+
+
 @_q("q86_collocations", r"""
 WITH words AS (SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+')))
                  AS w FROM documents),

@@ -375,6 +375,104 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
             .filter(F.col("cosine") >= threshold))
 
 
+# ---------------------------------------------------------------------------
+# Exact substring deduplication (verbatim k-token window matching)
+# ---------------------------------------------------------------------------
+# The Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") operation: find text spans repeated VERBATIM across documents
+# and cut every occurrence except one. Suffix arrays don't distribute;
+# the equivalent distributed shape is rolling k-token window fingerprints:
+# a duplicated span of length >= k contains a duplicated k-window, and
+# removing all duplicated k-windows (merged into maximal spans) removes
+# every cross-document verbatim repetition of length >= k.
+
+
+def _window_fps(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, pos, fp): md5 fingerprint of each k-token window (1-based
+    pos). md5 keeps the oracle portable; swap xxhash64 at deploy scale
+    for cheaper hashing — the plan shape is identical."""
+    from juliadb_jl_spark.functions.text import tokens
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    wins = F.transform(idx, lambda i: F.struct(
+        i.alias("pos"),
+        F.md5(F.concat_ws(" ", F.slice(toks, i, k))).alias("fp")))
+    wins = F.when(n >= k, wins).otherwise(
+        F.array().cast("array<struct<pos:int,fp:string>>"))
+    return (_spread(df)
+            .select(F.col(id_col).alias("id"), F.explode(wins).alias("w"))
+            .select("id", "w.pos", "w.fp"))
+
+
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
+                    k: int = 50, merge: bool = True) -> DataFrame:
+    """Maximal cross-document duplicated spans: for every fingerprint
+    seen in more than one document, each occurrence OUTSIDE the
+    lowest-id document is a duplicated k-window; overlapping/adjacent
+    windows merge into maximal (id, span_start, span_end) token spans
+    (end exclusive).
+
+    Scale: one explode + one groupBy(fp) + one join back — NO pairwise
+    self-join, so a boilerplate window shared by a million docs costs
+    O(occurrences), not O(occurrences²). Span merge is a per-doc window
+    (classic island detection), shuffling only the duplicated windows."""
+    from pyspark.sql import Window
+    w = _window_fps(df, id_col, text_col, k).persist()
+    keeper = w.groupBy("fp").agg(F.min("id").alias("__keep"),
+                                 F.count(F.lit(1)).alias("__n"))
+    dup = (w.join(keeper.filter(F.col("__n") > 1), "fp")
+           .filter(F.col("id") != F.col("__keep"))
+           .select("id", F.col("pos").alias("span_start"),
+                   (F.col("pos") + k).alias("span_end")).distinct())
+    if not merge:
+        return dup
+    win = Window.partitionBy("id").orderBy("span_start")
+    prev_end = F.max("span_end").over(
+        win.rowsBetween(Window.unboundedPreceding, -1))
+    island = F.sum(
+        F.when(F.col("span_start") > F.coalesce(prev_end, F.lit(-1)), 1)
+        .otherwise(0)).over(win)
+    return (dup.withColumn("__i", island)
+            .groupBy("id", "__i")
+            .agg(F.min("span_start").alias("span_start"),
+                 F.max("span_end").alias("span_end"))
+            .select(F.col("id").alias(id_col), "span_start", "span_end"))
+
+
+def dedup_substrings(df: DataFrame, id_col: str, text_col: str = "text",
+                     k: int = 50,
+                     out_col: str | None = None) -> DataFrame:
+    """Exact substring dedup: cut every cross-document verbatim span of
+    >= k tokens, keeping the occurrence in the lowest-id document.
+    Rewrites `text_col` (or `out_col`) as the surviving tokens joined
+    with single spaces — token-level reconstruction, documented
+    divergence from raw byte slicing.
+
+    Scale: spans are tiny relative to the corpus; they come back as one
+    per-doc array via a left join, and the cut is a per-row native
+    filter over token positions."""
+    from juliadb_jl_spark.functions.text import tokens
+    out_col = out_col or text_col
+    spans = duplicate_spans(df, id_col, text_col, k)
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans"))
+    # plain left join — the span table is usually small enough that AQE
+    # broadcasts it, but forcing broadcast would be wrong for heavily
+    # duplicated corpora where spans are GB-scale
+    joined = df.join(sp, id_col, "left")
+    toks = tokens(F.col(text_col))
+    def kept(x, i):
+        covered = F.exists(
+            "__spans", lambda s: (i + 1 >= s["span_start"]) &
+                                 (i + 1 < s["span_end"]))
+        return ~covered
+    cut = F.concat_ws(" ", F.filter(toks, kept))
+    return (joined.withColumn(
+        out_col, F.when(F.col("__spans").isNull(), F.col(text_col))
+        .otherwise(cut)).drop("__spans"))
+
+
 def embedding_pairs_exact(df: DataFrame, id_col: str, vec_col: str,
                           threshold: float = 0.95) -> DataFrame:
     """ALL cosine-≥-threshold pairs by brute force (crossJoin). O(n²) —

@@ -443,3 +443,29 @@ def test_collocations_golden(spark):
     # frequent-but-independent pair scores lower than the fixed phrase
     if ("the", "big") in out:
         assert out[("the", "big")]["pmi"] < out[("new", "york")]["pmi"]
+
+
+def test_substring_dedup_golden(spark):
+    from juliadb_jl_spark.functions import dedup as DD
+    # docs 0 and 1 share the verbatim run "a b c d e" (5 tokens);
+    # doc 2 shares "c d e f g" with doc 1's tail; doc 3 is clean
+    rows = [(0, "x1 x2 a b c d e y1 y2"),
+            (1, "z1 a b c d e f g z2"),
+            (2, "c d e f g w1 w2 w3"),
+            (3, "u1 u2 u3 u4 u5 u6 u7")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in
+             DD.duplicate_spans(df, "doc_id", k=3).collect()}
+    # doc 0 keeps everything (lowest id for its shared windows)
+    assert 0 not in spans and 3 not in spans
+    # doc 1: windows of "a b c d e" (pos 2..4) -> merged span [2, 7);
+    # "d e f"/"e f g" keep in doc1 (it is the lowest id for those)
+    assert spans[1] == (2, 7)
+    # doc 2: all of "c d e f g" duplicated -> [1, 6)
+    assert spans[2] == (1, 6)
+    out = {r["doc_id"]: r["text"] for r in
+           DD.dedup_substrings(df, "doc_id", k=3).collect()}
+    assert out[0] == "x1 x2 a b c d e y1 y2"
+    assert out[1] == "z1 f g z2"
+    assert out[2] == "w1 w2 w3"
+    assert out[3] == "u1 u2 u3 u4 u5 u6 u7"
