@@ -103,3 +103,17 @@ def test_dedup_chunk_invariant(tables):
             base = got
         else:
             pd.testing.assert_frame_equal(base, got)
+
+
+def test_substring_dedup_chunk_invariant(tables):
+    from juliadb_jl_spark.functions import dedup as DD
+    d = tables["documents"].df
+    base = None
+    for n in CHUNKS:
+        out = DD.dedup_substrings(d.repartition(n), "doc_id",
+                                  k=20).select("doc_id", "text").toPandas()
+        got = _norm(out)
+        if base is None:
+            base = got
+        else:
+            pd.testing.assert_frame_equal(base, got)
