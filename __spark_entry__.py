@@ -1706,6 +1706,44 @@ def q81(spark, sf_dir):
         .select("doc_id", F.round("score", 6).alias("score_r6"))
 
 
+@_q("q89_perplexity", r"""
+WITH words AS (SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+')))
+                 AS w FROM documents),
+uni AS (SELECT w, count(*) AS c FROM words WHERE w <> '' GROUP BY w),
+v AS (SELECT count(*) AS vc FROM uni),
+base AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
+           AS toks FROM documents),
+bp AS (SELECT doc_id, t.pr[1] AS w1, t.pr[2] AS w2
+       FROM base, unnest(CASE WHEN len(toks) >= 2
+         THEN [[toks[i], toks[i+1]] FOR i IN range(1, len(toks))]
+         ELSE [] END) AS t(pr)),
+bic AS (SELECT w1, w2, count(*) AS c12 FROM bp GROUP BY 1, 2),
+sc AS (SELECT doc_id,
+         ln((coalesce(c12, 0) + 0.5) / (coalesce(u.c, 0) + 0.5 * vc)) AS lp
+       FROM bp LEFT JOIN uni u ON bp.w1 = u.w
+               LEFT JOIN bic USING (w1, w2) CROSS JOIN v)
+SELECT doc_id, CAST(count(lp) AS BIGINT) AS n_bigrams,
+       round(avg(lp), 6) AS avg_logp_r6, round(exp(-avg(lp)), 4) AS ppl_r4
+FROM sc GROUP BY doc_id
+""")
+def q89(spark, sf_dir):
+    """bigram-LM perplexity quality signal (text.bigram_lm +
+    perplexity_scores, CCNet-style self-scoring): the LM is two
+    vocabulary-sized aggregations; scoring explodes the corpus once,
+    broadcasts the unigram table, joins observed bigrams on (w1,w2),
+    and reduces per doc — vocabulary-scaled joins only, never
+    corpus×corpus. Docs shorter than 2 tokens score NULL (none in this
+    corpus — both sides emit only scored docs)."""
+    d = read_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    lm = TX.bigram_lm(d)
+    out = TX.perplexity_scores(d, "doc_id", lm)
+    return (out.filter(F.col("n_bigrams") > 0)
+            .select("doc_id", "n_bigrams",
+                    F.round("avg_logp", 6).alias("avg_logp_r6"),
+                    F.round("ppl", 4).alias("ppl_r4")))
+
+
 _SUBSTR_CTE = r"""
 t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
       FROM documents),

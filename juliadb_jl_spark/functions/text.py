@@ -194,20 +194,9 @@ def collocations(df: DataFrame, text_col: str = "text",
     a broadcast one-row cross-join, and the unigram side broadcasts
     into the bigram join. The corpus itself is never joined or
     re-shuffled."""
-    low = F.lower(F.trim(F.col(text_col)))
-    toks = F.when(F.length(low) == 0, F.array().cast("array<string>")) \
-        .otherwise(F.split(low, r"\s+"))
-    uni = (df.select(F.explode(toks).alias("w"))
-           .filter(F.length("w") > 0)
-           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - 1)
-    pairs = F.transform(idx, lambda i: F.struct(
-        F.element_at(toks, i).alias("w1"),
-        F.element_at(toks, i + 1).alias("w2")))
-    pairs = F.when(n >= 2, pairs).otherwise(
-        F.array().cast("array<struct<w1:string,w2:string>>"))
-    bi_all = (df.select(F.explode(pairs).alias("p"))
+    uni = word_freqs(df, text_col).select(F.col("word").alias("w"),
+                                          F.col("freq").alias("c"))
+    bi_all = (df.select(F.explode(_adjacent_pairs(F.col(text_col))).alias("p"))
               .select("p.w1", "p.w2")
               .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
               .persist())  # feeds the total AND the filtered join —
@@ -227,6 +216,74 @@ def collocations(df: DataFrame, text_col: str = "text",
     if top_n is not None:
         out = out.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(top_n)
     return out
+
+
+def _adjacent_pairs(text_col: Column) -> Column:
+    """array<struct<w1,w2>> of adjacent lowercased tokens."""
+    low = F.lower(F.trim(text_col))
+    toks = F.when(F.length(low) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(low, r"\s+"))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - 1)
+    pairs = F.transform(idx, lambda i: F.struct(
+        F.element_at(toks, i).alias("w1"),
+        F.element_at(toks, i + 1).alias("w2")))
+    return F.when(n >= 2, pairs).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+def bigram_lm(df: DataFrame, text_col: str = "text") -> tuple:
+    """Train a bigram language model on the corpus: returns
+    (unigram_counts(w, c), bigram_counts(w1, w2, c12), vocab_size) —
+    the sufficient statistics for add-α-smoothed next-token
+    probabilities p(w2|w1) = (c12 + α)/(c1 + α·V).
+
+    Scale: two corpus aggregations with map-side combine, both reducing
+    to vocabulary-sized tables; V is one tiny driver scalar."""
+    uni = word_freqs(df, text_col)
+    bi = (df.select(F.explode(_adjacent_pairs(F.col(text_col))).alias("p"))
+          .select("p.w1", "p.w2")
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
+    vocab = uni.count()
+    return uni, bi, vocab
+
+
+def perplexity_scores(df: DataFrame, id_col: str, lm: tuple,
+                      text_col: str = "text",
+                      alpha: float = 0.5) -> DataFrame:
+    """Per-document bigram perplexity under an add-α-smoothed LM (the
+    CCNet-style quality signal: fluent text scores low, gibberish and
+    boilerplate-free noise score high). Returns
+    (id_col, n_bigrams, avg_logp, ppl); docs with < 2 tokens get NULLs.
+
+    Scale: the corpus explodes once to its adjacent pairs; unigram
+    counts broadcast (vocab-sized), observed-bigram counts join on
+    (w1, w2) — vocabulary-scaled sides only, never corpus×corpus; one
+    per-doc aggregation. Unseen bigrams back off to α/(c1 + α·V),
+    unseen unigrams to 1/V — every position gets finite mass."""
+    uni, bi, vocab = lm
+    pairs = df.select(
+        F.col(id_col),
+        F.explode_outer(_adjacent_pairs(F.col(text_col))).alias("p")) \
+        .select(id_col, "p.w1", "p.w2")
+    u = F.broadcast(uni.select(F.col("word").alias("w1"),
+                               F.col("freq").alias("__c1")))
+    scored = (pairs.join(u, "w1", "left")
+              .join(bi, ["w1", "w2"], "left")
+              .withColumn("__logp", F.when(
+                  # explode_outer's NULL row (a <2-token doc) is not a
+                  # bigram — only real pairs get backoff mass
+                  F.col("w1").isNotNull(), F.log(
+                      (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha)) /
+                      (F.coalesce(F.col("__c1"), F.lit(0)) +
+                       F.lit(alpha * vocab))))))
+    agg = (scored.groupBy(id_col)
+           .agg(F.count("__logp").alias("n_bigrams"),
+                F.avg("__logp").alias("avg_logp")))
+    return agg.withColumn(
+        "ppl", F.when(F.col("n_bigrams") > 0, F.exp(-F.col("avg_logp")))) \
+        .withColumn("avg_logp", F.when(F.col("n_bigrams") > 0,
+                                       F.col("avg_logp")))
 
 
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:

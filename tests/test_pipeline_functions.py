@@ -469,3 +469,26 @@ def test_substring_dedup_golden(spark):
     assert out[1] == "z1 f g z2"
     assert out[2] == "w1 w2 w3"
     assert out[3] == "u1 u2 u3 u4 u5 u6 u7"
+
+
+def test_bigram_perplexity_golden(spark):
+    import math
+    from juliadb_jl_spark.functions import text as TX
+    docs = [(0, "a b a b"), (1, "a b"), (2, "z")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    lm = TX.bigram_lm(df)
+    uni, bi, V = lm
+    assert V == 3
+    out = {r["doc_id"]: r for r in
+           TX.perplexity_scores(df, "doc_id", lm, alpha=0.5).collect()}
+    # counts: c(a)=3, c(b)=3, c(z)=1; c(ab)=3, c(ba)=1
+    p_ab = (3 + 0.5) / (3 + 0.5 * 3)
+    p_ba = (1 + 0.5) / (3 + 0.5 * 3)
+    exp0 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["avg_logp"] == pytest.approx(exp0, rel=1e-12)
+    assert out[0]["ppl"] == pytest.approx(math.exp(-exp0), rel=1e-12)
+    # doc 1 is pure high-probability text -> lower perplexity than doc 0
+    assert out[1]["ppl"] < out[0]["ppl"]
+    # single-token doc: no bigrams, NULL scores
+    assert out[2]["n_bigrams"] == 0 and out[2]["ppl"] is None
