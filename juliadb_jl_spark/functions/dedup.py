@@ -406,12 +406,16 @@ def _window_fps(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
 
 
 def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
-                    k: int = 50, merge: bool = True) -> DataFrame:
-    """Maximal cross-document duplicated spans: for every fingerprint
-    seen in more than one document, each occurrence OUTSIDE the
-    lowest-id document is a duplicated k-window; overlapping/adjacent
-    windows merge into maximal (id, span_start, span_end) token spans
-    (end exclusive).
+                    k: int = 50, merge: bool = True,
+                    within_doc: bool = False) -> DataFrame:
+    """Maximal duplicated spans: for every fingerprint seen more than
+    once, each occurrence outside the keeper is a duplicated k-window;
+    overlapping/adjacent windows merge into maximal
+    (id, span_start, span_end) token spans (end exclusive).
+
+    The keeper is the lowest-id document (cross-document dedup); with
+    `within_doc=True` it is the earliest (id, pos) occurrence, so
+    repetitions INSIDE a document are spans too.
 
     Scale: one explode + one groupBy(fp) + one join back — NO pairwise
     self-join, so a boilerplate window shared by a million docs costs
@@ -419,12 +423,22 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
     (classic island detection), shuffling only the duplicated windows."""
     from pyspark.sql import Window
     w = _window_fps(df, id_col, text_col, k).persist()
-    keeper = w.groupBy("fp").agg(F.min("id").alias("__keep"),
-                                 F.count(F.lit(1)).alias("__n"))
-    dup = (w.join(keeper.filter(F.col("__n") > 1), "fp")
-           .filter(F.col("id") != F.col("__keep"))
-           .select("id", F.col("pos").alias("span_start"),
-                   (F.col("pos") + k).alias("span_end")).distinct())
+    if within_doc:
+        keeper = w.groupBy("fp").agg(
+            F.min(F.struct("id", "pos")).alias("__k"),
+            F.count(F.lit(1)).alias("__n"))
+        dup = (w.join(keeper.filter(F.col("__n") > 1), "fp")
+               .filter((F.col("id") != F.col("__k.id")) |
+                       (F.col("pos") != F.col("__k.pos")))
+               .select("id", F.col("pos").alias("span_start"),
+                       (F.col("pos") + k).alias("span_end")).distinct())
+    else:
+        keeper = w.groupBy("fp").agg(F.min("id").alias("__keep"),
+                                     F.count(F.lit(1)).alias("__n"))
+        dup = (w.join(keeper.filter(F.col("__n") > 1), "fp")
+               .filter(F.col("id") != F.col("__keep"))
+               .select("id", F.col("pos").alias("span_start"),
+                       (F.col("pos") + k).alias("span_end")).distinct())
     if not merge:
         return dup
     win = Window.partitionBy("id").orderBy("span_start")
@@ -441,10 +455,11 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
 
 
 def dedup_substrings(df: DataFrame, id_col: str, text_col: str = "text",
-                     k: int = 50,
+                     k: int = 50, within_doc: bool = False,
                      out_col: str | None = None) -> DataFrame:
     """Exact substring dedup: cut every cross-document verbatim span of
-    >= k tokens, keeping the occurrence in the lowest-id document.
+    >= k tokens, keeping the occurrence in the lowest-id document
+    (earliest in-document occurrence too when `within_doc=True`).
     Rewrites `text_col` (or `out_col`) as the surviving tokens joined
     with single spaces — token-level reconstruction, documented
     divergence from raw byte slicing.
@@ -454,7 +469,8 @@ def dedup_substrings(df: DataFrame, id_col: str, text_col: str = "text",
     filter over token positions."""
     from juliadb_jl_spark.functions.text import tokens
     out_col = out_col or text_col
-    spans = duplicate_spans(df, id_col, text_col, k)
+    spans = duplicate_spans(df, id_col, text_col, k,
+                            within_doc=within_doc)
     sp = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans"))
     # plain left join — the span table is usually small enough that AQE

@@ -492,3 +492,22 @@ def test_bigram_perplexity_golden(spark):
     assert out[1]["ppl"] < out[0]["ppl"]
     # single-token doc: no bigrams, NULL scores
     assert out[2]["n_bigrams"] == 0 and out[2]["ppl"] is None
+
+
+def test_substring_dedup_within_doc(spark):
+    from juliadb_jl_spark.functions import dedup as DD
+    # doc 0 repeats "p q r" internally; doc 1 copies it too
+    rows = [(0, "p q r x1 x2 p q r y1"),
+            (1, "z1 p q r z2")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # cross-doc only: doc 0's self-repetition survives
+    cross = {r["doc_id"]: r["text"] for r in
+             DD.dedup_substrings(df, "doc_id", k=3).collect()}
+    assert cross[0] == "p q r x1 x2 p q r y1"
+    assert cross[1] == "z1 z2"
+    # within_doc: the second in-doc occurrence is cut as well
+    within = {r["doc_id"]: r["text"] for r in
+              DD.dedup_substrings(df, "doc_id", k=3,
+                                  within_doc=True).collect()}
+    assert within[0] == "p q r x1 x2 y1"
+    assert within[1] == "z1 z2"
