@@ -1706,6 +1706,41 @@ def q81(spark, sf_dir):
         .select("doc_id", F.round("score", 6).alias("score_r6"))
 
 
+@_q("q90_encode_tokens", r"""
+WITH words AS (SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+')))
+                 AS w FROM documents),
+uni AS (SELECT w AS word, count(*) AS freq FROM words WHERE w <> ''
+        GROUP BY w),
+vocab AS (SELECT word, CAST(row_number() OVER
+            (ORDER BY freq DESC, word) AS INT) AS tid FROM uni),
+base AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
+           AS toks FROM documents),
+tok AS (SELECT doc_id, u.s['pos'] AS pos, u.s['w'] AS w
+        FROM base, unnest([{'pos': i, 'w': toks[i]}
+                           FOR i IN range(1, len(toks) + 1)]) AS u(s)),
+ids AS (SELECT doc_id, pos, coalesce(v.tid, 0) AS tid
+        FROM tok LEFT JOIN vocab v ON tok.w = v.word)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list(tid ORDER BY pos), ',')) AS ids_md5
+FROM ids GROUP BY doc_id
+""")
+def q90(spark, sf_dir):
+    """vocabulary build + token-id encoding (text.build_vocab +
+    encode_tokens, the corpus→training-input step): vocab ids assigned
+    by (freq desc, word asc) via the two-pass global numbering over the
+    already-vocabulary-sized table; encoding posexplodes the corpus
+    once, broadcast-joins the vocab, and re-assembles per doc with one
+    groupBy."""
+    d = read_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    vocab = TX.build_vocab(d)
+    enc = TX.encode_tokens(d, "doc_id", vocab)
+    return enc.select(
+        "doc_id", F.size("token_ids").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(",", F.transform(
+            "token_ids", lambda x: x.cast("string")))).alias("ids_md5"))
+
+
 @_q("q89_perplexity", r"""
 WITH words AS (SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+')))
                  AS w FROM documents),

@@ -286,6 +286,61 @@ def perplexity_scores(df: DataFrame, id_col: str, lm: tuple,
                                        F.col("avg_logp")))
 
 
+def build_vocab(df: DataFrame, text_col: str = "text",
+                min_freq: int = 1,
+                specials: tuple[str, ...] = ("<unk>",)) -> DataFrame:
+    """Frequency-ordered vocabulary: (word, token_id) with ids assigned
+    by (freq desc, word asc) — deterministic across engines and
+    partitionings. `specials` occupy ids 0..len-1; real words follow.
+
+    Scale: the corpus reduces to a vocabulary-sized table first; the
+    global rank uses the two-pass parallel numbering (no
+    single-partition Exchange) over that already-tiny table."""
+    from juliadb_jl_spark.operators.sort import with_global_rownum
+    wf = word_freqs(df, text_col).filter(F.col("freq") >= min_freq)
+    ranked = with_global_rownum(
+        wf, "token_id", order=[F.desc("freq"), F.asc("word")])
+    offset = len(specials) - 1
+    out = ranked.select("word",
+                        (F.col("token_id") + offset).cast("int")
+                        .alias("token_id"))
+    spark = df.sparkSession
+    sp = spark.createDataFrame(
+        [(w, i) for i, w in enumerate(specials)],
+        "word string, token_id int")
+    return sp.unionByName(out)
+
+
+def encode_tokens(df: DataFrame, id_col: str, vocab: DataFrame,
+                  text_col: str = "text", unk: str = "<unk>",
+                  out_col: str = "token_ids") -> DataFrame:
+    """Encode documents to token-id arrays under a vocabulary — the
+    final corpus→training-input step. Unknown words map to the `unk`
+    special's id.
+
+    Scale: posexplode the corpus once, broadcast-join the
+    (vocabulary-sized) vocab, re-assemble per doc with one groupBy —
+    order restored by sorting the (pos, id) structs inside each row,
+    so the only shuffle is the per-doc re-assembly."""
+    low = F.lower(F.trim(F.col(text_col)))
+    toks = F.when(F.length(low) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(low, r"\s+"))
+    unk_id = vocab.filter(F.col("word") == unk).head()
+    unk_id = unk_id["token_id"] if unk_id is not None else 0
+    pairs = df.select(F.col(id_col),
+                      F.posexplode_outer(toks).alias("__pos", "__w"))
+    enc = (pairs.join(F.broadcast(vocab.withColumnRenamed("word", "__w")),
+                      "__w", "left")
+           .withColumn("__tid", F.coalesce("token_id", F.lit(unk_id))))
+    entry = F.when(F.col("__pos").isNotNull(),
+                   F.struct("__pos", "__tid"))  # empty doc → no entries
+    return (enc.groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(entry)).alias("__s"))
+            .select(id_col,
+                    F.transform("__s", lambda s: s["__tid"])
+                    .alias(out_col)))
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the standard text-analysis columns."""
     c = F.col(text_col)

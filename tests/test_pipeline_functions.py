@@ -511,3 +511,21 @@ def test_substring_dedup_within_doc(spark):
                                   within_doc=True).collect()}
     assert within[0] == "p q r x1 x2 y1"
     assert within[1] == "z1 z2"
+
+
+def test_vocab_encode_roundtrip(spark):
+    from juliadb_jl_spark.functions import text as TX
+    docs = [(0, "b a b c"), (1, "a b NEW"), (2, "")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # freqs: b=3, a=2, c=1, new=1 -> ids: <unk>=0, b=1, a=2, c=3, new=4
+    vocab = {r["word"]: r["token_id"]
+             for r in TX.build_vocab(df).collect()}
+    assert vocab == {"<unk>": 0, "b": 1, "a": 2, "c": 3, "new": 4}
+    # encode against a vocab built WITHOUT doc 1 -> "new" becomes <unk>
+    v2 = TX.build_vocab(df.filter(F.col("doc_id") != 1))
+    enc = {r["doc_id"]: r["token_ids"] for r in
+           TX.encode_tokens(df, "doc_id", v2).collect()}
+    # freqs without doc1: b=2,a=1,c=1 -> b=1, a=2, c=3
+    assert enc[0] == [1, 2, 1, 3]
+    assert enc[1] == [2, 1, 0]   # "new" -> <unk>=0
+    assert enc[2] == []
