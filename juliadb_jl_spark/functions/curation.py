@@ -37,13 +37,14 @@ from juliadb_jl_spark.operators.sort import with_global_rownum
 
 
 def lines_(col: Column) -> Column:
-    """Non-empty lines of a document as array<string>."""
-    return F.filter(F.split(col, "\n"), lambda x: F.length(x) > 0)
+    """Non-empty lines of a document as array<string> (NULL → empty)."""
+    return F.filter(F.split(F.coalesce(col, F.lit("")), "\n"),
+                    lambda x: F.length(x) > 0)
 
 
 def paragraphs(col: Column) -> Column:
     """Non-blank paragraphs (blank-line separated) as array<string>."""
-    parts = F.split(col, r"\n\s*\n")
+    parts = F.split(F.coalesce(col, F.lit("")), r"\n\s*\n")
     return F.filter(parts, lambda x: F.length(F.trim(x)) > 0)
 
 

@@ -27,8 +27,8 @@ STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization; empty string → empty array."""
-    trimmed = F.trim(col)
+    """Whitespace tokenization; empty or NULL string → empty array."""
+    trimmed = F.trim(F.coalesce(col, F.lit("")))
     return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")) \
         .otherwise(F.split(trimmed, r"\s+"))
 
@@ -219,8 +219,9 @@ def collocations(df: DataFrame, text_col: str = "text",
 
 
 def _adjacent_pairs(text_col: Column) -> Column:
-    """array<struct<w1,w2>> of adjacent lowercased tokens."""
-    low = F.lower(F.trim(text_col))
+    """array<struct<w1,w2>> of adjacent lowercased tokens (NULL text →
+    no pairs)."""
+    low = F.lower(F.trim(F.coalesce(text_col, F.lit(""))))
     toks = F.when(F.length(low) == 0, F.array().cast("array<string>")) \
         .otherwise(F.split(low, r"\s+"))
     n = F.size(toks)

@@ -529,3 +529,23 @@ def test_vocab_encode_roundtrip(spark):
     assert enc[0] == [1, 2, 1, 3]
     assert enc[1] == [2, 1, 0]   # "new" -> <unk>=0
     assert enc[2] == []
+
+
+def test_null_text_is_empty_document(spark):
+    from juliadb_jl_spark.functions import curation as CU
+    from juliadb_jl_spark.functions import text as TX
+    df = spark.createDataFrame([(0, None), (1, "a b c")],
+                               "doc_id long, text string")
+    r = {row["doc_id"]: row for row in df.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n"),
+        F.size(CU.lines_(F.col("text"))).alias("nl"),
+        TX.quality_score(F.col("text")).alias("q"),
+        F.size(TX.shingles(F.col("text"), 2)).alias("sh")).collect()}
+    assert r[0]["n"] == 0 and r[0]["nl"] == 0 and r[0]["sh"] == 0
+    assert r[0]["q"] == pytest.approx(0.5 * 0.2 + 0.2)  # empty-text value
+    assert r[1]["n"] == 3
+    # curation/pipeline entry points don't crash on NULL text
+    assert CU.c4_line_clean(df).count() == 2
+    assert CU.repetition_stats(df).count() == 2
+    assert TX.bpe_top_pairs(df).count() >= 0
