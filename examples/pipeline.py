@@ -5,7 +5,8 @@
   scrub → quality filter → exact dedup → near-dup dedup (MinHash-LSH +
   cluster resolution) → semantic dedup (embeddings) → contamination
   check → deterministic train/val/test split → context-window packing
-  → deterministic shuffle → save curated corpus + IVF index
+  → bigram-LM perplexity filter → deterministic shuffle → token-id
+  encoding → save curated corpus + token shards + IVF index
 
 Run: python examples/pipeline.py [sf_dir] (default /root/testdata/sf0.001)
 """
@@ -96,13 +97,29 @@ def main():
         train = SP.pack_tokens(train, "n_tokens", budget=2048,
                                order=["doc_id"])
 
-    with jdb.tracktime("epoch-shuffle", spark):
-        # deterministic, seed-keyed training order for epoch 0
+    with jdb.tracktime("perplexity-filter", spark):
+        # LM-based quality pass (CCNet-style): self-train a bigram LM on
+        # the curated set, drop the highest-perplexity tail
+        lm = TX.bigram_lm(kept)
+        ppl = TX.perplexity_scores(kept, "doc_id", lm)
+        cutoff = ppl.agg(
+            F.expr("percentile_approx(ppl, 0.95)")).head()[0]
+        train = train.join(
+            ppl.filter(F.col("ppl") <= F.lit(cutoff)).select("doc_id"),
+            "doc_id", "left_semi")
+
+    with jdb.tracktime("epoch-shuffle+encode", spark):
+        # deterministic, seed-keyed training order for epoch 0, then
+        # token-id encoding under a frequency-ordered vocabulary
         train = CU.shuffle_rows(train, "doc_id", seed=0)
+        vocab = TX.build_vocab(kept, min_freq=2)
+        encoded = TX.encode_tokens(train, "doc_id", vocab)
 
     with jdb.tracktime("save+index", spark):
         jdb.save(jdb.table(kept.drop("split"), pkey="doc_id"),
                  f"{out_dir}/documents")
+        jdb.save(jdb.table(encoded, pkey="doc_id"),
+                 f"{out_dir}/train_tokens", compression="zstd")
         tagged, cents = SIM.ivf_build(emb, n_cells=8)
         SIM.ivf_save(tagged, cents, f"{out_dir}/ivf")
 
