@@ -167,3 +167,38 @@ def test_c4_line_clean_is_shuffle_free(spark):
     plan = CU.c4_line_clean(df) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_curation_ops_run_on_streams(spark, tmp_path):
+    """Stateless curation operators are plain Column maps, so the SAME
+    code runs under Structured Streaming: stream the corpus from
+    parquet, clean + scrub + feature it, and compare to the batch run
+    of the identical pipeline."""
+    import pandas as pd
+    from juliadb_jl_spark.functions import text as TX
+    from juliadb_jl_spark.streaming.aggregate import (run_to_memory,
+                                                      stream_from_parquet)
+    pdf = pd.DataFrame({
+        "doc_id": range(20),
+        "text": [f"Document number {i} has enough words here.\n"
+                 f"contact user{i}@example.com\n"
+                 "tiny line" for i in range(20)]})
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    def curate(df):
+        out = CU.c4_line_clean(df)
+        out = CU.add_pii_columns(out)
+        return out.select("doc_id", "n_kept", "n_pii_email",
+                          TX.token_count(F.col("text_scrubbed"))
+                          .alias("n_tokens"))
+
+    batch = curate(spark.read.parquet(src)).toPandas() \
+        .sort_values("doc_id", ignore_index=True)
+    stream = stream_from_parquet(spark, src)
+    streamed = run_to_memory(curate(stream), "curated_stream",
+                             mode="append").toPandas() \
+        .sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(batch, streamed)
+    assert (batch["n_pii_email"] == 1).all()
+    assert (batch["n_kept"] == 1).all()  # only the sentence line survives
