@@ -80,11 +80,31 @@ def rechunk(t: Table, by: Any = None, chunks: int | None = None) -> Table:
     return type(t)(df.sortWithinPartitions(*names), tuple(names), presorted=True)
 
 
+def _join_offsets(base, pairs, double: bool = False):
+    """Attach per-partition cumulative offsets as a broadcast-joined tiny
+    DataFrame (one row per input partition) rather than a `create_map`
+    literal: a 100-TB table has ~10^5-10^6 partitions, and literalizing two
+    entries per partition into the expression tree bloats the driver plan
+    and can trip whole-stage-codegen's 64 KB method limit.  A
+    #partitions-row broadcast frame stays O(MB), off the plan tree, and
+    the broadcast hash join is a narrow op that preserves partitioning and
+    within-partition order."""
+    from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                                   StructField, StructType)
+    vtype = DoubleType() if double else LongType()
+    schema = StructType([StructField("__pid", IntegerType(), False),
+                         StructField("__off", vtype, False)])
+    off = base.sparkSession.createDataFrame(pairs, schema)
+    joined = base.join(F.broadcast(off), "__pid", "left")
+    return joined, F.coalesce(F.col("__off"), F.lit(0.0 if double else 0))
+
+
 def with_global_rownum(df, name: str = "__rn", order: Sequence | None = None):
     """Add a contiguous 1-based global position column WITHOUT a
     single-partition window: per-partition counts (one tiny job; result is
-    one row per partition) → cumulative offsets on the driver → local
-    row_number + offset.  Every stage stays parallel at any scale.
+    one row per partition) → cumulative offsets joined back via a broadcast
+    frame → local row_number + offset.  Every stage stays parallel at any
+    scale, and the plan size is independent of the partition count.
 
     `order` gives the within-partition sort columns; when omitted, the
     current within-partition row order is kept (via
@@ -100,15 +120,14 @@ def with_global_rownum(df, name: str = "__rn", order: Sequence | None = None):
     else:
         order_cols = list(order)
     counts = base.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    offsets, acc = [], 0
+    pairs, acc = [], 0
     for row in sorted(counts, key=lambda r: r["__pid"]):
-        offsets += [F.lit(row["__pid"]), F.lit(acc)]
+        pairs.append((row["__pid"], acc))
         acc += row["n"]
-    off = (F.coalesce(F.create_map(*offsets)[F.col("__pid")], F.lit(0))
-           if offsets else F.lit(0))
+    base, off = _join_offsets(base, pairs)
     w = W.partitionBy("__pid").orderBy(*order_cols)
     return (base.withColumn(name, (F.row_number().over(w) + off).cast("long"))
-            .drop("__pid", "__mid"))
+            .drop("__pid", "__off", "__mid"))
 
 
 def with_global_cumsum(df, value_col: str, name: str = "__cum",
@@ -117,8 +136,9 @@ def with_global_cumsum(df, value_col: str, name: str = "__cum",
     WITHOUT a single-partition window (same two-pass shape as
     `with_global_rownum`): range-partition + local sort on the order
     keys, per-partition totals (one tiny row per partition) → cumulative
-    offsets on the driver → local exclusive window sum + offset.
-    Every stage stays parallel at any scale."""
+    offsets joined back via a broadcast frame → local exclusive window
+    sum + offset.  Every stage stays parallel at any scale, and the plan
+    size is independent of the partition count."""
     keys = [c if not isinstance(c, str) else F.col(c) for c in (order or [])]
     base = df
     if keys:
@@ -129,17 +149,16 @@ def with_global_cumsum(df, value_col: str, name: str = "__cum",
         order_cols = [F.col("__mid")]
     base = base.withColumn("__pid", F.spark_partition_id())
     parts = base.groupBy("__pid").agg(F.sum(value_col).alias("s")).collect()
-    offsets, acc = [], 0
+    pairs, acc = [], 0.0
     for row in sorted(parts, key=lambda r: r["__pid"]):
-        offsets += [F.lit(row["__pid"]), F.lit(acc)]
+        pairs.append((row["__pid"], acc))
         acc += row["s"] or 0
-    off = (F.coalesce(F.create_map(*offsets)[F.col("__pid")], F.lit(0))
-           if offsets else F.lit(0))
+    base, off = _join_offsets(base, pairs, double=True)
     w = (W.partitionBy("__pid").orderBy(*order_cols)
          .rowsBetween(W.unboundedPreceding, -1))
     cum = F.coalesce(F.sum(value_col).over(w), F.lit(0)) + off
     return (base.withColumn(name, cum.cast("long"))
-            .drop("__pid", "__mid"))
+            .drop("__pid", "__off", "__mid"))
 
 
 def subtable(t: Table, start: int, stop: int) -> Table:

@@ -178,6 +178,33 @@ def test_bloom_semi_join_exact_and_pruning(tables):
     assert len(want) <= len(pruned) < o.df.count()
 
 
+def test_global_numbering_offsets_ride_broadcast_join(spark):
+    # VERDICT r2 #1: the per-partition offsets must NOT be literalized into
+    # the expression tree (a create_map with 2 entries per partition is a
+    # multi-MB plan at 100-TB partition counts); they ride a tiny
+    # broadcast-joined DataFrame instead, so plan size is O(1) in the
+    # partition count.
+    from juliadb_jl_spark.operators.sort import (with_global_cumsum,
+                                                 with_global_rownum)
+    df = spark.range(0, 20000).repartition(1024)
+    rn = with_global_rownum(df, "__rn")
+    analyzed = rn._jdf.queryExecution().analyzed().toString()
+    assert "create_map" not in analyzed and "map(" not in analyzed
+    phys = rn._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys or "BroadcastExchange" in phys, phys
+    # plan stays small even at 1024 partitions (literal version was ~2
+    # entries/partition)
+    assert len(analyzed) < 20_000
+    assert sorted(r["__rn"] for r in rn.collect()) == list(range(1, 20001))
+
+    cs = with_global_cumsum(df.withColumn("v", F.lit(2)), "v", "__cum",
+                            order=["id"])
+    analyzed = cs._jdf.queryExecution().analyzed().toString()
+    assert "create_map" not in analyzed
+    rows = {r["id"]: r["__cum"] for r in cs.collect()}
+    assert rows[0] == 0 and rows[19999] == 2 * 19999
+
+
 def test_bloom_semi_join_empty_filter(tables, spark):
     from juliadb_jl_spark.operators.join import bloom_semi_join
     o = jdb.table(tables["orders"].df.select("o_orderkey", "o_custkey"))
