@@ -296,9 +296,20 @@ def build_vocab(df: DataFrame, text_col: str = "text",
 
     Scale: the corpus reduces to a vocabulary-sized table first; the
     global rank uses the two-pass parallel numbering (no
-    single-partition Exchange) over that already-tiny table."""
+    single-partition Exchange) over that already-tiny table.  The table
+    is range-partitioned on the rank order first — with_global_rownum
+    numbers partition-by-partition, so partitions MUST be range-ordered
+    on (freq desc, word asc) for the ids to be globally correct (ADVICE
+    r2: the previous hash-partitioned input was only right when AQE
+    collapsed the tiny test vocab to one partition)."""
     from juliadb_jl_spark.operators.sort import with_global_rownum
     wf = word_freqs(df, text_col).filter(F.col("freq") >= min_freq)
+    if specials:
+        # a corpus literally containing a special must not get a second,
+        # corpus-ranked id on top of the reserved one
+        wf = wf.filter(~F.col("word").isin(list(specials)))
+    rank_keys = [F.col("freq").desc(), F.col("word").asc()]
+    wf = wf.repartitionByRange(*rank_keys).sortWithinPartitions(*rank_keys)
     ranked = with_global_rownum(
         wf, "token_id", order=[F.desc("freq"), F.asc("word")])
     offset = len(specials) - 1

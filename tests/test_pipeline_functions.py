@@ -531,6 +531,41 @@ def test_vocab_encode_roundtrip(spark):
     assert enc[2] == []
 
 
+def test_build_vocab_multi_partition_order(spark, tables):
+    # ADVICE r2 (high): with AQE partition-coalescing off the vocab table
+    # keeps >1 shuffle partition, and ids must STILL follow
+    # (freq desc, word asc) — the old hash-partitioned numbering only
+    # looked right because AQE collapsed tiny test vocabs to 1 partition.
+    from juliadb_jl_spark.functions import text as TX
+    docs = tables["documents"].df
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        got = TX.build_vocab(docs, "text", min_freq=2).toPandas()
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert got["word"].is_unique
+    ref = got[got["token_id"] > 0].copy()
+    freqs = {r["word"]: r["freq"]
+             for r in TX.word_freqs(docs, "text").collect()}
+    ranked = sorted(ref["word"], key=lambda w: (-freqs[w], w))
+    by_id = list(ref.sort_values("token_id")["word"])
+    assert by_id == ranked
+
+
+def test_build_vocab_special_in_corpus(spark):
+    # a corpus containing the literal "<unk>" must not yield two vocab rows
+    from juliadb_jl_spark.functions import text as TX
+    df = spark.createDataFrame([(0, "a <unk> a <unk> <unk> b")],
+                               ["doc_id", "text"])
+    rows = TX.build_vocab(df).collect()
+    unk = [r for r in rows if r["word"] == "<unk>"]
+    assert len(unk) == 1 and unk[0]["token_id"] == 0
+    ids = {r["word"]: r["token_id"] for r in rows}
+    assert ids == {"<unk>": 0, "a": 1, "b": 2}
+    enc = TX.encode_tokens(df, "doc_id", TX.build_vocab(df)).collect()
+    assert enc[0]["token_ids"] == [1, 0, 1, 0, 0, 2]
+
+
 def test_null_text_is_empty_document(spark):
     from juliadb_jl_spark.functions import curation as CU
     from juliadb_jl_spark.functions import text as TX
