@@ -142,8 +142,73 @@ def test_multimodal_plumbing(tables):
     assert ((decoded["width"] >= 16) & (decoded["width"] < 256)).all()
     feats = MM.extract_features(media, fake=True).toPandas()
     assert all(len(v) == 8 for v in feats["features"])
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
-        MM.decode_media(media, fake=False).count()
+    # real path on non-image bytes: null dims + format, checksum still real
+    real = MM.decode_media(media, fake=False).toPandas()
+    assert real["width"].isna().all() and real["format"].isna().all()
+    assert (real["checksum"].str.len() == 32).all()
+
+
+def _golden_images():
+    """Hand-built minimal-but-valid container headers (public specs:
+    PNG RFC 2083, GIF89a, BMP BITMAPINFOHEADER, JPEG ITU T.81)."""
+    png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+           + b"\x08\x06\x00\x00\x00")
+    gif = (b"GIF89a" + (320).to_bytes(2, "little")
+           + (200).to_bytes(2, "little") + b"\xf7\x00\x00")
+    bmp = (b"BM" + b"\x00" * 12 + (40).to_bytes(4, "little")
+           + (800).to_bytes(4, "little")
+           + (-600).to_bytes(4, "little", signed=True))  # top-down rows
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    jpeg = (b"\xff\xd8" + b"\xff\xe0" + (2 + len(jfif)).to_bytes(2, "big")
+            + jfif + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+            + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+    return {"png": (png, 640, 480), "gif": (gif, 320, 200),
+            "bmp": (bmp, 800, 600), "jpeg": (jpeg, 640, 480)}
+
+
+def test_parse_image_header_golden():
+    golden = _golden_images()
+    for fmt, (raw, w, h) in golden.items():
+        assert MM.parse_image_header(raw) == (w, h, fmt), fmt
+    assert MM.parse_image_header(b"") == (None, None, None)
+    assert MM.parse_image_header(b"not an image at all") == (None, None, None)
+    # truncated PNG signature-only: unrecognized, not a crash
+    assert MM.parse_image_header(b"\x89PNG\r\n\x1a\n")[0] is None
+    # JPEG with SOS before any SOF: walks off cleanly
+    assert MM.parse_image_header(b"\xff\xd8\xff\xda\x00\x04\x00\x00") == \
+        (None, None, "jpeg")
+
+
+def test_decode_media_real_headers(spark):
+    golden = _golden_images()
+    rows = [(i, raw, f"image/{fmt}")
+            for i, (fmt, (raw, w, h)) in enumerate(golden.items())]
+    df = spark.createDataFrame(rows, "media_id long, content binary, mime string")
+    got = {r["format"]: r for r in MM.decode_media(df).collect()}
+    for fmt, (raw, w, h) in golden.items():
+        assert (got[fmt]["width"], got[fmt]["height"]) == (w, h), fmt
+        import hashlib
+        assert got[fmt]["checksum"] == hashlib.md5(raw).hexdigest()
+
+
+def test_image_dims_native_matches_python(spark):
+    # the JVM Column-expression path must agree with the Python parser on
+    # the fixed-offset formats (and be null on JPEG/unknown)
+    golden = _golden_images()
+    rows = [(i, raw) for i, (fmt, (raw, _, _)) in enumerate(golden.items())]
+    rows.append((99, b"junk"))
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = df.select("media_id", "content",
+                    MM.image_dims_native("content").alias("d")).collect()
+    for r in out:
+        w, h, fmt = MM.parse_image_header(bytes(r["content"]))
+        if fmt in ("png", "gif", "bmp"):
+            assert (r["d"]["width"], r["d"]["height"], r["d"]["format"]) == \
+                (w, h, fmt)
+        else:
+            assert r["d"]["width"] is None and r["d"]["format"] is None
 
 
 def test_windowed_agg_batch_vs_oracle(tables, duck):
