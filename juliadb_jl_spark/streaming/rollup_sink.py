@@ -38,11 +38,15 @@ class RollupSink:
 
     def __init__(self, path: str, by, cols, time_col: str | None = None,
                  grain: str = "day", keep_versions: int = 2,
-                 partition_by: list[str] | None = None):
+                 partition_by: list[str] | None = None,
+                 distinct_cols=()):
         self.path = path
         self.by, self.cols = by, cols
         self.time_col, self.grain = time_col, grain
         self.keep_versions = keep_versions
+        # HLL mergeable-distinct state (functions/rollup.rollup_state):
+        # merged across batches exactly like the sum/count/min/max state
+        self.distinct_cols = distinct_cols
         # e.g. partition_by=["bucket"]: state files laid out by time
         # bucket, so serving queries with a bucket predicate read only
         # matching partitions (partition pruning on the state table)
@@ -71,7 +75,8 @@ class RollupSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         delta = rollup_state(batch_df, self.by, self.cols,
-                             time_col=self.time_col, grain=self.grain)
+                             time_col=self.time_col, grain=self.grain,
+                             distinct_cols=self.distinct_cols)
         prev_v = self._latest_before(batch_id)
         if prev_v is not None:
             prev = spark.read.parquet(os.path.join(self.path, f"v{prev_v}"))
