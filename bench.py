@@ -3,11 +3,15 @@
 
 Prints ONE JSON line:
   {"metric": "total_median_sec", "value": N, "unit": "sec",
-   "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+   "queries": {"q01_pricing_summary": sec, ...},
+   "queries_min": {...}, "load": [1m, 5m, 15m], "runs": 3, "sf": 0.1}
 
-Protocol: per query 1 warm-up + 3 timed runs, median reported.  The action
-is a noop-sink write so every output column is actually computed (a bare
-count() would let Catalyst prune the aggregates away).
+Protocol: per query 1 warm-up + 3 timed runs, median reported; per-query
+MINIMA and the host load averages ride along (VERDICT r2 protocol note:
+medians on a loaded shared host made cross-round comparisons noise-bound
+— minima are the load-robust statistic).  The action is a noop-sink
+write so every output column is actually computed (a bare count() would
+let Catalyst prune the aggregates away).
 """
 
 from __future__ import annotations
@@ -59,27 +63,39 @@ def main():
         return time.time() - t0
 
     results: dict[str, float] = {}
+    minima: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         try:
             run_once(fn)  # warm-up (JIT, broadcast, file listing caches)
             times = [run_once(fn) for _ in range(runs)]
             results[name] = round(statistics.median(times), 4)
+            minima[name] = round(min(times), 4)
         except Exception as ex:  # report and keep going
             print(f"bench error in {name}: {ex}", file=sys.stderr)
             results[name] = -1.0
+            minima[name] = -1.0
 
     ok = {k: v for k, v in results.items() if v >= 0}
+    ok_min = {k: v for k, v in minima.items() if v >= 0}
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    try:
+        load = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load = None
     print(json.dumps({
         "metric": "total_median_sec",
         "value": round(sum(ok.values()), 4),
         "unit": "sec",
         "queries": results,
+        "queries_min": minima,
+        "total_min_sec": round(sum(ok_min.values()), 4),
+        "load": load,
+        "runs": runs,
         "sf": sf_val,
     }))
 

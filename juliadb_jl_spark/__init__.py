@@ -51,6 +51,7 @@ from juliadb_jl_spark.functions.stats import partitionplot
 from juliadb_jl_spark.functions import (
     curation, dedup, multimodal, rollup, sampling, search, similarity, text,
 )
+from juliadb_jl_spark.functions.scratch import release_scratch
 from juliadb_jl_spark import ml as ML
 from juliadb_jl_spark.api import (
     ColDict, Columns, chunks, colnames, column, columns, compute,
@@ -90,6 +91,7 @@ __all__ = [
     "compute", "distribute", "glob", "keys_", "pairs", "rechunk_together",
     "rows", "values_", "ML", "load_table", "insert_row",
     "start_tracking_time", "stop_tracking_time", "fetch_timings",
+    "release_scratch",
 ]
 
 __version__ = "0.1.0"

@@ -62,9 +62,18 @@ def ivf_build(corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
     """IVF index: k-means-ish centroids (sampled init, `iters` Lloyd steps
     computed distributed), corpus tagged with nearest-cell id.
     Returns (tagged corpus, centroids). At deploy scale the tagged corpus
-    is written `partitionBy("cell")` so probes prune whole partitions."""
+    is written `partitionBy("cell")` so probes prune whole partitions.
+
+    Init sample: the rows with the smallest seeded hash_unit(id) values
+    (a distributed TakeOrdered) — deterministic across partition layouts
+    and cluster sizes, unlike `limit`, which takes whatever partition
+    answers first."""
     import numpy as np
-    pdf = corpus.select(vec_col).limit(max(n_cells * 20, 200)).toPandas()
+    from juliadb_jl_spark.functions.sampling import hash_unit
+    n_init = max(n_cells * 20, 200)
+    pdf = (corpus.select(F.col(vec_col),
+                         hash_unit(F.col(id_col), seed).alias("__u"))
+           .orderBy("__u").limit(n_init).toPandas())
     vecs = np.array([list(v) for v in pdf[vec_col]], dtype="float64")
     rng = np.random.RandomState(seed)
     centroids = vecs[rng.choice(len(vecs), size=n_cells, replace=False)]

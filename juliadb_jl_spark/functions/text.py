@@ -196,11 +196,14 @@ def collocations(df: DataFrame, text_col: str = "text",
     re-shuffled."""
     uni = word_freqs(df, text_col).select(F.col("word").alias("w"),
                                           F.col("freq").alias("c"))
-    bi_all = (df.select(F.explode(_adjacent_pairs(F.col(text_col))).alias("p"))
-              .select("p.w1", "p.w2")
-              .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
-              .persist())  # feeds the total AND the filtered join —
-    # persist the vocabulary-sized pass so the corpus explodes once
+    from juliadb_jl_spark.functions import scratch
+    bi_all = scratch.register(
+        df.select(F.explode(_adjacent_pairs(F.col(text_col))).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+        .persist())  # feeds the total AND the filtered join —
+    # persist the vocabulary-sized pass so the corpus explodes once;
+    # released via functions.scratch.release_scratch()
     # p(w1 w2) is over ALL adjacent pairs — total before the count filter
     m_tot = F.broadcast(bi_all.agg(F.sum("pair_count").alias("__m")))
     bi = bi_all.filter(F.col("pair_count") >= min_count)

@@ -68,6 +68,17 @@ def test_ivf_fast_and_correct(tables):
     assert hits / 25 >= 0.5
 
 
+def test_ivf_centroid_init_deterministic(tables):
+    # seeded hash-sample init (VERDICT r2 minor #5): same centroids across
+    # partition layouts (up to float summation order in the Lloyd steps)
+    import numpy as np
+    from juliadb_jl_spark.functions import similarity as SIM
+    emb = tables["embeddings"].df
+    _, c1 = SIM.ivf_build(emb, n_cells=4)
+    _, c2 = SIM.ivf_build(emb.repartition(13), n_cells=4)
+    assert np.allclose(np.array(c1), np.array(c2), rtol=1e-9)
+
+
 def test_ivf_save_load_partition_pruning(spark, tables, tmp_path):
     from juliadb_jl_spark.functions import similarity as SIM
     emb = tables["embeddings"].df
