@@ -239,6 +239,54 @@ def partitionplot(df, x, y=None, stat: str = "extrema", nparts: int = 100,
             .agg(*aggs))
 
 
+def partitionplot_render(sections, x: str, y_cols=None, by=None,
+                         path_or_buf=None, title: str | None = None):
+    """Rendering veneer over the `partitionplot` data layer (the reference
+    renders via ~50 LoC of Plots.jl recipes, src/recipes.jl).  Import-gated
+    exactly like the PIL decode path: raises NotImplementedError when
+    matplotlib is not installed — the data layer stays fully functional
+    either way.  `sections` is `partitionplot(...)` output (a ≤nparts-row
+    table per group — collecting it to the driver IS the point of a plot).
+
+    Draws one line per (group, stat column) against the section midpoint;
+    writes PNG to `path_or_buf` when given, else returns the Figure."""
+    try:
+        import matplotlib
+    except ImportError as ex:
+        raise NotImplementedError(
+            "partitionplot_render requires matplotlib (not installed); "
+            "the partitionplot() data layer works without it") from ex
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    pdf = sections.toPandas() if hasattr(sections, "toPandas") else sections
+    lo, hi = f"{x}_min", f"{x}_max"
+    mid = (pdf[lo] + pdf[hi]) / 2.0
+    skip = {lo, hi, "part", "n"}
+    gb = [by] if isinstance(by, str) else list(by or ())
+    if y_cols is None:
+        y_cols = [c for c in pdf.columns
+                  if c not in skip and c not in gb
+                  and pdf[c].dtype.kind in "if"]
+    fig, ax = plt.subplots()
+    groups = pdf.groupby(gb) if gb else [((), pdf)]
+    for key, g in groups:
+        g = g.sort_values("part")
+        label_key = ",".join(str(k) for k in (
+            key if isinstance(key, tuple) else (key,))) if gb else ""
+        for yc in y_cols:
+            label = f"{label_key}:{yc}" if label_key else yc
+            ax.plot(mid.loc[g.index], g[yc], label=label)
+    ax.set_xlabel(x)
+    ax.legend(fontsize="small")
+    if title:
+        ax.set_title(title)
+    if path_or_buf is not None:
+        fig.savefig(path_or_buf, format="png")
+        plt.close(fig)
+        return None
+    return fig
+
+
 # String shorthands accepted wherever a reducer is expected.
 _BY_NAME: dict[str, Any] = {
     "sum": Sum, "mean": Mean, "avg": Mean, "min": Min, "max": Max,

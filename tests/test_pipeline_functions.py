@@ -611,6 +611,49 @@ def test_substring_dedup_within_doc(spark):
     assert within[1] == "z1 z2"
 
 
+def test_substring_dedup_recall_bound(spark):
+    """The documented recall bound of the k-window fingerprint approach
+    (SCALING.md): a cross-document verbatim span of length >= k tokens is
+    ALWAYS fully cut (recall 1.0 at and above k — no near-threshold decay),
+    and a span shorter than k is NEVER cut (recall 0 below k).  Token-
+    weighted recall on this mixed-span corpus is asserted to match the
+    closed-form number cited in SCALING.md."""
+    import random
+
+    from juliadb_jl_spark.functions import dedup as DDk
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(5000)]
+
+    def rand_tokens(n):
+        return [rng.choice(vocab) for _ in range(n)]
+
+    k = 30
+    lengths = (5, 10, 29, 30, 31, 60, 100)
+    snippets = {L: rand_tokens(L) for L in lengths}
+    base = rand_tokens(200) + [t for L in lengths for t in snippets[L]] \
+        + rand_tokens(50)
+    docs = [(0, " ".join(base))]
+    spans = {}
+    for did, L in enumerate(lengths, start=1):
+        pre, post = rand_tokens(40), rand_tokens(40)
+        docs.append((did, " ".join(pre + snippets[L] + post)))
+        spans[did] = L
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"].split() for r in
+           DDk.dedup_substrings(df, "doc_id", k=k).collect()}
+    assert len(out[0]) == len(base)  # keeper (lowest id) never cut
+    cut_tokens = 0
+    for did, L in spans.items():
+        if L >= k:
+            assert len(out[did]) == 80, (did, L, len(out[did]))
+            cut_tokens += L
+        else:
+            assert len(out[did]) == 80 + L, (did, L, len(out[did]))
+    recall = cut_tokens / sum(lengths)
+    assert abs(recall - (30 + 31 + 60 + 100) / sum(lengths)) < 1e-9
+    assert abs(recall - 0.8340) < 5e-4  # the figure cited in SCALING.md
+
+
 def test_vocab_encode_roundtrip(spark):
     from juliadb_jl_spark.functions import text as TX
     docs = [(0, "b a b c"), (1, "a b NEW"), (2, "")]
@@ -662,6 +705,25 @@ def test_build_vocab_special_in_corpus(spark):
     assert ids == {"<unk>": 0, "a": 1, "b": 2}
     enc = TX.encode_tokens(df, "doc_id", TX.build_vocab(df)).collect()
     assert enc[0]["token_ids"] == [1, 0, 1, 0, 0, 2]
+
+
+def test_partitionplot_render_import_gated(tables):
+    # mirror of the PIL gating pattern: clean NotImplementedError when
+    # matplotlib is absent, real render when it is importable
+    from juliadb_jl_spark.functions.stats import (partitionplot,
+                                                  partitionplot_render)
+    sec = partitionplot(tables["orders"].df, "o_orderkey", "o_totalprice",
+                        stat="mean", nparts=10)
+    try:
+        import matplotlib  # noqa: F401
+        import io
+        buf = io.BytesIO()
+        partitionplot_render(sec, "o_orderkey", path_or_buf=buf)
+        assert buf.getvalue()[:8] == b"\x89PNG\r\n\x1a\n"
+    except ImportError:
+        import pytest as _pt
+        with _pt.raises(NotImplementedError, match="matplotlib"):
+            partitionplot_render(sec, "o_orderkey")
 
 
 def test_null_text_is_empty_document(spark):
