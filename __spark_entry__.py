@@ -1004,16 +1004,13 @@ FROM v a, v b
 WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.e, b.e) >= 0.35
 """)
 def q55(spark, sf_dir):
-    """exact embedding near-dup pairs (brute force — the oracle-checkable
-    baseline for the LSH-blocked variant)."""
+    """exact embedding near-dup pairs (matmul-blocked brute force — the
+    oracle-checkable baseline for the LSH-blocked variant)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
-    cos = SIM.cosine_expr(F.col("ea"), F.col("eb"))
-    return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("c", cos).filter(F.col("c") >= 0.35)
-            .select("id_a", "id_b", F.round("c", 6).alias("cosine_r6")))
+    pairs = DD.embedding_pairs_exact(emb, "vec_id", "embedding",
+                                     threshold=0.35)
+    return pairs.select("id_a", "id_b",
+                        F.round("cosine", 6).alias("cosine_r6"))
 
 
 @_q("q56_semi_join", """

@@ -509,17 +509,61 @@ def dedup_substrings(df: DataFrame, id_col: str, text_col: str = "text",
 
 
 def embedding_pairs_exact(df: DataFrame, id_col: str, vec_col: str,
-                          threshold: float = 0.95) -> DataFrame:
-    """ALL cosine-≥-threshold pairs by brute force (crossJoin). O(n²) —
-    the oracle-checkable baseline for `embedding_neardup_pairs`; use only
-    on bounded corpora (eval sets, per-cluster refinement)."""
+                          threshold: float = 0.95,
+                          margin: float = 1e-6) -> DataFrame:
+    """ALL cosine-≥-threshold pairs, exactly. O(n²) by nature — the
+    oracle-checkable baseline for `embedding_neardup_pairs` (the LSH
+    variant is the deploy-scale path); use on bounded corpora (eval
+    sets, per-cluster refinement).
+
+    Shape: candidate generation is one blocked float64 matmul per input
+    partition against the broadcast corpus matrix (threshold padded by
+    `margin` so BLAS summation reassociation can never drop a boundary
+    pair); the survivors — O(matching pairs), not O(n²) — are then
+    verified with the same sequential-fold native cosine the SQL oracle
+    computes, so emitted values are bit-identical with the pure-Column
+    path. A naive crossJoin evaluates the interpreted HOF cosine n²
+    times on however few partitions the scan produced (observed: 20k
+    vectors = 400M evals on 2 tasks, >15 min; this shape is seconds).
+    Bound: the corpus matrix (n×d float64) must fit in executor memory
+    (1M×256 ≈ 2 GiB) — beyond that use embedding_neardup_pairs."""
+    import numpy as np
+    import pandas as pd
     from juliadb_jl_spark.functions.similarity import cosine_expr
-    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    a = keyed.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = keyed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    cos = cosine_expr(F.col("va"), F.col("vb"))
-    return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine", cos)
+
+    spark = df.sparkSession
+    keyed = df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    pdf = keyed.toPandas()
+    id_t = df.schema[id_col].dataType.simpleString()
+    if pdf.empty:
+        return spark.createDataFrame(
+            [], f"id_a {id_t}, id_b {id_t}, cosine double")
+    all_ids = pdf["id"].to_numpy()
+    M = np.array([np.asarray(v, dtype="float64") for v in pdf["v"]])
+    Mn = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-300)
+    bc = spark.sparkContext.broadcast((all_ids, Mn))
+    thr = threshold - margin
+
+    def gen(batches):
+        bids, bM = bc.value
+        for p in batches:
+            if not len(p):
+                continue
+            B = np.array([np.asarray(v, dtype="float64") for v in p["v"]])
+            Bn = B / (np.linalg.norm(B, axis=1, keepdims=True) + 1e-300)
+            mask = (Bn @ bM.T >= thr) & \
+                (p["id"].to_numpy()[:, None] < bids[None, :])
+            r, c = np.nonzero(mask)
+            yield pd.DataFrame({"id_a": p["id"].to_numpy()[r],
+                                "id_b": bids[c]})
+
+    par = spark.sparkContext.defaultParallelism
+    cand = keyed.repartition(par).mapInPandas(gen, f"id_a {id_t}, id_b {id_t}")
+    va = keyed.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = keyed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (cand.join(F.broadcast(va), "id_a").join(F.broadcast(vb), "id_b")
+            .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
 

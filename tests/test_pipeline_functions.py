@@ -133,6 +133,31 @@ def test_embedding_neardup(tables, spark):
     assert (0, 10000) in set(zip(pairs["id_a"], pairs["id_b"]))
 
 
+def test_embedding_pairs_exact_matmul(tables, spark):
+    # the exact-pairs baseline generates candidates with a blocked matmul
+    # (sf1 sweep finding: the old crossJoin ran 400M interpreted-HOF
+    # cosines on 2 tasks); the pair set and verified cosines must equal a
+    # pure-numpy brute force over the same corpus
+    import numpy as np
+    emb = tables["embeddings"].df.filter(F.col("vec_id") < 300)
+    got = DD.embedding_pairs_exact(emb, "vec_id", "embedding",
+                                   threshold=0.35).toPandas()
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    M = np.array([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    ids = pdf["vec_id"].to_numpy()
+    expect = {(ids[i], ids[j])
+              for i in range(len(ids)) for j in range(len(ids))
+              if ids[i] < ids[j] and S[i, j] >= 0.35}
+    assert set(zip(got["id_a"], got["id_b"])) == expect
+    by_pair = {(a, b): c for a, b, c in
+               zip(got["id_a"], got["id_b"], got["cosine"])}
+    for (i, j) in [(i, j) for i in range(len(ids)) for j in range(len(ids))
+                   if (ids[i], ids[j]) in expect]:
+        assert abs(by_pair[(ids[i], ids[j])] - S[i, j]) < 1e-9
+
+
 def test_release_scratch_unpersists_operator_cache(spark, tables):
     # ADVICE r2 (low): lazy-result operators persist shared intermediates;
     # release_scratch() is the documented cleanup path for long sessions
