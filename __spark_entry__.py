@@ -1905,8 +1905,17 @@ def q85(spark, sf_dir):
 @_q("q84_semantic_dedup", r"""
 WITH RECURSIVE
 v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+-- collapse identical-vector groups to their min-id representative first:
+-- cosine depends only on values, so cross-group edges are decided by the
+-- reps and each group is internally one cluster — the transitive closure
+-- then runs on unique vectors only (otherwise replicated corpora make
+-- reach quadratic in duplicate-cluster size; >30 min at sf1)
+grp AS (SELECT vec_id, min(vec_id) OVER (PARTITION BY CAST(e AS VARCHAR)) AS rep
+        FROM v),
+rv AS (SELECT v.vec_id, v.e FROM v
+       JOIN (SELECT DISTINCT rep FROM grp) r ON v.vec_id = r.rep),
 pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM v a, v b
+          FROM rv a, rv b
           WHERE a.vec_id < b.vec_id
             AND list_cosine_similarity(a.e, b.e) >= 0.35),
 und AS (SELECT id_a AS u, id_b AS v FROM pairs
@@ -1917,8 +1926,8 @@ reach(u, v) AS (
   SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u),
 comp AS (SELECT u AS node, least(u, min(v)) AS component
          FROM reach GROUP BY u)
-SELECT vec_id FROM embeddings
-WHERE vec_id NOT IN (SELECT node FROM comp WHERE node <> component)
+SELECT g.vec_id FROM grp g LEFT JOIN comp c ON g.rep = c.node
+WHERE g.vec_id = coalesce(c.component, g.rep)
 """)
 def q84(spark, sf_dir):
     """SemDeDup-style semantic dedup (dedup.semantic_dedup): cosine

@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from juliadb_jl_spark.functions import scratch
 from juliadb_jl_spark.plans import selectors as S
 from juliadb_jl_spark.plans.table import NDSparse, Table
 
@@ -111,14 +112,24 @@ def with_global_rownum(df, name: str = "__rn", order: Sequence | None = None):
     monotonically_increasing_id, which is ascending inside a partition).
     Rows are numbered partition-by-partition, so the global order is only
     meaningful if partitions are range-ordered (or the input order is the
-    intended order, e.g. file load order).  Runs the input lineage twice —
-    cache upstream if it is expensive and nondeterministic."""
+    intended order, e.g. file load order).
+
+    The pid-stamped frame is persisted (scratch-registered) before the
+    counts pass: counts and numbering are two jobs over the same lineage,
+    and AQE may coalesce a caller's repartition shuffle differently per
+    job (runtime stats differ), shifting spark_partition_id between
+    passes so the offsets join against pids that no longer exist — the
+    sf1 sweep caught q25 returning 3x rows, three partitions all numbered
+    from offset 0.  One materialized partitioning makes both passes
+    consistent and saves the second lineage evaluation; call
+    `release_scratch()` after the consuming action in long sessions."""
     base = df.withColumn("__pid", F.spark_partition_id())
     if order is None:
         base = base.withColumn("__mid", F.monotonically_increasing_id())
         order_cols = [F.col("__mid")]
     else:
         order_cols = list(order)
+    base = scratch.register(base.persist())
     counts = base.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
     pairs, acc = [], 0
     for row in sorted(counts, key=lambda r: r["__pid"]):
@@ -138,7 +149,9 @@ def with_global_cumsum(df, value_col: str, name: str = "__cum",
     keys, per-partition totals (one tiny row per partition) → cumulative
     offsets joined back via a broadcast frame → local exclusive window
     sum + offset.  Every stage stays parallel at any scale, and the plan
-    size is independent of the partition count."""
+    size is independent of the partition count.  The pid-stamped frame is
+    persisted before the totals pass for the same AQE pid-stability
+    reason as `with_global_rownum`."""
     keys = [c if not isinstance(c, str) else F.col(c) for c in (order or [])]
     base = df
     if keys:
@@ -148,6 +161,7 @@ def with_global_cumsum(df, value_col: str, name: str = "__cum",
         base = base.withColumn("__mid", F.monotonically_increasing_id())
         order_cols = [F.col("__mid")]
     base = base.withColumn("__pid", F.spark_partition_id())
+    base = scratch.register(base.persist())
     parts = base.groupBy("__pid").agg(F.sum(value_col).alias("s")).collect()
     pairs, acc = [], 0.0
     for row in sorted(parts, key=lambda r: r["__pid"]):

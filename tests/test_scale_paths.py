@@ -216,6 +216,29 @@ def test_global_numbering_offsets_ride_broadcast_join(spark):
     assert rows[0] == 0 and rows[19999] == 2 * 19999
 
 
+def test_global_rownum_pid_stability_under_aqe(spark):
+    # sf1 sweep regression (q25 returned 3x the requested rows): the
+    # helper's counts and numbering jobs re-evaluated the caller's
+    # repartitionByRange lineage, and AQE may coalesce that shuffle
+    # differently per job (runtime stats differ), shifting
+    # spark_partition_id between passes so the offsets join against pids
+    # that no longer exist. The pid-stamped frame must be persisted so
+    # one materialized partitioning serves both passes.
+    from juliadb_jl_spark.operators.sort import with_global_rownum
+    jdb.release_scratch(blocking=True)
+    df = (spark.range(0, 50000)
+          .select(F.col("id").alias("k"))
+          .repartitionByRange(F.col("k"))   # AQE-coalescible shuffle
+          .sortWithinPartitions("k"))
+    rn = with_global_rownum(df, "__rn")
+    got = rn.orderBy("k").select("__rn").toPandas()["__rn"].tolist()
+    assert got == list(range(1, 50001))
+    # slice like subtable does: exactly the requested width, no dups
+    assert rn.filter(F.col("__rn").between(100, 200)).count() == 101
+    # the stability persist is scratch-registered for long-lived sessions
+    assert jdb.release_scratch(blocking=True) >= 1
+
+
 def test_bloom_semi_join_empty_filter(tables, spark):
     from juliadb_jl_spark.operators.join import bloom_semi_join
     o = jdb.table(tables["orders"].df.select("o_orderkey", "o_custkey"))
