@@ -2082,6 +2082,123 @@ def q91(spark, sf_dir):
                     "checksum_hex"))
 
 
+@_q("q92_av_headers", r"""
+WITH base AS (
+  SELECT doc_id AS media_id, doc_id % 2 = 0 AS is_wav,
+         CAST(8000 + (doc_id % 5) * 8000 AS BIGINT) AS sr,
+         CAST((doc_id // 2) % 2 + 1 AS BIGINT) AS ch,
+         CAST(doc_id % 3 + 1 AS BIGINT) AS secs_w,
+         CAST(doc_id % 30 + 1 AS BIGINT) AS secs_v,
+         CAST(doc_id % 640 + 16 AS BIGINT) AS vw,
+         CAST((doc_id * 3) % 480 + 16 AS BIGINT) AS vh
+  FROM documents),
+calc AS (
+  SELECT *, sr * ch * 2 AS brate, sr * ch * 2 * secs_w AS dsize,
+         600 * secs_v AS dunits
+  FROM base),
+hexed AS (
+  SELECT *,
+    CASE WHEN is_wav THEN
+      '52494646'
+      || lpad(to_hex((36 + dsize) % 256),2,'0')
+      || lpad(to_hex(((36 + dsize) // 256) % 256),2,'0')
+      || lpad(to_hex(((36 + dsize) // 65536) % 256),2,'0')
+      || lpad(to_hex(((36 + dsize) // 16777216) % 256),2,'0')
+      || '57415645' || '666D7420' || '10000000' || '0100'
+      || lpad(to_hex(ch),2,'0') || '00'
+      || lpad(to_hex(sr % 256),2,'0')
+      || lpad(to_hex((sr // 256) % 256),2,'0')
+      || lpad(to_hex((sr // 65536) % 256),2,'0') || '00'
+      || lpad(to_hex(brate % 256),2,'0')
+      || lpad(to_hex((brate // 256) % 256),2,'0')
+      || lpad(to_hex((brate // 65536) % 256),2,'0') || '00'
+      || lpad(to_hex(ch * 2),2,'0') || '00' || '1000'
+      || '64617461'
+      || lpad(to_hex(dsize % 256),2,'0')
+      || lpad(to_hex((dsize // 256) % 256),2,'0')
+      || lpad(to_hex((dsize // 65536) % 256),2,'0')
+      || lpad(to_hex((dsize // 16777216) % 256),2,'0')
+    ELSE
+      '000000146674797069736F6D0000020069736F6D'
+      || '000000D8' || '6D6F6F76'
+      || '0000006C' || '6D766864' || repeat('0', 24)
+      || '00000258' || lpad(to_hex(dunits),8,'0') || repeat('0', 160)
+      || '00000064' || '7472616B'
+      || '0000005C' || '746B6864' || repeat('0', 152)
+      || lpad(to_hex(vw),4,'0') || '0000'
+      || lpad(to_hex(vh),4,'0') || '0000'
+    END AS hx
+  FROM calc)
+SELECT media_id,
+       CAST(octet_length(unhex(hx)) AS BIGINT) AS size_bytes,
+       CASE WHEN is_wav THEN 'wav' ELSE 'mp4' END AS format,
+       CASE WHEN is_wav THEN NULL ELSE CAST(vw AS INT) END AS width,
+       CASE WHEN is_wav THEN NULL ELSE CAST(vh AS INT) END AS height,
+       CASE WHEN is_wav THEN CAST(sr AS INT) ELSE NULL END AS sample_rate,
+       CASE WHEN is_wav THEN CAST(ch AS INT) ELSE NULL END AS channels,
+       CAST(CASE WHEN is_wav THEN secs_w ELSE secs_v END * 1000 AS BIGINT)
+         AS duration_ms,
+       md5(hx) AS checksum_hex
+FROM hexed
+""")
+def q92(spark, sf_dir):
+    """Audio/video header decode, the WAV/MP4 sibling of q91: synthesize
+    REAL RIFF/WAVE and ISO-BMFF container bytes from doc_id-derived
+    parameters with pure JVM hex expressions, then parse them back with
+    multimodal.decode_media's library-free chunk/box walk (parse_av_header:
+    WAV fmt-chunk + data-size duration, MP4 mvhd timescale/duration + tkhd
+    16.16-fixed dims).  The oracle recomputes every field arithmetically
+    and md5s the same hex stream, so a parser that misreads any offset,
+    endianness, or box nesting hash-mismatches."""
+    from juliadb_jl_spark.functions import multimodal as MM
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    sr = (F.lit(8000) + (did % 5) * 8000).cast("long")
+    ch = (F.expr("doc_id div 2") % 2 + 1).cast("long")
+    secs_w = (did % 3 + 1).cast("long")
+    secs_v = (did % 30 + 1).cast("long")
+    vw = (did % 640 + 16).cast("long")
+    vh = ((did * 3) % 480 + 16).cast("long")
+    brate = sr * ch * 2
+    dsize = brate * secs_w
+    dunits = secs_v * 600
+
+    def byte_hex(c):
+        return F.lpad(F.hex(c.bitwiseAND(F.lit(255))), 2, "0")
+
+    def le32(c):
+        return F.concat(*[byte_hex(F.shiftright(c, 8 * i)) for i in range(4)])
+
+    def le16(c):
+        return F.concat(byte_hex(c), byte_hex(F.shiftright(c, 8)))
+
+    wav_hex = F.concat(
+        F.lit("52494646"), le32(dsize + 36),
+        F.lit("57415645"), F.lit("666D7420"), F.lit("10000000"),
+        le16(F.lit(1).cast("long")), le16(ch), le32(sr), le32(brate),
+        le16(ch * 2), le16(F.lit(16).cast("long")),
+        F.lit("64617461"), le32(dsize))
+    mp4_hex = F.concat(
+        F.lit("000000146674797069736F6D0000020069736F6D"),
+        F.lit("000000D8"), F.lit("6D6F6F76"),
+        F.lit("0000006C"), F.lit("6D766864"), F.lit("0" * 24),
+        F.lit("00000258"), F.lpad(F.hex(dunits), 8, "0"), F.lit("0" * 160),
+        F.lit("00000064"), F.lit("7472616B"),
+        F.lit("0000005C"), F.lit("746B6864"), F.lit("0" * 152),
+        F.lpad(F.hex(vw), 4, "0"), F.lit("0000"),
+        F.lpad(F.hex(vh), 4, "0"), F.lit("0000"))
+    hexstr = F.when(did % 2 == 0, wav_hex).otherwise(mp4_hex)
+    media = d.select(did.alias("media_id"),
+                     F.unhex(hexstr).alias("content"),
+                     F.lit("application/octet-stream").alias("mime"))
+    dec = MM.decode_media(media)
+    chk = media.select("media_id",
+                       F.md5(F.hex(F.col("content"))).alias("checksum_hex"))
+    return (dec.join(chk, "media_id")
+            .select("media_id", "size_bytes", "format", "width", "height",
+                    "sample_rate", "channels", "duration_ms", "checksum_hex"))
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================

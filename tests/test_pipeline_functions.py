@@ -239,6 +239,93 @@ def test_parse_image_header_golden():
         (None, None, "jpeg")
 
 
+def _golden_av():
+    """Hand-built minimal-but-valid audio/video containers (public specs:
+    RIFF/WAVE, FLAC STREAMINFO, ISO BMFF 14496-12, RIFF/AVI)."""
+    fmt_chunk = (b"fmt " + (16).to_bytes(4, "little")
+                 + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+                 + (44100).to_bytes(4, "little")
+                 + (176400).to_bytes(4, "little")
+                 + (4).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    data_chunk = b"data" + (176400).to_bytes(4, "little")  # 1.000 s
+    wav_body = b"WAVE" + fmt_chunk + data_chunk
+    wav = b"RIFF" + len(wav_body).to_bytes(4, "little") + wav_body
+
+    # sr=48000 ch=2 bits=16 total=96000 samples -> 2000 ms
+    si = bytearray(34)
+    si[10], si[11] = 48000 >> 12, (48000 >> 4) & 0xFF
+    si[12] = ((48000 & 0xF) << 4) | ((2 - 1) << 1) | ((16 - 1) >> 4)
+    si[13] = (((16 - 1) & 0xF) << 4) | ((96000 >> 32) & 0xF)
+    si[14:18] = (96000).to_bytes(4, "big")
+    flac = b"fLaC" + bytes([0x00]) + (34).to_bytes(3, "big") + bytes(si)
+
+    ftyp = ((20).to_bytes(4, "big") + b"ftypisom"
+            + (0x200).to_bytes(4, "big") + b"isom")
+    mvhd = ((108).to_bytes(4, "big") + b"mvhd" + bytes(4)  # v0, flags
+            + bytes(8)                                     # ctime, mtime
+            + (600).to_bytes(4, "big")                     # timescale
+            + (3000).to_bytes(4, "big")                    # dur -> 5000 ms
+            + bytes(108 - 8 - 20))
+    tkhd = ((92).to_bytes(4, "big") + b"tkhd"
+            + bytes(92 - 8 - 8)
+            + (1920 << 16).to_bytes(4, "big")
+            + (1080 << 16).to_bytes(4, "big"))
+    trak = (8 + len(tkhd)).to_bytes(4, "big") + b"trak" + tkhd
+    moov_body = mvhd + trak
+    mp4 = ftyp + (8 + len(moov_body)).to_bytes(4, "big") + b"moov" + moov_body
+
+    avih_data = bytearray(56)
+    avih_data[0:4] = (33333).to_bytes(4, "little")    # usec/frame
+    avih_data[16:20] = (300).to_bytes(4, "little")    # frames -> 9999 ms
+    avih_data[32:36] = (1280).to_bytes(4, "little")
+    avih_data[36:40] = (720).to_bytes(4, "little")
+    avih = b"avih" + (56).to_bytes(4, "little") + bytes(avih_data)
+    hdrl = b"LIST" + (4 + len(avih)).to_bytes(4, "little") + b"hdrl" + avih
+    avi_body = b"AVI " + hdrl
+    avi = b"RIFF" + len(avi_body).to_bytes(4, "little") + avi_body
+    return {
+        "wav": (wav, dict(sample_rate=44100, channels=2, bits=16,
+                          duration_ms=1000, width=None, height=None)),
+        "flac": (flac, dict(sample_rate=48000, channels=2, bits=16,
+                            duration_ms=2000, width=None, height=None)),
+        "mp4": (mp4, dict(sample_rate=None, channels=None, bits=None,
+                          duration_ms=5000, width=1920, height=1080)),
+        "avi": (avi, dict(sample_rate=None, channels=None, bits=None,
+                          duration_ms=9999, width=1280, height=720)),
+    }
+
+
+def test_parse_av_header_golden():
+    for fmt, (raw, want) in _golden_av().items():
+        got = MM.parse_av_header(raw)
+        assert got is not None and got["format"] == fmt, fmt
+        for k, v in want.items():
+            assert got[k] == v, (fmt, k, got)
+    assert MM.parse_av_header(b"") is None
+    assert MM.parse_av_header(b"not media") is None
+    # image bytes are not an AV container
+    assert MM.parse_av_header(b"\x89PNG\r\n\x1a\n" + bytes(16)) is None
+    # truncated-but-recognized containers degrade to None fields, no raise
+    assert MM.parse_av_header(b"RIFF\x00\x00\x00\x00WAVE")["sample_rate"] is None
+    assert MM.parse_av_header(
+        (20).to_bytes(4, "big") + b"ftypisom" + bytes(8))["duration_ms"] is None
+
+
+def test_decode_media_av_headers(spark):
+    golden = _golden_av()
+    rows = [(i, raw, "application/octet-stream")
+            for i, (fmt, (raw, _)) in enumerate(golden.items())]
+    df = spark.createDataFrame(rows, "media_id long, content binary, mime string")
+    got = {r["format"]: r for r in MM.decode_media(df).collect()}
+    for fmt, (raw, want) in golden.items():
+        r = got[fmt]
+        assert (r["sample_rate"], r["channels"], r["duration_ms"],
+                r["width"], r["height"]) == \
+            (want["sample_rate"], want["channels"], want["duration_ms"],
+             want["width"], want["height"]), fmt
+        assert r["size_bytes"] == len(raw)
+
+
 def test_decode_media_real_headers(spark):
     golden = _golden_images()
     rows = [(i, raw, f"image/{fmt}")
