@@ -311,6 +311,68 @@ def test_parse_av_header_golden():
         (20).to_bytes(4, "big") + b"ftypisom" + bytes(8))["duration_ms"] is None
 
 
+def test_parse_av_header_property():
+    """Property: spec-built WAV and MP4 containers with randomized
+    parameters round-trip exactly through parse_av_header (including the
+    64-bit-largesize and version-1 mvhd variants), and random junk after
+    a chunk/box never derails the walk."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(sr=st.integers(1, 1 << 18), ch=st.integers(1, 8),
+           bits=st.sampled_from([8, 16, 24, 32]),
+           secs=st.integers(0, 400), junk=st.binary(max_size=32))
+    def wav_case(sr, ch, bits, secs, junk):
+        brate = sr * ch * bits // 8
+        dsize = brate * secs
+        fmt_c = (b"fmt " + (16).to_bytes(4, "little")
+                 + (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+                 + sr.to_bytes(4, "little") + brate.to_bytes(4, "little")
+                 + (ch * bits // 8).to_bytes(2, "little")
+                 + bits.to_bytes(2, "little"))
+        # unknown chunk between fmt and data must be skipped, odd sizes padded
+        unk = b"LIST" + len(junk).to_bytes(4, "little") + junk \
+            + (b"\x00" if len(junk) % 2 else b"")
+        body = b"WAVE" + fmt_c + unk + b"data" + dsize.to_bytes(4, "little")
+        raw = b"RIFF" + len(body).to_bytes(4, "little") + body
+        got = MM.parse_av_header(raw)
+        assert (got["format"], got["sample_rate"], got["channels"],
+                got["bits"]) == ("wav", sr, ch, bits)
+        assert got["duration_ms"] == (dsize * 1000 // brate if brate else None)
+
+    @settings(max_examples=200, deadline=None)
+    @given(ts=st.integers(1, 1 << 30), dur=st.integers(0, 1 << 40),
+           w=st.integers(1, 65535), h=st.integers(1, 65535),
+           v1=st.booleans(), large=st.booleans())
+    def mp4_case(ts, dur, w, h, v1, large):
+        if v1:
+            mv_body = (b"\x01" + bytes(3) + bytes(16) + ts.to_bytes(4, "big")
+                       + dur.to_bytes(8, "big") + bytes(80))
+        else:
+            dur = dur & 0xFFFFFFFF
+            mv_body = (bytes(4) + bytes(8) + ts.to_bytes(4, "big")
+                       + dur.to_bytes(4, "big") + bytes(80))
+        mvhd = (8 + len(mv_body)).to_bytes(4, "big") + b"mvhd" + mv_body
+        tk_body = bytes(76) + (w << 16).to_bytes(4, "big") \
+            + (h << 16).to_bytes(4, "big")
+        tkhd = (8 + len(tk_body)).to_bytes(4, "big") + b"tkhd" + tk_body
+        trak = (8 + len(tkhd)).to_bytes(4, "big") + b"trak" + tkhd
+        mb = mvhd + trak
+        if large:  # 64-bit largesize header on the moov box
+            moov = ((1).to_bytes(4, "big") + b"moov"
+                    + (16 + len(mb)).to_bytes(8, "big") + mb)
+        else:
+            moov = (8 + len(mb)).to_bytes(4, "big") + b"moov" + mb
+        ftyp = (16).to_bytes(4, "big") + b"ftypisom" + bytes(4)
+        got = MM.parse_av_header(ftyp + moov)
+        assert got["format"] == "mp4"
+        assert got["duration_ms"] == dur * 1000 // ts
+        assert (got["width"], got["height"]) == (w, h)
+
+    wav_case()
+    mp4_case()
+
+
 def test_decode_media_av_headers(spark):
     golden = _golden_av()
     rows = [(i, raw, "application/octet-stream")
