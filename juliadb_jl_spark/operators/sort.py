@@ -163,11 +163,16 @@ def with_global_cumsum(df, value_col: str, name: str = "__cum",
     base = base.withColumn("__pid", F.spark_partition_id())
     base = scratch.register(base.persist())
     parts = base.groupBy("__pid").agg(F.sum(value_col).alias("s")).collect()
-    pairs, acc = [], 0.0
+    # keep integral columns in exact integer arithmetic end-to-end: a float
+    # offset accumulator silently loses precision past 2^53, which a
+    # 100-TB-corpus token cumsum can actually reach
+    integral = all(isinstance(row["s"], int) or row["s"] is None
+                   for row in parts)
+    pairs, acc = [], 0 if integral else 0.0
     for row in sorted(parts, key=lambda r: r["__pid"]):
         pairs.append((row["__pid"], acc))
         acc += row["s"] or 0
-    base, off = _join_offsets(base, pairs, double=True)
+    base, off = _join_offsets(base, pairs, double=not integral)
     w = (W.partitionBy("__pid").orderBy(*order_cols)
          .rowsBetween(W.unboundedPreceding, -1))
     cum = F.coalesce(F.sum(value_col).over(w), F.lit(0)) + off
