@@ -2199,6 +2199,73 @@ def q92(spark, sf_dir):
                     "sample_rate", "channels", "duration_ms", "checksum_hex"))
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer (functions/bpe.py) — the corpus→tokenizer training step.
+# q93 cross-checks the distributed encoder against a DuckDB replace-chain
+# oracle: with two-space separators, one SQL replace() per merge applies
+# that merge with exact BPE left-to-right semantics (see bpe.py docstring),
+# so a mis-ordered / mis-applied merge in the encoder hash-mismatches.
+# The merge list is a fixed constant (learned once from the sf0.001
+# corpus) — the oracle must not have to learn, only apply.
+# ---------------------------------------------------------------------------
+
+_Q93_MERGES = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+    ("a", "n"), ("c", "an"), ("s", "can"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("d", "ow"), ("in", "dow"),
+    ("w", "indow"), ("d", "er"), ("or", "der"), ("or", "t"), ("s", "ort"),
+]
+
+
+def _q93_oracle() -> str:
+    # whole-text layout with the space char as an unmergeable symbol:
+    # merges never contain ' ', so no merge can bridge a word boundary,
+    # and the ≥5-space boundary runs collapse into split separators
+    expr = ("' ' || regexp_replace(trim(regexp_replace(lower(coalesce("
+            "text,'')), '\\s+', ' ', 'g')), '(.)', '\\1  ', 'g')")
+    for a, b in _Q93_MERGES:
+        expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
+    return f"""
+WITH enc AS (SELECT doc_id, {expr} AS s FROM documents),
+pieces AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(s), ' {{2,}}'),
+                     x -> x <> '' AND x <> ' ') AS p
+  FROM enc)
+SELECT doc_id, CAST(len(p) AS BIGINT) AS n_pieces,
+       array_to_string(p, '|') AS pieces_str
+FROM pieces
+"""
+
+
+@_q("q93_bpe_encode", _q93_oracle())
+def q93(spark, sf_dir):
+    """Distributed BPE encoding under a fixed merge list vs the SQL
+    replace-chain oracle (merge semantics proof: bpe.py docstring)."""
+    from juliadb_jl_spark.functions import bpe as BPE
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = BPE.bpe_encode(d, _Q93_MERGES)
+    return enc.select(
+        "doc_id", F.size("pieces").cast("long").alias("n_pieces"),
+        F.array_join("pieces", "|").alias("pieces_str"))
+
+
+@_q("q94_bpe_train")
+def q94(spark, sf_dir):
+    """BPE merge learning on the documents corpus (rows-only: the
+    trainer is iterative/driver-side and not SQL-expressible; its exact
+    semantics are property-tested against a textbook recount-everything
+    reference in tests/test_bpe.py, and the encoder it feeds is
+    oracle-verified by q93)."""
+    from juliadb_jl_spark.functions import bpe as BPE
+    d = read_table(spark, sf_dir, "documents")
+    merges = BPE.bpe_train(d, num_merges=40)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string, merged string")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
