@@ -2266,6 +2266,72 @@ def q94(spark, sf_dir):
         "rank int, left string, right string, merged string")
 
 
+# ---------------------------------------------------------------------------
+# Hashed-feature linear classifier (functions/classifier.py). q95 verifies
+# the native scoring path end-to-end (portable hash → mod-dim feature →
+# weight lookup → mean → margin) against a DuckDB join-with-VALUES oracle;
+# the weights are formula-generated so both engines state them exactly.
+# q96 exercises distributed training (iterative GD — not SQL-expressible;
+# the gradient math is differentially tested vs a local reference).
+# ---------------------------------------------------------------------------
+
+_Q95_DIM = 64
+# INTEGER weights: the per-doc feature-weight sum is then exact in both
+# engines (a float mean can land exactly on a round-half boundary that
+# Spark and DuckDB break differently — observed at sf0.001 doc 275);
+# the float mean/sigmoid tail of scoring is pure scalar arithmetic,
+# pinned to 1e-12 against Python math in tests/test_classifier.py.
+_Q95_WI = [(j * 37 + 11) % 200 - 100 for j in range(_Q95_DIM)]
+
+
+@_q("q95_classifier_score", f"""
+WITH words AS (
+  SELECT doc_id, unnest(
+    CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []
+         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS w
+  FROM documents),
+h AS (SELECT doc_id, {_charfold_sql('w')} % {_Q95_DIM} AS j FROM words),
+wt(j, v) AS (VALUES {', '.join(f'({j}, {v})'
+                               for j, v in enumerate(_Q95_WI))}),
+m AS (SELECT doc_id, sum(v) AS fs, count(*) AS nt
+      FROM h JOIN wt USING (j) GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(m.fs, 0) AS BIGINT) AS feat_sum,
+       CAST(coalesce(m.nt, 0) AS BIGINT) AS n_tok
+FROM documents d LEFT JOIN m USING (doc_id)
+""")
+def q95(spark, sf_dir):
+    """Native classifier scoring path vs the SQL oracle: per doc, the
+    hashed-feature weight sum and token count, computed JVM-side by a
+    codegen'd array fold over an integer weight table — a wrong hash,
+    off-by-one lookup (element_at is 1-based), or mis-handled empty doc
+    hash-mismatches, and integer sums leave no float-rounding slack."""
+    from juliadb_jl_spark.functions import classifier as CL
+    d = read_table(spark, sf_dir, "documents")
+    warr = F.array(*[F.lit(int(w)) for w in _Q95_WI])
+    feats = CL.hashed_features(F.col("text"), dim=_Q95_DIM)
+    tot = F.aggregate(
+        feats, F.lit(0).cast("long"),
+        lambda acc, j: acc + F.element_at(warr, (j + 1).cast("int")))
+    return d.select("doc_id", tot.alias("feat_sum"),
+                    F.size(feats).cast("long").alias("n_tok"))
+
+
+@_q("q96_classifier_train")
+def q96(spark, sf_dir):
+    """Distributed logistic-regression training on a weak label
+    (lang = 'en'), fastText-style hashed features. Rows-only: iterative
+    GD is not SQL-expressible; tests/test_classifier.py proves the
+    distributed gradients equal a pure-Python reference to 1e-9 and
+    that training separates a synthetic corpus."""
+    from juliadb_jl_spark.functions import classifier as CL
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("lang") == "en").cast("double"))
+    model = CL.train_logreg(d, "label", dim=32, iters=5, lr=1.0)
+    rows = [(j, round(w, 6)) for j, w in enumerate(model["weights"])]
+    rows.append((-1, round(model["bias"], 6)))
+    return spark.createDataFrame(rows, "feature_id int, weight double")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================

@@ -1,0 +1,148 @@
+"""Hashed-feature linear text classifier — a fastText-style quality
+scorer trained and applied fully inside Spark, no ML library.
+
+Features are a hashed bag of words: token → portable 31-bit hash mod
+`dim` (the same DuckDB-reproducible hash family as the dedup operators,
+so SCORING is fully oracle-checkable in SQL). The model is logistic
+regression over the mean feature weight (fastText's averaged-embedding
+form with a scalar output), trained by full-batch gradient descent:
+
+  margin(doc) = bias + mean_j weights[feature_j]
+  p = sigmoid(margin),  grad_wj = mean_docs err·count_j/n_tokens
+
+Scale: training caches the (label, features) projection once, then each
+iteration is one scan + a `dim`-sized shuffle (explode + map-side
+combined groupBy-sum) and a scalar agg — no per-row Python anywhere.
+At the 100-TB tier you'd train on a sample (`df.sample`) and score the
+full corpus; scoring is a pure native expression over an array literal
+that whole-stage codegen folds into the scan.
+
+Public-knowledge basis: Joulin et al. 2016 (fastText), standard
+logistic-regression gradients; quality-classifier curation as in the
+GPT-3 / CCNet data pipelines (public papers).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from juliadb_jl_spark.functions.dedup import portable_hash
+from juliadb_jl_spark.functions.text import tokens
+
+
+def hashed_features(col: Column, dim: int = 256,
+                    lowercase: bool = True) -> Column:
+    """array<long> of hashed token features: portable_hash(word) % dim.
+    NULL/empty text → empty array."""
+    toks = tokens(F.lower(col) if lowercase else col)
+    return F.transform(toks, lambda w: portable_hash(w) % F.lit(dim))
+
+
+def _weights_array(weights) -> Column:
+    return F.array(*[F.lit(float(w)) for w in weights])
+
+
+def margin_expr(col: Column, weights, bias: float,
+                lowercase: bool = True) -> Column:
+    """Native scoring margin: bias + mean of weights[feature]; bias
+    alone for tokenless docs."""
+    feats = hashed_features(col, dim=len(weights), lowercase=lowercase)
+    return margin_from_feats(feats, weights, bias)
+
+
+def score_expr(col: Column, weights, bias: float,
+               lowercase: bool = True) -> Column:
+    """sigmoid(margin) as a native Column."""
+    m = margin_expr(col, weights, bias, lowercase=lowercase)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+
+
+def add_quality_score(df: DataFrame, model: dict, text_col: str = "text",
+                      out_col: str = "clf_score") -> DataFrame:
+    return df.withColumn(
+        out_col, score_expr(F.col(text_col), model["weights"],
+                            model["bias"]))
+
+
+def train_logreg(df: DataFrame, label_col: str, text_col: str = "text",
+                 dim: int = 256, iters: int = 20, lr: float = 1.0,
+                 l2: float = 0.0, cache: bool = True) -> dict:
+    """Full-batch logistic-regression training, distributed.
+
+    Returns {"weights": list[float], "bias": float, "loss": list[float]}
+    (loss = mean log-loss per iteration, recorded BEFORE that step's
+    update). Deterministic up to float summation order (~1e-15); the
+    gradient math is verified against a local numpy reference in
+    tests/test_classifier.py."""
+    fe = df.select(
+        F.col(label_col).cast("double").alias("__y"),
+        hashed_features(F.col(text_col), dim=dim).alias("__feats"))
+    if cache:
+        fe = fe.persist()
+    try:
+        n_docs = fe.count()
+        weights = [0.0] * dim
+        bias = 0.0
+        losses: list[float] = []
+        for _ in range(iters):
+            m = margin_from_feats(F.col("__feats"), weights, bias)
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+            e = fe.select(
+                "__y", "__feats", (p - F.col("__y")).alias("__err"),
+                (-(F.col("__y") * F.log(p) +
+                   (1 - F.col("__y")) * F.log(1 - p))).alias("__ll"))
+            head = e.agg(F.avg("__err"), F.avg("__ll")).head()
+            bias_grad, loss = head[0] or 0.0, head[1] or 0.0
+            g = (e.filter(F.size("__feats") > 0)
+                 .select(F.explode("__feats").alias("__j"),
+                         (F.col("__err") / F.size("__feats")).alias("__g"))
+                 .groupBy("__j").agg(F.sum("__g").alias("__s")))
+            grad = {r["__j"]: r["__s"] for r in g.collect()}
+            weights = [w - lr * (grad.get(j, 0.0) / n_docs + l2 * w)
+                       for j, w in enumerate(weights)]
+            bias -= lr * bias_grad
+            losses.append(loss)
+    finally:
+        if cache:
+            fe.unpersist()
+    return {"weights": weights, "bias": bias, "loss": losses}
+
+
+def margin_from_feats(feats: Column, weights, bias: float) -> Column:
+    """margin over a precomputed feature array (training hot path)."""
+    warr = _weights_array(weights)
+    tot = F.aggregate(
+        feats, F.lit(0.0),
+        lambda acc, j: acc + F.element_at(warr, (j + 1).cast("int")))
+    n = F.size(feats)
+    return F.lit(float(bias)) + F.when(n > 0, tot / n).otherwise(F.lit(0.0))
+
+
+def local_reference_train(rows, dim, iters=5, lr=1.0, l2=0.0):
+    """Pure-Python mirror of train_logreg for differential testing:
+    rows = [(y, feats list)]."""
+    n_docs = len(rows)
+    weights = [0.0] * dim
+    bias = 0.0
+    losses = []
+    for _ in range(iters):
+        grad = [0.0] * dim
+        bias_grad = 0.0
+        loss = 0.0
+        for y, feats in rows:
+            m = bias + (sum(weights[j] for j in feats) / len(feats)
+                        if feats else 0.0)
+            p = 1.0 / (1.0 + math.exp(-m))
+            err = p - y
+            bias_grad += err
+            loss += -(y * math.log(p) + (1 - y) * math.log(1 - p))
+            for j in feats:
+                grad[j] += err / len(feats)
+        weights = [w - lr * (grad[j] / n_docs + l2 * w)
+                   for j, w in enumerate(weights)]
+        bias -= lr * (bias_grad / n_docs)
+        losses.append(loss / n_docs)
+    return {"weights": weights, "bias": bias, "loss": losses}

@@ -1,0 +1,85 @@
+"""Hashed-feature logistic regression: distributed training vs a local
+pure-Python reference (same math, differential), separability, scoring
+expression equivalence, chunk invariance.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from juliadb_jl_spark.functions import classifier as C
+
+
+def _toy_rows():
+    good = [f"clean prose sample number {i} with useful words" for i in range(30)]
+    bad = [f"buy spam pills now deal {i} spam spam click" for i in range(30)]
+    return ([(1.0, t) for t in good] + [(0.0, t) for t in bad])
+
+
+@pytest.fixture(scope="module")
+def toy_df(spark):
+    return spark.createDataFrame(_toy_rows(), "label double, text string")
+
+
+def test_train_separable_and_loss_decreases(spark, toy_df):
+    model = C.train_logreg(toy_df, "label", dim=64, iters=25, lr=2.0)
+    assert model["loss"][0] > model["loss"][-1]
+    scored = toy_df.withColumn(
+        "p", C.score_expr(F.col("text"), model["weights"], model["bias"]))
+    acc = scored.select(
+        F.avg(((F.col("p") > 0.5).cast("double") == F.col("label"))
+              .cast("double")).alias("acc")).head()["acc"]
+    assert acc >= 0.95
+
+
+def test_train_matches_local_reference(spark, toy_df):
+    dim, iters = 32, 4
+    model = C.train_logreg(toy_df, "label", dim=dim, iters=iters, lr=1.0,
+                           l2=0.01)
+    rows = [(r["label"], r["f"]) for r in toy_df.select(
+        "label", C.hashed_features(F.col("text"), dim=dim).alias("f"))
+        .collect()]
+    ref = C.local_reference_train(rows, dim, iters=iters, lr=1.0, l2=0.01)
+    assert abs(model["bias"] - ref["bias"]) < 1e-9
+    for a, b in zip(model["weights"], ref["weights"]):
+        assert abs(a - b) < 1e-9
+    for a, b in zip(model["loss"], ref["loss"]):
+        assert abs(a - b) < 1e-9
+
+
+@pytest.mark.parametrize("nparts", [2, 5])
+def test_train_chunk_invariance(spark, toy_df, nparts):
+    a = C.train_logreg(toy_df.coalesce(1), "label", dim=16, iters=3)
+    b = C.train_logreg(toy_df.repartition(nparts), "label", dim=16, iters=3)
+    for x, y in zip(a["weights"], b["weights"]):
+        assert abs(x - y) < 1e-12
+
+
+def test_score_expr_matches_python(spark):
+    weights = [0.5, -1.0, 2.0, 0.0]
+    bias = 0.25
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, ""), (3, None)], "id int, text string")
+    out = {r["id"]: r["m"] for r in df.withColumn(
+        "m", C.margin_expr(F.col("text"), weights, bias)).collect()}
+
+    def ph(w):
+        h = 0
+        for ch in w:
+            h = (h * 31 + ord(ch)) % (2**31 - 1)
+        return h
+
+    feats = [ph("a") % 4, ph("b") % 4, ph("a") % 4]
+    exp = bias + sum(weights[j] for j in feats) / 3
+    assert abs(out[1] - exp) < 1e-12
+    assert out[2] == bias and out[3] == bias
+
+
+def test_empty_and_null_score_is_sigmoid_bias(spark):
+    df = spark.createDataFrame([(1, None)], "id int, text string")
+    p = df.withColumn("p", C.score_expr(F.col("text"), [1.0, 1.0], 2.0)) \
+        .head()["p"]
+    assert abs(p - 1.0 / (1.0 + math.exp(-2.0))) < 1e-12
