@@ -2332,6 +2332,40 @@ def q96(spark, sf_dir):
     return spark.createDataFrame(rows, "feature_id int, weight double")
 
 
+@_q("q97_temperature_mix", f"""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT sum(n) AS grand FROM c),
+w AS (SELECT source, n,
+             1.0 / sqrt(CAST(n AS DOUBLE) / CAST(grand AS DOUBLE)) AS w
+      FROM c, tot),
+r AS (SELECT source, n, w / (SELECT max(w) FROM w) AS rate FROM w),
+h AS (SELECT doc_id, source, {{u}} AS u FROM documents),
+k AS (SELECT h.source, count(*) AS n_kept
+      FROM h JOIN r USING (source) WHERE h.u < r.rate GROUP BY h.source)
+SELECT r.source, CAST(r.n AS BIGINT) AS n_total,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept, r.rate
+FROM r LEFT JOIN k USING (source)
+""".replace("{u}", _unit_sql("doc_id", 9)))
+def q97(spark, sf_dir):
+    """Temperature mixture sampling (sampling.temperature_downsample,
+    alpha=0.5): per-source keep-rates are pure correctly-rounded IEEE
+    arithmetic (sqrt/divide) over exact source counts, so the oracle
+    restates bit-identical rates AND bit-identical kept-row decisions
+    (hash_unit is exact cross-engine) — the whole pipeline is verified,
+    rates and sampling both."""
+    d = read_table(spark, sf_dir, "documents")
+    rates = SP.temperature_rates(d, "source", alpha=0.5)
+    kept = (SP.downsample_sources(d, "source", rates, key="doc_id", seed=9)
+            .groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")))
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    rdf = spark.createDataFrame(
+        [(s, float(r)) for s, r in rates.items()], "source string, rate double")
+    return (totals.join(kept, "source", "left").join(F.broadcast(rdf), "source")
+            .select("source", F.col("n_total").cast("long").alias("n_total"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"), "rate"))
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================

@@ -17,6 +17,7 @@ offsets) — no single-partition Exchange anywhere.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W
@@ -110,6 +111,42 @@ def downsample_sources(df: DataFrame, source_col: str,
         rate = (F.when(*clause) if rate is None else rate.when(*clause))
     rate = F.lit(1.0) if rate is None else rate.otherwise(F.lit(1.0))
     return df.filter(u < rate)
+
+
+def temperature_rates(df: DataFrame, source_col: str,
+                      alpha: float = 0.5) -> dict[str, float]:
+    """Per-source keep-rates realizing temperature mixture sampling:
+    target share q_s ∝ p_s^alpha (the multilingual alpha-sampling of
+    Conneau & Lample 2019 / XLM-R), achieved downsample-only — the
+    keep-rate p_s^(alpha-1) is normalized so the most-upweighted
+    (smallest) source keeps everything and larger sources shed share.
+
+    Scale: ONE vocabulary-of-sources-sized agg; everything after is
+    driver arithmetic. alpha=0.5 computes 1/sqrt(p) — sqrt and divide
+    are correctly-rounded IEEE ops, so the rates are bit-identical in
+    any engine (the SQL oracle restates them exactly); other alphas go
+    through pow(), which is only ~1-ulp reproducible."""
+    rows = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    if not rows:
+        return {}
+    total = sum(r["n"] for r in rows)
+
+    def w(n: int) -> float:
+        p = n / total
+        return 1.0 / math.sqrt(p) if alpha == 0.5 else p ** (alpha - 1.0)
+
+    ws = {r[source_col]: w(r["n"]) for r in rows}
+    wmax = max(ws.values())
+    return {s: v / wmax for s, v in ws.items()}
+
+
+def temperature_downsample(df: DataFrame, source_col: str, key: str,
+                           alpha: float = 0.5, seed: int = 1) -> DataFrame:
+    """Temperature-mix the corpus: rates from `temperature_rates`,
+    applied as the same deterministic no-shuffle hash filter as
+    `downsample_sources` (append-stable, engine-reproducible)."""
+    rates = temperature_rates(df, source_col, alpha)
+    return downsample_sources(df, source_col, rates, key, seed)
 
 
 def pack_tokens(df: DataFrame, token_col: str, budget: int,

@@ -215,3 +215,29 @@ def test_rollup_var_null_for_single_row(spark):
     fin = RU.rollup_finalize(RU.rollup_state(df, "k", "v"), "v")
     row = fin.collect()[0]
     assert row["v_var"] is None and row["v_mean"] == 10.0
+
+
+def test_temperature_rates_alpha_half(spark):
+    import math
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "k int, src string")
+    rates = SP.temperature_rates(df, "src", alpha=0.5)
+    # smallest source keeps everything; bigger sources shed share
+    assert rates["small"] == 1.0
+    # closed form: rate_big = sqrt(p_small/p_big)
+    assert abs(rates["big"] - math.sqrt(0.1 / 0.9)) < 1e-15
+    kept = SP.temperature_downsample(df, "src", key="k", alpha=0.5, seed=3)
+    by = {r["src"]: r["n"] for r in
+          kept.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by["small"] == 10
+    assert 0 < by["big"] < 90
+
+
+def test_temperature_rates_alpha_one_is_identity(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], "k int, src string")
+    rates = SP.temperature_rates(df, "src", alpha=1.0)
+    assert all(abs(r - 1.0) < 1e-15 for r in rates.values())
+    assert SP.temperature_rates(
+        df.filter(F.lit(False)), "src") == {}
