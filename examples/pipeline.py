@@ -2,11 +2,13 @@
 100 TB design targets:
 
   ingest → C4 line cleaning → text features + repetition signals → PII
-  scrub → quality filter → exact dedup → near-dup dedup (MinHash-LSH +
-  cluster resolution) → semantic dedup (embeddings) → contamination
-  check → deterministic train/val/test split → context-window packing
-  → bigram-LM perplexity filter → deterministic shuffle → token-id
-  encoding → save curated corpus + token shards + IVF index
+  scrub → quality filter → quality classifier (distributed logreg) →
+  exact dedup → near-dup dedup (MinHash-LSH + cluster resolution) →
+  semantic dedup (embeddings) → contamination check → temperature
+  mixture rebalance → deterministic train/val/test split →
+  context-window packing → bigram-LM perplexity filter → deterministic
+  shuffle → BPE tokenizer training + encoding → token-id encoding →
+  save curated corpus + token shards + IVF index
 
 Run: python examples/pipeline.py [sf_dir] (default /root/testdata/sf0.001)
 """
@@ -19,6 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 import juliadb_jl_spark as jdb
+from juliadb_jl_spark.functions import bpe as BPE
+from juliadb_jl_spark.functions import classifier as CL
 from juliadb_jl_spark.functions import curation as CU
 from juliadb_jl_spark.functions import dedup as DD
 from juliadb_jl_spark.functions import sampling as SP
@@ -62,6 +66,16 @@ def main():
         # be duplicated (and re-optimized) per branch
         kept = kept.localCheckpoint(eager=False)
 
+    with jdb.tracktime("quality-classifier", spark):
+        # fastText-style hashed-feature logreg on a weak label (language
+        # heuristic agreement) — at 100 TB you'd train on a sample and
+        # score the full corpus with the pure-native expression
+        labeled = kept.withColumn(
+            "label", (F.col("lang_pred") == F.col("lang")).cast("double"))
+        model = CL.train_logreg(labeled.sample(0.5, seed=7), "label",
+                                dim=128, iters=5, lr=1.0)
+        kept = CL.add_quality_score(kept, model)
+
     with jdb.tracktime("exact-dedup", spark):
         kept = DD.dedup_exact(kept, "doc_id")
 
@@ -87,6 +101,12 @@ def main():
         flagged = contam.filter(F.col("contamination") >= 0.8) \
             .select("doc_id")
         kept = kept.join(flagged, "doc_id", "left_anti")
+
+    with jdb.tracktime("temperature-mix", spark):
+        # alpha-sample sources toward a flatter mixture (downsample-only,
+        # deterministic) so no single crawl dominates the token budget
+        kept = SP.temperature_downsample(kept, "source", key="doc_id",
+                                         alpha=0.5, seed=11)
 
     with jdb.tracktime("split+pack", spark):
         # deterministic, append-stable selection: split by key hash, then
@@ -115,6 +135,15 @@ def main():
         vocab = TX.build_vocab(kept, min_freq=2)
         encoded = TX.encode_tokens(train, "doc_id", vocab)
 
+    with jdb.tracktime("bpe-tokenizer", spark):
+        # subword alternative to the word-level vocabulary: train a BPE
+        # merge list on the curated corpus (one distributed count pass),
+        # encode the train split with the memoized no-shuffle encoder
+        merges = BPE.bpe_train(kept, num_merges=64)
+        bpe_encoded = BPE.bpe_encode(train, merges)
+        n_pieces = bpe_encoded.agg(
+            F.sum(F.size("pieces")).alias("n")).head()["n"]
+
     with jdb.tracktime("save+index", spark):
         jdb.save(jdb.table(kept.drop("split"), pkey="doc_id"),
                  f"{out_dir}/documents")
@@ -131,7 +160,8 @@ def main():
     print(f"\ncorpus: {n_in} docs in -> {n_out} kept "
           f"({n_in - n_out} dropped by quality/dedup); "
           f"splits {splits}; train packed into {(n_bins or 0) + 1} bins; "
-          f"{epairs.count()} embedding near-dup pairs flagged")
+          f"{epairs.count()} embedding near-dup pairs flagged; "
+          f"BPE: {len(merges)} merges, {n_pieces} train pieces")
     print("\nstage timings:")
     print(jdb.timings().drop(columns=["ts"]).to_string(index=False))
     print(f"\ncurated corpus + IVF index at {out_dir}")
