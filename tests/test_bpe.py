@@ -132,3 +132,45 @@ def test_encode_lowercases_and_ascii_ws(spark):
 def test_vocab_inventory():
     merges = [("a", "b"), ("ab", "c")]
     assert B.bpe_vocab(merges) == ["<unk>", "ab", "abc"]
+
+
+def test_bpe_encode_runs_on_streams(spark, tmp_path):
+    """bpe_encode is a stateless pandas UDF map — identical code runs
+    under Structured Streaming (the tokenizer-apply step of a streaming
+    ingest pipeline)."""
+    import pandas as pd
+    from juliadb_jl_spark.streaming.aggregate import (run_to_memory,
+                                                      stream_from_parquet)
+    merges = [("l", "o"), ("lo", "w"), ("e", "r")]
+    pdf = pd.DataFrame({"doc_id": range(12),
+                        "text": [f"lower low slower {i}" for i in range(12)]})
+    src = str(tmp_path / "bpe_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    def enc(df):
+        return B.bpe_encode(df, merges).select(
+            "doc_id", F.array_join("pieces", "|").alias("p"))
+
+    batch = enc(spark.read.parquet(src)).toPandas() \
+        .sort_values("doc_id", ignore_index=True)
+    streamed = run_to_memory(enc(stream_from_parquet(spark, src)),
+                             "bpe_stream", mode="append").toPandas() \
+        .sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(batch, streamed)
+    assert batch["p"][0].startswith("low|er|low|s|low|er")
+
+
+def test_train_vocab_cap_is_take_ordered(spark, corpus_df):
+    """The max_words cap must lower to TakeOrdered (top-k per partition
+    + driver merge), not a global Sort Exchange — at 100 TB the word
+    table is still millions of rows and a global sort of it per
+    training run is a needless shuffle."""
+    from juliadb_jl_spark.functions.text import word_freqs
+    wf = (word_freqs(corpus_df)
+          .orderBy(F.desc("freq"), F.asc("word")).limit(5))
+    plan = wf._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # cap honored and deterministic under it
+    got = B.bpe_train(corpus_df, num_merges=4, max_words=3)
+    assert got == B.bpe_learn(
+        sorted(CORPUS, key=lambda t: (-t[1], t[0]))[:3], 4)
