@@ -83,3 +83,28 @@ def test_empty_and_null_score_is_sigmoid_bias(spark):
     p = df.withColumn("p", C.score_expr(F.col("text"), [1.0, 1.0], 2.0)) \
         .head()["p"]
     assert abs(p - 1.0 / (1.0 + math.exp(-2.0))) < 1e-12
+
+
+def test_scoring_runs_on_streams(spark, tmp_path):
+    """Scoring is a pure native expression — identical code runs under
+    Structured Streaming (score-as-you-ingest)."""
+    import pandas as pd
+    from juliadb_jl_spark.streaming.aggregate import (run_to_memory,
+                                                      stream_from_parquet)
+    pdf = pd.DataFrame({"doc_id": range(15),
+                        "text": [f"sample text {i}" for i in range(15)]})
+    src = str(tmp_path / "clf_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+    weights = [((j * 13 + 5) % 20 - 10) / 10.0 for j in range(32)]
+
+    def score(df):
+        return df.select("doc_id",
+                         C.score_expr(F.col("text"), weights, 0.2)
+                         .alias("p"))
+
+    batch = score(spark.read.parquet(src)).toPandas() \
+        .sort_values("doc_id", ignore_index=True)
+    streamed = run_to_memory(score(stream_from_parquet(spark, src)),
+                             "clf_stream", mode="append").toPandas() \
+        .sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(batch, streamed)
