@@ -2306,14 +2306,18 @@ def q95(spark, sf_dir):
     off-by-one lookup (element_at is 1-based), or mis-handled empty doc
     hash-mismatches, and integer sums leave no float-rounding slack."""
     from juliadb_jl_spark.functions import classifier as CL
+    from juliadb_jl_spark.functions.text import tokens as _toks
     d = read_table(spark, sf_dir, "documents")
     warr = F.array(*[F.lit(int(w)) for w in _Q95_WI])
-    feats = CL.hashed_features(F.col("text"), dim=_Q95_DIM)
+    # single fold with the hash inline — the materialize-then-fold
+    # nesting hits a pathological codegen cliff (26 s vs 2 s at sf0.1)
+    toks = _toks(F.lower(F.col("text")))
     tot = F.aggregate(
-        feats, F.lit(0).cast("long"),
-        lambda acc, j: acc + F.element_at(warr, (j + 1).cast("int")))
+        toks, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.element_at(
+            warr, (CL._feat_hash(w, _Q95_DIM, "portable") + 1).cast("int")))
     return d.select("doc_id", tot.alias("feat_sum"),
-                    F.size(feats).cast("long").alias("n_tok"))
+                    F.size(toks).cast("long").alias("n_tok"))
 
 
 @_q("q96_classifier_train")

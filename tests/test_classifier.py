@@ -64,7 +64,8 @@ def test_score_expr_matches_python(spark):
     df = spark.createDataFrame(
         [(1, "a b a"), (2, ""), (3, None)], "id int, text string")
     out = {r["id"]: r["m"] for r in df.withColumn(
-        "m", C.margin_expr(F.col("text"), weights, bias)).collect()}
+        "m", C.margin_expr(F.col("text"), weights, bias,
+                           hash_family="portable")).collect()}
 
     def ph(w):
         h = 0
@@ -108,3 +109,16 @@ def test_scoring_runs_on_streams(spark, tmp_path):
                              "clf_stream", mode="append").toPandas() \
         .sort_values("doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(batch, streamed)
+
+
+def test_hash_families_score_consistently(spark, toy_df):
+    """Train+score must use one family end-to-end; both families learn
+    the separable toy problem."""
+    for fam in ["xxhash64", "portable"]:
+        model = C.train_logreg(toy_df, "label", dim=64, iters=15, lr=2.0,
+                               hash_family=fam)
+        assert model["hash_family"] == fam
+        acc = C.add_quality_score(toy_df, model).select(
+            F.avg(((F.col("clf_score") > 0.5).cast("double")
+                   == F.col("label")).cast("double")).alias("a")).head()["a"]
+        assert acc >= 0.9, fam
