@@ -51,6 +51,12 @@ def main():
     # the testdata is single-row-group parquet Spark can't split, so this
     # also restores scan parallelism
     os.environ.setdefault("SPARK_GRAFT_CACHE_INPUT", "1")
+    try:
+        # pre-run sample: the end-of-run loadavg is dominated by this
+        # bench's own 32 threads; ambient contention shows up HERE
+        load_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_start = None
     import __spark_entry__ as E
     from juliadb_jl_spark.session import get_spark
 
@@ -95,6 +101,7 @@ def main():
         "queries_min": minima,
         "total_min_sec": round(sum(ok_min.values()), 4),
         "load": load,
+        "load_start": load_start,
         "runs": runs,
         "sf": sf_val,
     }))
