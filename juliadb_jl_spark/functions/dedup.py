@@ -56,11 +56,91 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
         F.array_distinct(shingles(F.col(text_col), k)).alias("shset"))
 
 
+def _unique_text_lift(df: DataFrame, id_col: str, text_col: str, k: int,
+                      rep_pairs_fn,
+                      max_unique_frac: float = 0.8) -> DataFrame | None:
+    """Run a pair-finding closure on one representative per distinct
+    text, then lift results to all cluster members — identical output,
+    a fraction of the shingle/verify work on duplicate-dense corpora
+    (web crawls run 30%+ exact dups; the standard dedup-before-neardup
+    split). Returns None when the corpus has no exact dups (caller
+    falls through to the direct path; the check costs one tiny agg on
+    the fingerprint table).
+
+    Correctness: identical text → identical shingle set → (a) members
+    of one cluster pair at Jaccard exactly 1.0 (≥ any threshold), and
+    (b) a cross-cluster member pair has exactly its representatives'
+    Jaccard. Clusters whose text yields NO shingles (< k tokens) emit
+    no intra pairs — matching the direct path, where empty sets share
+    nothing."""
+    # _spread BEFORE the md5 projection: single-file inputs arrive as
+    # one partition, and an un-spread fingerprint pass serializes on a
+    # single core (measured 83 s for the shingle variant of this bug)
+    m = scratch.register(
+        _spread(df).select(F.col(id_col).alias("__mid"),
+                           fingerprint(F.col(text_col)).alias("__fp"))
+        .persist())
+    stats = m.agg(F.count(F.lit(1)).alias("n"),
+                  F.countDistinct("__fp").alias("u")).head()
+    # nearly-unique corpora gain nothing and pay the lift's expansion
+    # joins (measured +4 s at sf0.1 with 0.2% dups vs -19 s at sf1 with
+    # 90% dups) — engage only when dups are a meaningful fraction
+    if stats["u"] > max_unique_frac * stats["n"]:
+        return None
+    reps = m.groupBy("__fp").agg(F.min("__mid").alias("__rid"))
+    rep_df = df.join(
+        reps.select(F.col("__rid").alias(id_col)), id_col, "left_semi")
+    # materialize the representative pairs BEFORE the expansion fans
+    # out: lazily-persisted frames inside the rep pipeline are raced by
+    # the union's parallel stages (cache stampede → the shingle pass
+    # recomputes per branch; measured 43 s vs 8.5 s at sf1). The count
+    # is one cheap job over a tiny result.
+    rp = scratch.register(rep_pairs_fn(rep_df).persist())
+    rp.count()
+    # intra-cluster: every member pair of a multi-member cluster whose
+    # text has ≥1 shingle (short texts shingle to nothing → no pairs)
+    multi = (m.groupBy("__fp").agg(F.count(F.lit(1)).alias("__sz"),
+                                   F.min("__mid").alias("__rid"))
+             .filter(F.col("__sz") > 1))
+    # a doc shingles to nothing iff it has < k tokens — test the token
+    # count on the (semi-join-shrunk, spread) cluster reps instead of
+    # building shingle arrays for the whole corpus
+    rep_rows = df.join(
+        F.broadcast(multi.select(F.col("__rid").alias(id_col))),
+        id_col, "left_semi")
+    has_sh = (_spread(rep_rows.select(F.col(id_col).alias("__rid"),
+                                      F.col(text_col)))
+              .filter(F.size(tokens(F.col(text_col))) >= k)
+              .select("__rid"))
+    live_fp = scratch.register(  # feeds both sides of the self-join
+        multi.join(has_sh, "__rid", "left_semi").select("__fp").persist())
+    mm = m.join(F.broadcast(live_fp), "__fp")
+    intra = (mm.alias("x").join(mm.alias("y"),
+                                (F.col("x.__fp") == F.col("y.__fp")) &
+                                (F.col("x.__mid") < F.col("y.__mid")))
+             .select(F.col("x.__mid").alias("id_a"),
+                     F.col("y.__mid").alias("id_b"),
+                     F.lit(1.0).alias("jaccard")))
+    # inter-cluster: expand each representative pair to all member
+    # cross-pairs, re-normalizing id order (clusters are disjoint, so
+    # no pair is emitted twice)
+    fa = reps.select(F.col("__rid").alias("id_a"), F.col("__fp").alias("__fa"))
+    fb = reps.select(F.col("__rid").alias("id_b"), F.col("__fp").alias("__fb"))
+    ma = m.select(F.col("__mid").alias("__ma"), F.col("__fp").alias("__fa"))
+    mb = m.select(F.col("__mid").alias("__mb"), F.col("__fp").alias("__fb"))
+    inter = (rp.join(F.broadcast(fa), "id_a").join(F.broadcast(fb), "id_b")
+             .join(ma, "__fa").join(mb, "__fb")
+             .select(F.least("__ma", "__mb").alias("id_a"),
+                     F.greatest("__ma", "__mb").alias("id_b"), "jaccard"))
+    return intra.unionByName(inter)
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                         k: int = 3, threshold: float = 0.5,
                         df_cap: int | None = None,
                         broadcast_verify: bool | None = None,
-                        broadcast_threshold_bytes: int = 1 << 30) -> DataFrame:
+                        broadcast_threshold_bytes: int = 1 << 30,
+                        unique_lift: bool = True) -> DataFrame:
     """All pairs (a < b) with shingle-set Jaccard ≥ threshold.
 
     Exact semantics: candidates = docs sharing ≥1 shingle (a pair below
@@ -89,6 +169,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     deliberately biased toward shuffling: a needless shuffle costs
     seconds, a needless broadcast can cost the driver."""
     t = float(threshold)
+    if unique_lift and not df_cap:
+        # duplicate-dense corpora (every web crawl): shingle + verify
+        # only one representative per distinct text, lift pairs back to
+        # members (identical output — see _unique_text_lift). df_cap
+        # changes document frequencies under the lift, so it disables it.
+        lifted = _unique_text_lift(
+            df, id_col, text_col, k,
+            lambda rep_df: ngram_jaccard_pairs(
+                rep_df, id_col, text_col, k=k, threshold=threshold,
+                df_cap=None, broadcast_verify=broadcast_verify,
+                broadcast_threshold_bytes=broadcast_threshold_bytes,
+                unique_lift=False))
+        if lifted is not None:
+            return lifted
     sets_ = _shingle_sets(df, id_col, text_col, k)
     hashed = sets_.select(
         "id",
@@ -256,6 +350,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     (array equality) instead of xxhash64-of-slice, keeping the entire
     pipeline oracle-reproducible (q69)."""
     assert num_hashes % bands == 0
+    # NOTE: the unique-text lift that pays off 3× for ngram_jaccard_pairs
+    # was measured 7× SLOWER here (42 s vs 6 s at sf1, 90% dups): banded
+    # LSH is already ~linear in duplicate density — only the quadratic
+    # prefix self-join benefits from dedup-before-neardup.
     r = num_hashes // bands
     # ONE shingle pass feeds both the signature aggregation and (when
     # verifying) the exact-Jaccard join — at 100 TB this halves the

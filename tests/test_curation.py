@@ -202,3 +202,50 @@ def test_curation_ops_run_on_streams(spark, tmp_path):
     pd.testing.assert_frame_equal(batch, streamed)
     assert (batch["n_pii_email"] == 1).all()
     assert (batch["n_kept"] == 1).all()  # only the sentence line survives
+
+
+def test_jaccard_unique_lift_differential(spark):
+    """On a duplicate-dense corpus, the unique-text lift must produce
+    EXACTLY the direct path's pairs — including jaccard-1.0 intra
+    pairs, cross-cluster pairs at the representatives' jaccard, and no
+    pairs among shingle-less (short) duplicate texts."""
+    from juliadb_jl_spark.functions import dedup as DD
+    base = ["the quick brown fox jumps over the lazy dog today",
+            "the quick brown fox jumps over the lazy cat today",
+            "completely different text about spark query engines here",
+            "tiny doc"]  # < k tokens → no shingles
+    rows = []
+    for i, t in enumerate(base):
+        for c in range(3):  # 3 exact copies of every text
+            rows.append((i * 10 + c, t))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    direct = DD.ngram_jaccard_pairs(df, "doc_id", k=3, threshold=0.3,
+                                    unique_lift=False).toPandas()
+    lifted = DD.ngram_jaccard_pairs(df, "doc_id", k=3, threshold=0.3,
+                                    unique_lift=True).toPandas()
+    key = ["id_a", "id_b"]
+    direct = direct.sort_values(key, ignore_index=True)
+    lifted = lifted.sort_values(key, ignore_index=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(direct, lifted)
+    # sanity: intra pairs exist at 1.0; "tiny doc" copies pair nowhere
+    assert (lifted["jaccard"] == 1.0).sum() >= 3 * len(base[:3])
+    tiny_ids = {30, 31, 32}
+    assert not lifted[["id_a", "id_b"]].isin(tiny_ids).any().any()
+
+
+def test_jaccard_unique_lift_noop_on_unique_corpus(spark):
+    """No exact dups → the lift detects it and falls through (same
+    result, no behavior change on the common path)."""
+    from juliadb_jl_spark.functions import dedup as DD
+    rows = [(i, f"word{i} alpha beta gamma delta epsilon zeta {i}")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = DD.ngram_jaccard_pairs(df, "doc_id", threshold=0.2,
+                               unique_lift=True).toPandas()
+    b = DD.ngram_jaccard_pairs(df, "doc_id", threshold=0.2,
+                               unique_lift=False).toPandas()
+    key = ["id_a", "id_b"]
+    import pandas as pd
+    pd.testing.assert_frame_equal(a.sort_values(key, ignore_index=True),
+                                  b.sort_values(key, ignore_index=True))
