@@ -190,6 +190,20 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
     return df.withColumn(out_col, _enc(F.col(text_col)))
 
 
+def bpe_save(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a merge list as rank-ordered parquet — the tokenizer
+    artifact a training pipeline ships alongside its shards."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string").coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+
+
+def bpe_load(spark, path: str) -> list[tuple[str, str]]:
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["left"], r["right"]) for r in rows]
+
+
 def bpe_vocab(merges: list[tuple[str, str]],
               specials: tuple[str, ...] = ("<unk>",)) -> list[str]:
     """Token inventory induced by a merge list: specials, then the

@@ -150,6 +150,27 @@ def margin_from_feats(feats: Column, weights, bias: float) -> Column:
     return F.lit(float(bias)) + F.when(n > 0, tot / n).otherwise(F.lit(0.0))
 
 
+def model_save(spark, model: dict, path: str) -> None:
+    """Persist a trained model as parquet: one row per weight plus a
+    bias row (feature_id -1) and the hash family in a metadata row."""
+    rows = [(j, float(w), model.get("hash_family", "xxhash64"))
+            for j, w in enumerate(model["weights"])]
+    rows.append((-1, float(model["bias"]),
+                 model.get("hash_family", "xxhash64")))
+    spark.createDataFrame(
+        rows, "feature_id int, value double, hash_family string") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def model_load(spark, path: str) -> dict:
+    rows = spark.read.parquet(path).collect()
+    by_id = {r["feature_id"]: r["value"] for r in rows}
+    bias = by_id.pop(-1)
+    weights = [by_id[j] for j in range(len(by_id))]
+    return {"weights": weights, "bias": bias,
+            "hash_family": rows[0]["hash_family"], "loss": []}
+
+
 def local_reference_train(rows, dim, iters=5, lr=1.0, l2=0.0):
     """Pure-Python mirror of train_logreg for differential testing:
     rows = [(y, feats list)]."""

@@ -174,3 +174,10 @@ def test_train_vocab_cap_is_take_ordered(spark, corpus_df):
     got = B.bpe_train(corpus_df, num_merges=4, max_words=3)
     assert got == B.bpe_learn(
         sorted(CORPUS, key=lambda t: (-t[1], t[0]))[:3], 4)
+
+
+def test_bpe_save_load_roundtrip(spark, tmp_path, corpus_df):
+    merges = B.bpe_train(corpus_df, num_merges=6)
+    path = str(tmp_path / "tok")
+    B.bpe_save(spark, merges, path)
+    assert B.bpe_load(spark, path) == merges

@@ -122,3 +122,14 @@ def test_hash_families_score_consistently(spark, toy_df):
             F.avg(((F.col("clf_score") > 0.5).cast("double")
                    == F.col("label")).cast("double")).alias("a")).head()["a"]
         assert acc >= 0.9, fam
+
+
+def test_model_save_load_roundtrip(spark, toy_df, tmp_path):
+    model = C.train_logreg(toy_df, "label", dim=16, iters=2,
+                           hash_family="portable")
+    path = str(tmp_path / "clf")
+    C.model_save(spark, model, path)
+    got = C.model_load(spark, path)
+    assert got["weights"] == model["weights"]
+    assert got["bias"] == model["bias"]
+    assert got["hash_family"] == "portable"
