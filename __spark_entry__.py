@@ -2370,6 +2370,40 @@ def q97(spark, sf_dir):
                     .alias("n_kept"), "rate"))
 
 
+@_q("q98_novelty", r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 5
+          THEN [array_to_string(toks[i:i+4], ' ')
+                FOR i IN range(1, len(toks) - 3)]
+          ELSE [] END)) AS s
+      FROM t),
+dfq AS (SELECT s, count(*) AS dfc FROM g GROUP BY s)
+SELECT d.doc_id,
+       CAST(count(g.s) AS BIGINT) AS n_grams,
+       CAST(coalesce(sum(CASE WHEN dfq.dfc >= 2 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_shared,
+       CASE WHEN count(g.s) > 0
+         THEN 1 - CAST(sum(CASE WHEN dfq.dfc >= 2 THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(g.s)
+         ELSE 1.0 END AS novelty
+FROM documents d
+LEFT JOIN g ON d.doc_id = g.doc_id
+LEFT JOIN dfq ON g.s = dfq.s
+GROUP BY d.doc_id
+""")
+def q98(spark, sf_dir):
+    """Cross-document n-gram novelty (curation.novelty_scores): the
+    fraction of each doc's distinct 5-grams appearing in NO other doc —
+    the boilerplate/memorization signal per-doc repetition stats can't
+    see. One corpus explode feeds both the gram document-frequency
+    table and the per-doc rollup; novelty is exact integer-ratio
+    arithmetic (identical doubles cross-engine, no rounding games)."""
+    d = read_table(spark, sf_dir, "documents")
+    return CU.novelty_scores(d, "doc_id", n=5)
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================

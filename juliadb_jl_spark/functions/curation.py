@@ -255,6 +255,44 @@ def contamination_report(corpus: DataFrame, benchmark: DataFrame,
                         .otherwise(F.lit(0.0))))
 
 
+def novelty_scores(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 5) -> DataFrame:
+    """Per-document n-gram novelty against the rest of the corpus: the
+    fraction of a doc's DISTINCT word n-grams that appear in no other
+    document. Low novelty flags boilerplate/templated/memorized text
+    that per-doc repetition signals miss (the duplication is across
+    docs, not within one).
+
+    Returns (id_col, n_grams, n_shared, novelty) with
+    novelty = 1 - n_shared/n_grams; docs with < n tokens report
+    0 / 0 / 1.0 (nothing to be un-novel about).
+
+    Scale: one corpus explode feeds BOTH the per-gram document
+    frequency (map-side-combined groupBy on the gram — vocabulary-sized
+    result) and the per-doc rollup; the df table joins back on the gram
+    key, so there is no doc-to-doc comparison anywhere. Same shape as
+    `contamination_report` with the corpus itself as the benchmark,
+    minus the self-match."""
+    from juliadb_jl_spark.functions import scratch
+    grams = scratch.register(
+        df.select(F.col(id_col),
+                  F.explode_outer(F.array_distinct(
+                      shingles(F.col(text_col), n))).alias("__g"))
+        .persist())  # feeds the df count AND the per-doc join
+    dfreq = (grams.filter(F.col("__g").isNotNull())
+             .groupBy("__g").agg(F.count(F.lit(1)).alias("__df")))
+    joined = grams.join(dfreq, "__g", "left")
+    n_grams = F.sum(F.col("__g").isNotNull().cast("long"))
+    n_shared = F.sum((F.coalesce(F.col("__df"), F.lit(0)) >= 2)
+                     .cast("long"))
+    return (joined.groupBy(id_col)
+            .agg(n_grams.alias("n_grams"), n_shared.alias("n_shared"))
+            .withColumn("novelty",
+                        F.when(F.col("n_grams") > 0,
+                               1 - F.col("n_shared") / F.col("n_grams"))
+                        .otherwise(F.lit(1.0))))
+
+
 # ---------------------------------------------------------------------------
 # Deterministic global shuffle (training order)
 # ---------------------------------------------------------------------------

@@ -249,3 +249,17 @@ def test_jaccard_unique_lift_noop_on_unique_corpus(spark):
     import pandas as pd
     pd.testing.assert_frame_equal(a.sort_values(key, ignore_index=True),
                                   b.sort_values(key, ignore_index=True))
+
+
+def test_novelty_scores_golden(spark):
+    """Hand-computable corpus: doc 1 and 2 share their full 5-gram; doc
+    3 is unique; doc 4 is too short to have any 5-gram."""
+    rows = [(1, "a b c d e"), (2, "a b c d e"),
+            (3, "v w x y z"), (4, "too short")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           CU.novelty_scores(df, "doc_id", n=5).collect()}
+    assert (got[1]["n_grams"], got[1]["n_shared"], got[1]["novelty"]) == (1, 1, 0.0)
+    assert (got[2]["n_grams"], got[2]["n_shared"], got[2]["novelty"]) == (1, 1, 0.0)
+    assert (got[3]["n_grams"], got[3]["n_shared"], got[3]["novelty"]) == (1, 0, 1.0)
+    assert (got[4]["n_grams"], got[4]["n_shared"], got[4]["novelty"]) == (0, 0, 1.0)
