@@ -606,6 +606,36 @@ def dedup_substrings(df: DataFrame, id_col: str, text_col: str = "text",
         .otherwise(cut)).drop("__spans"))
 
 
+def dedup_substrings_multi(df: DataFrame, id_col: str,
+                           text_col: str = "text",
+                           ks: tuple[int, ...] = (50, 20),
+                           within_doc: bool = False,
+                           out_col: str | None = None) -> DataFrame:
+    """Composed substring-dedup passes at decreasing window sizes —
+    the documented answer to the single-pass recall bound (SCALING.md):
+    a k-window pass cuts every duplicated span of >= k tokens and none
+    shorter, so running again at a smaller k on the SURVIVORS extends
+    recall down to min(ks) while each pass stays one explode + groupBy
+    + join (no pairwise work). Shorter windows trade false-positive
+    risk explicitly (short n-grams repeat by chance) — callers choose
+    the ladder. Passes must descend: an ascending k would re-find spans
+    the previous pass already cut.
+
+    At 100 TB each pass is a full corpus rewrite — materialize between
+    passes (parquet at deploy scale); here the composition itself is
+    lazy and the caller decides the barrier."""
+    if list(ks) != sorted(ks, reverse=True) or len(set(ks)) != len(ks):
+        raise ValueError(f"ks must be strictly decreasing, got {ks}")
+    out_col = out_col or text_col
+    cur = df
+    col = text_col
+    for k in ks:
+        cur = dedup_substrings(cur, id_col, col, k=k,
+                               within_doc=within_doc, out_col=out_col)
+        col = out_col
+    return cur
+
+
 def embedding_pairs_exact(df: DataFrame, id_col: str, vec_col: str,
                           threshold: float = 0.95,
                           margin: float = 1e-6) -> DataFrame:

@@ -918,3 +918,26 @@ def test_null_text_is_empty_document(spark):
     assert CU.c4_line_clean(df).count() == 2
     assert CU.repetition_stats(df).count() == 2
     assert TX.bpe_top_pairs(df).count() >= 0
+
+
+def test_dedup_substrings_multi_extends_recall(spark):
+    """A 30-token duplicated span survives a k=50 pass but not the
+    k=50→k=20 ladder; unique text is untouched by both."""
+    from juliadb_jl_spark.functions import dedup as DD
+    dup30 = " ".join(f"d{i}" for i in range(30))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(10))
+    rows = [(1, f"{uniq('a')} {dup30} {uniq('b')}"),
+            (2, f"{uniq('c')} {dup30} {uniq('e')}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    single = {r["doc_id"]: r["text"] for r in
+              DD.dedup_substrings(df, "doc_id", k=50).collect()}
+    multi = {r["doc_id"]: r["text"] for r in
+             DD.dedup_substrings_multi(df, "doc_id", ks=(50, 20)).collect()}
+    assert "d5" in single[2]          # 30 < 50: single pass misses it
+    assert "d5" not in multi[2]       # ladder cuts it from the loser
+    assert "d5" in multi[1]           # lowest id keeps the occurrence
+    for tag in ("c", "e"):            # unique text survives both passes
+        assert f"{tag}3" in multi[2]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        DD.dedup_substrings_multi(df, "doc_id", ks=(20, 50))
