@@ -66,6 +66,13 @@ def main():
         # be duplicated (and re-optimized) per branch
         kept = kept.localCheckpoint(eager=False)
 
+    with jdb.tracktime("novelty-filter", spark):
+        # cross-document boilerplate signal: drop docs whose 5-grams
+        # are mostly shared with other docs (templated/memorized text)
+        nov = CU.novelty_scores(kept, "doc_id", n=5) \
+            .filter(F.col("novelty") < 0.05).select("doc_id")
+        kept = kept.join(nov, "doc_id", "left_anti")
+
     with jdb.tracktime("quality-classifier", spark):
         # fastText-style hashed-feature logreg on a weak label (language
         # heuristic agreement) — at 100 TB you'd train on a sample and
