@@ -177,8 +177,6 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
         def enc_text(t):
             if t is None:
                 return []
-            if lowercase:
-                t = t.lower()
             out: list[str] = []
             for w in _WS.split(t):
                 if w:
@@ -187,7 +185,13 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
 
         return texts.map(enc_text)
 
-    return df.withColumn(out_col, _enc(F.col(text_col)))
+    # case-fold on the JVM side (F.lower), NOT with Python str.lower()
+    # inside the UDF: the two disagree on Unicode edge cases ('İ' →
+    # 'i̇' two codepoints in Python), and bpe_train/word_freqs fold with
+    # F.lower — merges learned there must apply identically at encode
+    # time. The module already pins \s to ASCII for the same reason.
+    src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    return df.withColumn(out_col, _enc(src))
 
 
 def bpe_save(spark, merges: list[tuple[str, str]], path: str) -> None:

@@ -73,20 +73,45 @@ def _unique_text_lift(df: DataFrame, id_col: str, text_col: str, k: int,
     Jaccard. Clusters whose text yields NO shingles (< k tokens) emit
     no intra pairs — matching the direct path, where empty sets share
     nothing."""
+    # Cluster key must preserve exactly what shingling sees: tokens are
+    # case-SENSITIVE, so the key is the case-preserving, whitespace-
+    # normalized text — NOT fingerprint(), which case-folds and would
+    # cluster "A b" with "a b" despite their differing shingle sets
+    # (the direct path treats those as distinct).
+    norm = F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
+                                   r"\s+", " "))
+    # Cheap gate first: nearly-unique corpora gain nothing from the lift
+    # and pay its expansion joins (measured +4 s at sf0.1 with 0.2% dups
+    # vs -19 s at sf1 with 90% dups).  Estimate the dup ratio from a
+    # 1/16 sample keyed on the TEXT hash, not the id: whole duplicate
+    # clusters survive or vanish together, so the sample's distinct/total
+    # ratio is an unbiased estimate of the population's (an id-keyed row
+    # sample would shatter clusters into apparent singletons and read a
+    # 90%-dup corpus as ~93% unique).  One corpus scan, no shuffle, no
+    # persist — the full fingerprint pass below only runs once the
+    # estimate (or the exact fallback for tiny samples) says dups are
+    # worth lifting.
+    sh = F.xxhash64(norm)
+    samp = (df.select(sh.alias("__h"))
+            .filter(F.pmod(sh, F.lit(16)) == 0)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("__h").alias("u")).head())
+    if samp["n"] >= 200 and samp["u"] > max_unique_frac * samp["n"]:
+        return None
     # _spread BEFORE the md5 projection: single-file inputs arrive as
     # one partition, and an un-spread fingerprint pass serializes on a
     # single core (measured 83 s for the shingle variant of this bug)
     m = scratch.register(
         _spread(df).select(F.col(id_col).alias("__mid"),
-                           fingerprint(F.col(text_col)).alias("__fp"))
+                           F.md5(norm).alias("__fp"))
         .persist())
-    stats = m.agg(F.count(F.lit(1)).alias("n"),
-                  F.countDistinct("__fp").alias("u")).head()
-    # nearly-unique corpora gain nothing and pay the lift's expansion
-    # joins (measured +4 s at sf0.1 with 0.2% dups vs -19 s at sf1 with
-    # 90% dups) — engage only when dups are a meaningful fraction
-    if stats["u"] > max_unique_frac * stats["n"]:
-        return None
+    if samp["n"] < 200:
+        # sample too small for a confident estimate → exact check on the
+        # (tiny) corpus, same cost shape as pre-gate rounds
+        stats = m.agg(F.count(F.lit(1)).alias("n"),
+                      F.countDistinct("__fp").alias("u")).head()
+        if stats["u"] > max_unique_frac * stats["n"]:
+            return None
     reps = m.groupBy("__fp").agg(F.min("__mid").alias("__rid"))
     rep_df = df.join(
         reps.select(F.col("__rid").alias(id_col)), id_col, "left_semi")

@@ -322,7 +322,11 @@ def decode_media(df: DataFrame, fake: bool = False,
                         w, h, fmt = av["width"], av["height"], av["format"]
                         sr, ch = av["sample_rate"], av["channels"]
                         dur = av["duration_ms"]
-                if w is None and Image is not None:
+                # fall back to Pillow only when NO parser recognized the
+                # content (fmt None) — audio parses legitimately leave
+                # width None, and re-opening them would waste per-row work
+                # and risk a misdetect overwriting the parsed fmt
+                if fmt is None and Image is not None:
                     import io
                     try:
                         with Image.open(io.BytesIO(raw)) as im:

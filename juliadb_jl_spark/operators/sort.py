@@ -14,6 +14,7 @@ from typing import Any, Iterator, Sequence
 import pandas as pd
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegralType
 
 from juliadb_jl_spark.functions import scratch
 from juliadb_jl_spark.plans import selectors as S
@@ -165,9 +166,10 @@ def with_global_cumsum(df, value_col: str, name: str = "__cum",
     parts = base.groupBy("__pid").agg(F.sum(value_col).alias("s")).collect()
     # keep integral columns in exact integer arithmetic end-to-end: a float
     # offset accumulator silently loses precision past 2^53, which a
-    # 100-TB-corpus token cumsum can actually reach
-    integral = all(isinstance(row["s"], int) or row["s"] is None
-                   for row in parts)
+    # 100-TB-corpus token cumsum can actually reach. Decided from the
+    # column's declared Spark type, not the collected Python values — an
+    # empty/all-null double column must still take the float path
+    integral = isinstance(base.schema[value_col].dataType, IntegralType)
     pairs, acc = [], 0 if integral else 0.0
     for row in sorted(parts, key=lambda r: r["__pid"]):
         pairs.append((row["__pid"], acc))

@@ -213,7 +213,14 @@ def test_jaccard_unique_lift_differential(spark):
     base = ["the quick brown fox jumps over the lazy dog today",
             "the quick brown fox jumps over the lazy cat today",
             "completely different text about spark query engines here",
-            "tiny doc"]  # < k tokens → no shingles
+            "tiny doc",  # < k tokens → no shingles
+            # case variant of base[0]: shingles are case-SENSITIVE, so
+            # this must NOT cluster with base[0] (ADVICE r3 high — a
+            # case-folding cluster key emitted bogus jaccard-1.0 pairs)
+            "The Quick Brown Fox Jumps Over The Lazy Dog Today",
+            # whitespace variant of base[0]: tokenizes identically, so it
+            # MUST cluster with base[0] (cluster key is ws-normalized)
+            "the  quick  brown fox jumps  over the lazy dog today "]
     rows = []
     for i, t in enumerate(base):
         for c in range(3):  # 3 exact copies of every text
