@@ -2415,16 +2415,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver may record CORRECTNESS rows only for the first ~50
-    # entries, so order by driver-verification recency: the round-3
-    # additions (q91+) first, then q11–q50 (driver-verified in r1,
-    # judge-re-verified under r2 code), then q51–q90 (r2), then q01–q10
-    # (r1 and r2) — every query keeps accumulating driver rows.
+    # entries, so order by driver-verification recency (VERDICT r3 #6):
+    # q53–q90's newest driver rows are from r2 code, so they lead this
+    # round, then q01–q10 (judge-verified under r3 but no driver row
+    # since r2), then q91+ and q11–q52 (driver-verified in r3).
     def _prio(k: str) -> int:
-        if k >= "q91":
+        if "q53" <= k < "q91":
             return 0
-        if "q11" <= k < "q51":
+        if k < "q11":
             return 1
-        if k >= "q51":
+        if k >= "q91":
             return 2
         return 3
 

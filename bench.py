@@ -12,6 +12,16 @@ medians on a loaded shared host made cross-round comparisons noise-bound
 — minima are the load-robust statistic).  The action is a noop-sink
 write so every output column is actually computed (a bare count() would
 let Catalyst prune the aggregates away).
+
+`queries_cpu` (VERDICT r3 #4): per-query CPU seconds, measured as the
+utime+stime delta of THIS process's whole subtree (/proc stat walk) —
+in local mode that is the bench driver + the one Spark JVM + every
+Python UDF worker.  CPU time is the load-independent statistic: host
+iowait and ambient contention stretch wall time but barely change CPU
+consumed, so cross-round comparisons should read `queries_cpu` first.
+(Chosen over the REST /api/v1 stage `executorCpuTime` because the
+process tree also counts pandas-UDF worker CPU, which stage metrics
+book as executor wait, and it is immune to retained-stage eviction.)
 """
 
 from __future__ import annotations
@@ -41,6 +51,38 @@ HEADLINE = [
 ]
 
 
+def _proc_tree_cpu(root: int) -> float | None:
+    """Total utime+stime (seconds) of `root` plus every live descendant
+    process.  Long-lived PySpark daemon workers make the live-only sum
+    accurate; a worker dying mid-run would lose only its own time."""
+    try:
+        clk = os.sysconf("SC_CLK_TCK")
+        stats: dict[int, tuple[int, int]] = {}
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/stat", "rb") as fh:
+                    s = fh.read().decode("ascii", "replace")
+            except OSError:
+                continue  # raced a process exit
+            # comm can hold spaces/parens — fields start after the LAST ')'
+            rest = s[s.rindex(")") + 2:].split()
+            stats[int(p)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        children: dict[int, list[int]] = {}
+        for pid, (ppid, _) in stats.items():
+            children.setdefault(ppid, []).append(pid)
+        total, stack = 0, [root]
+        while stack:
+            pid = stack.pop()
+            if pid in stats:
+                total += stats[pid][1]
+            stack.extend(children.get(pid, []))
+        return total / clk
+    except (OSError, ValueError):
+        return None  # non-procfs platform → cpu fields omitted
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -63,20 +105,31 @@ def main():
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
     qs = E.queries()
 
-    def run_once(fn) -> float:
+    me = os.getpid()
+
+    def run_once(fn) -> tuple[float, float | None]:
+        c0 = _proc_tree_cpu(me)
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        wall = time.time() - t0
+        c1 = _proc_tree_cpu(me)
+        cpu = round(c1 - c0, 4) if c0 is not None and c1 is not None else None
+        return wall, cpu
 
     results: dict[str, float] = {}
     minima: dict[str, float] = {}
+    cpus_med: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         try:
             run_once(fn)  # warm-up (JIT, broadcast, file listing caches)
-            times = [run_once(fn) for _ in range(runs)]
+            samples = [run_once(fn) for _ in range(runs)]
+            times = [w for w, _ in samples]
+            cpu_ts = [c for _, c in samples if c is not None]
             results[name] = round(statistics.median(times), 4)
             minima[name] = round(min(times), 4)
+            if cpu_ts:
+                cpus_med[name] = round(statistics.median(cpu_ts), 4)
         except Exception as ex:  # report and keep going
             print(f"bench error in {name}: {ex}", file=sys.stderr)
             results[name] = -1.0
@@ -99,7 +152,9 @@ def main():
         "unit": "sec",
         "queries": results,
         "queries_min": minima,
+        "queries_cpu": cpus_med,
         "total_min_sec": round(sum(ok_min.values()), 4),
+        "total_cpu_sec": round(sum(cpus_med.values()), 4),
         "load": load,
         "load_start": load_start,
         "runs": runs,

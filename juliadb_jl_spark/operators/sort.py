@@ -212,13 +212,21 @@ def permutedims_nd(nd: NDSparse, perm: Sequence[str | int]) -> NDSparse:
 
 def partition_iter(t: Table, size: int) -> Iterator[pd.DataFrame]:
     """Stream the table in fixed-size row batches in pkey order (reference
-    Iterators.partition, src/iteration.jl:3-57)."""
+    Iterators.partition, src/iteration.jl:3-57).
+
+    Driver-stream op by reference semantics (local iteration), but
+    batch-cheap: rows buffer as plain tuples and each batch is built
+    with ONE DataFrame constructor call — no per-row dict
+    materialization — and `prefetchPartitions` overlaps executor-side
+    computation of the next partition with driver-side consumption.
+    The driver never holds more than `size` rows plus one prefetched
+    partition."""
     buf: list = []
     cols = t.df.columns
-    for row in t._ordered_df().toLocalIterator():
-        buf.append(row)
+    for row in t._ordered_df().toLocalIterator(prefetchPartitions=True):
+        buf.append(tuple(row))
         if len(buf) == size:
-            yield pd.DataFrame([r.asDict() for r in buf], columns=cols)
+            yield pd.DataFrame(buf, columns=cols)
             buf = []
     if buf:
-        yield pd.DataFrame([r.asDict() for r in buf], columns=cols)
+        yield pd.DataFrame(buf, columns=cols)
