@@ -2404,6 +2404,104 @@ def q98(spark, sf_dir):
     return CU.novelty_scores(d, "doc_id", n=5)
 
 
+@_q("q99_shipping_priority", """
+SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def q99(spark, sf_dir):
+    """TPC-H Q3-shaped join-depth query (VERDICT r3 stretch #8):
+    selective dim filter → 3-table join chain → agg → global top-10.
+    Scale shape: filters reach the scans (pushdown), customer/orders
+    survivors broadcast under AQE's runtime sizes, lineitem is never
+    shuffled before the aggregation, and the top-10 is a TakeOrdered —
+    no global sort. Revenue in exact integer cents before the one
+    deterministic double division."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1995-03-15").cast("timestamp")
+    c = jdb.filter_(c, c_mktsegment="BUILDING")
+    o = jdb.filter_(o, o_orderdate=lambda d: d < cut)
+    li = jdb.filter_(li, l_shipdate=lambda d: d > cut)
+    co = jdb.join(c, o, how="inner", lkey="c_custkey", rkey="o_custkey",
+                  lselect=("c_custkey",),
+                  rselect=("o_orderkey", "o_orderdate", "o_orderpriority"))
+    col_ = jdb.join(li, co, how="inner", lkey="l_orderkey", rkey="o_orderkey",
+                    lselect=("l_orderkey", "l_extendedprice", "l_discount"),
+                    rselect=("o_orderdate", "o_orderpriority"))
+    col_ = jdb.transform(
+        col_, rev_c4=_cents(F.col("l_extendedprice"))
+        * (100 - _cents(F.col("l_discount"))))
+    g = jdb.groupreduce(
+        {"revenue": F.sum("rev_c4").cast("double") / 10000.0},
+        col_, by=("l_orderkey", "o_orderdate", "o_orderpriority"))
+    top = jdb.sort(g, by=("-revenue", "l_orderkey"))  # limit → TakeOrdered
+    return top.df.limit(10).select("l_orderkey", "revenue",
+                                   "o_orderdate", "o_orderpriority")
+
+
+@_q("q9a_regional_supplier_volume", """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""")
+def q9a(spark, sf_dir):
+    """TPC-H Q5-shaped 6-table join (VERDICT r3 stretch #8): region →
+    nation → customer → orders → lineitem → supplier with the
+    local-supplier (s_nationkey = c_nationkey) condition — the classic
+    AQE join-reordering exercise. All dims broadcast; lineitem flows
+    through one shuffle (the o_custkey/orderkey chain) into a
+    nation-sized aggregate."""
+    r = jdb.filter_(_t(spark, sf_dir, "region"), r_name="ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rn = jdb.join(n, r, how="inner", lkey="n_regionkey", rkey="r_regionkey",
+                  lselect=("n_nationkey", "n_name"), broadcast="right")
+    cn = jdb.join(c, rn, how="inner", lkey="c_nationkey", rkey="n_nationkey",
+                  lselect=("c_custkey", "c_nationkey"), broadcast="right")
+    co = jdb.join(o, cn, how="inner", lkey="o_custkey", rkey="c_custkey",
+                  lselect=("o_orderkey",), broadcast="right")
+    lio = jdb.join(li, co, how="inner", lkey="l_orderkey", rkey="o_orderkey",
+                   lselect=("l_suppkey", "l_extendedprice", "l_discount"),
+                   broadcast="right")
+    full = jdb.join(
+        lio, s, how="inner",
+        lkey=("l_suppkey", "c_nationkey"), rkey=("s_suppkey", "s_nationkey"),
+        broadcast="right")
+    full = jdb.transform(
+        full, rev_c4=_cents(F.col("l_extendedprice"))
+        * (100 - _cents(F.col("l_discount"))))
+    g = jdb.groupreduce(
+        {"revenue": F.sum("rev_c4").cast("double") / 10000.0},
+        full, by=("n_name",))
+    return g.df.orderBy(F.desc("revenue"), F.asc("n_name"))
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================

@@ -48,6 +48,8 @@ HEADLINE = [
     "q35_ngram_jaccard",     # shingle inverted-index self-join
     "q36_minhash_lsh",       # minhash signatures + banded LSH
     "q38_similarity_topk",   # brute-force cosine top-k
+    "q99_shipping_priority",  # TPC-H Q3 shape: 3-table join + agg + top-10
+    "q9a_regional_supplier_volume",  # TPC-H Q5 shape: 6-table join chain
 ]
 
 

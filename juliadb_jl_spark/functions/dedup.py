@@ -56,73 +56,93 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
         F.array_distinct(shingles(F.col(text_col), k)).alias("shset"))
 
 
-# lift-gate decision cache: input plan semanticHash → engage lift?
-# (performance-only hint; see _unique_text_lift for the safety argument)
-_GATE_MEMO: dict[tuple, bool] = {}
+def _norm_text(text_col: str) -> Column:
+    """Case-preserving, whitespace-normalized text — EXACTLY what
+    case-sensitive tokenization sees (ADVICE r3 high: the cluster key
+    must NOT be fingerprint(), which case-folds and would cluster "A b"
+    with "a b" despite their differing shingle sets)."""
+    return F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
+                                   r"\s+", " "))
+
+
+# corpus duplicate-structure stats cache: plan semanticHash →
+# (dup_fraction, est_max_cluster).  Performance-only hints (every gated
+# path produces identical output either way), so a stale hit cannot
+# affect correctness; repeated queries over the same corpus skip the
+# stats jobs, which in local mode are ~all fixed submission overhead.
+_DUP_STATS_MEMO: dict[tuple, tuple[float, int]] = {}
+
+
+def _dup_stats(df: DataFrame, id_col: str, text_col: str) -> tuple[float, int]:
+    """(dup_fraction, est_max_cluster) of the exact-duplicate structure.
+
+    Two cheap jobs, memoized on the input plan's semantic hash:
+      * dup_fraction = 1 - distinct/total over the normalized-text hash,
+        with approx_count_distinct — a single corpus scan with NO
+        shuffle (HLL sketches merge map-side); ±5% is plenty for a
+        20%-dups engage threshold.
+      * est_max_cluster from a 1/16 ROW sample (keyed on the id hash)
+        grouped by text hash, max count × 16.  Row sampling is the
+        right frame here: a 10k-member cluster shows ~625 sampled
+        members whatever its text hashes to, whereas a text-keyed
+        sample would miss the whole cluster 15/16 of the time.  Small
+        corpora (<5k rows) group exactly instead of sampling.
+    """
+    memo_key = None
+    try:
+        memo_key = (df.semanticHash(), id_col, text_col)
+    except Exception:
+        pass  # analysis-stage failure → recompute every call
+    if memo_key is not None and memo_key in _DUP_STATS_MEMO:
+        return _DUP_STATS_MEMO[memo_key]
+    h = F.xxhash64(_norm_text(text_col))
+    row = df.agg(F.count(F.lit(1)).alias("n"),
+                 F.approx_count_distinct(h).alias("u")).head()
+    n, u = row["n"], row["u"]
+    dup_frac = 0.0 if not n else max(0.0, 1.0 - u / n)
+    if n <= 5000:
+        mx = (df.groupBy(h.alias("__h")).count()
+              .agg(F.max("count")).head()[0]) or 0
+        est_max = int(mx)
+    else:
+        mx = (df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(16)) == 0)
+              .groupBy(h.alias("__h")).count()
+              .agg(F.max("count")).head()[0]) or 0
+        est_max = int(mx) * 16
+    if memo_key is not None:
+        if len(_DUP_STATS_MEMO) > 256:
+            _DUP_STATS_MEMO.clear()
+        _DUP_STATS_MEMO[memo_key] = (dup_frac, est_max)
+    return dup_frac, est_max
 
 
 def _unique_text_lift(df: DataFrame, id_col: str, text_col: str, k: int,
-                      rep_pairs_fn,
-                      max_unique_frac: float = 0.8) -> DataFrame | None:
+                      rep_pairs_fn, val_col: str | None = "jaccard",
+                      val_lit=1.0, star: bool = False) -> DataFrame:
     """Run a pair-finding closure on one representative per distinct
     text, then lift results to all cluster members — identical output,
     a fraction of the shingle/verify work on duplicate-dense corpora
     (web crawls run 30%+ exact dups; the standard dedup-before-neardup
-    split). Returns None when the corpus has no exact dups (caller
-    falls through to the direct path; the check costs one tiny agg on
-    the fingerprint table).
+    split).  Callers gate on `_dup_stats` before engaging.
 
     Correctness: identical text → identical shingle set → (a) members
-    of one cluster pair at Jaccard exactly 1.0 (≥ any threshold), and
-    (b) a cross-cluster member pair has exactly its representatives'
-    Jaccard. Clusters whose text yields NO shingles (< k tokens) emit
-    no intra pairs — matching the direct path, where empty sets share
-    nothing."""
-    # Cluster key must preserve exactly what shingling sees: tokens are
-    # case-SENSITIVE, so the key is the case-preserving, whitespace-
-    # normalized text — NOT fingerprint(), which case-folds and would
-    # cluster "A b" with "a b" despite their differing shingle sets
-    # (the direct path treats those as distinct).
-    norm = F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
-                                   r"\s+", " "))
-    # Cheap gate first: nearly-unique corpora gain nothing from the lift
-    # and pay its expansion joins (measured +4 s at sf0.1 with 0.2% dups
-    # vs -19 s at sf1 with 90% dups).  Estimate the dup ratio from a
-    # 1/16 sample keyed on the TEXT hash, not the id: whole duplicate
-    # clusters survive or vanish together, so the sample's distinct/total
-    # ratio is an unbiased estimate of the population's (an id-keyed row
-    # sample would shatter clusters into apparent singletons and read a
-    # 90%-dup corpus as ~93% unique).  One corpus scan, no shuffle, no
-    # persist — the full fingerprint pass below only runs once the
-    # estimate (or the exact fallback for tiny samples) says dups are
-    # worth lifting.
-    # The decision is memoized on the input plan's semantic hash: the
-    # gate is a pure performance hint (lifted and direct paths produce
-    # identical output), so a stale hit cannot affect correctness — it
-    # only reuses last time's path choice. Repeated queries over the
-    # same corpus (interactive reruns, benchmark warm runs) then skip
-    # the sampling job entirely; in local mode that job is ~all fixed
-    # submission overhead (~0.3 s) regardless of the sample's size.
-    memo_key = None
-    try:
-        memo_key = (df.semanticHash(), text_col, max_unique_frac)
-    except Exception:
-        pass  # analysis-stage failure → just sample every call
-    engaged = _GATE_MEMO.get(memo_key) if memo_key is not None else None
-    if engaged is None:
-        sh = F.xxhash64(norm)
-        samp = (df.select(sh.alias("__h"))
-                .filter(F.pmod(F.col("__h"), F.lit(16)) == 0)
-                .agg(F.count(F.lit(1)).alias("n"),
-                     F.countDistinct("__h").alias("u")).head())
-        if samp["n"] >= 200:
-            engaged = not samp["u"] > max_unique_frac * samp["n"]
-            if memo_key is not None:
-                if len(_GATE_MEMO) > 256:
-                    _GATE_MEMO.clear()
-                _GATE_MEMO[memo_key] = engaged
-    if engaged is False:
-        return None
+    of one cluster pair at `val_col` = `val_lit` (the identical-pair
+    value: jaccard 1.0, hamming 0 — always inside any sane threshold;
+    pass val_col=None for generators that emit bare candidate pairs),
+    and (b) a cross-cluster member pair has exactly its
+    representatives' value. Clusters whose text yields NO shingles
+    (< k tokens) emit no intra pairs — matching the direct path, where
+    empty sets share nothing.
+
+    `star=True` emits the COMPONENT-EQUIVALENT sparse edge set instead
+    of all pairs: rep→member star edges for each duplicate cluster plus
+    the rep-level near-dup pairs, un-expanded.  Connected components
+    over it equal those over the all-pairs set exactly (members reach
+    their rep; reps link clusters), but the edge count is
+    O(members + rep pairs) instead of quadratic in cluster size — the
+    form cluster-resolution consumers (duplicate_clusters,
+    dedup_by_clusters) should feed CC at scale."""
+    norm = _norm_text(text_col)
     # _spread BEFORE the md5 projection: single-file inputs arrive as
     # one partition, and an un-spread fingerprint pass serializes on a
     # single core (measured 83 s for the shingle variant of this bug)
@@ -130,16 +150,6 @@ def _unique_text_lift(df: DataFrame, id_col: str, text_col: str, k: int,
         _spread(df).select(F.col(id_col).alias("__mid"),
                            F.md5(norm).alias("__fp"))
         .persist())
-    if engaged is None:
-        # sample too small for a confident estimate → exact check on the
-        # (tiny) corpus, same cost shape as pre-gate rounds
-        stats = m.agg(F.count(F.lit(1)).alias("n"),
-                      F.countDistinct("__fp").alias("u")).head()
-        engaged = not stats["u"] > max_unique_frac * stats["n"]
-        if memo_key is not None:
-            _GATE_MEMO[memo_key] = engaged
-        if not engaged:
-            return None
     reps = m.groupBy("__fp").agg(F.min("__mid").alias("__rid"))
     rep_df = df.join(
         reps.select(F.col("__rid").alias(id_col)), id_col, "left_semi")
@@ -165,15 +175,61 @@ def _unique_text_lift(df: DataFrame, id_col: str, text_col: str, k: int,
                                       F.col(text_col)))
               .filter(F.size(tokens(F.col(text_col))) >= k)
               .select("__rid"))
-    live_fp = scratch.register(  # feeds both sides of the self-join
-        multi.join(has_sh, "__rid", "left_semi").select("__fp").persist())
-    mm = m.join(F.broadcast(live_fp), "__fp")
-    intra = (mm.alias("x").join(mm.alias("y"),
-                                (F.col("x.__fp") == F.col("y.__fp")) &
-                                (F.col("x.__mid") < F.col("y.__mid")))
+    live = scratch.register(  # feeds both sides of the self-join
+        multi.join(has_sh, "__rid", "left_semi")
+        .select("__fp", "__sz", "__rid").persist())
+    mm = m.join(F.broadcast(live), "__fp")
+    vals = [F.lit(val_lit).alias(val_col)] if val_col else []
+    if star:
+        stars = (mm.filter(F.col("__mid") != F.col("__rid"))
+                 .select(F.col("__rid").alias("id_a"),  # rep = cluster min
+                         F.col("__mid").alias("id_b"), *vals))
+        carried = [val_col] if val_col else []
+        return stars.unionByName(rp.select("id_a", "id_b", *carried))
+    # Small clusters: plain per-key self-join (≤ ~0.5M pairs per key).
+    # BIG clusters are the skew case: a c-member clique's c²/2 member
+    # pairs all carry ONE join key, so the plain self-join computes them
+    # in one straggler task (a 10k clique = 50M pairs in one task).
+    # Those clusters switch to a triangle-bucketed join: members hash
+    # into B buckets, bucket-i rows replicate to bucket-pair groups
+    # (i, j≥i) on one side and (i'≤j, j) on the other, so each of the
+    # B(B+1)/2 groups computes only (c/B)² pairs — the c² OUTPUT is
+    # inherent to all-pairs semantics, but its GENERATION parallelizes.
+    # (Input replication is ×B/2 on member ROWS — ids only, not text.)
+    BIG, B = 1024, 32
+    small = mm.filter(F.col("__sz") < BIG)
+    intra = (small.alias("x").join(small.alias("y"),
+                                   (F.col("x.__fp") == F.col("y.__fp")) &
+                                   (F.col("x.__mid") < F.col("y.__mid")))
              .select(F.col("x.__mid").alias("id_a"),
-                     F.col("y.__mid").alias("id_b"),
-                     F.lit(1.0).alias("jaccard")))
+                     F.col("y.__mid").alias("id_b"), *vals))
+    big = mm.filter(F.col("__sz") >= BIG) \
+        .withColumn("__b", F.pmod(F.xxhash64("__mid"), F.lit(B)))
+    # explicit co-partitioning on the bucket-group key: the join input is
+    # byte-small (ids only) so AQE would coalesce it into ~1 task and
+    # recreate the very straggler this path exists to kill — the OUTPUT
+    # explosion is invisible to shuffle-read-bytes planning (measured:
+    # one 3.6 s task emitting 25M+ pairs vs balanced sub-second tasks)
+    p = df.sparkSession.sparkContext.defaultParallelism
+    xs = big.withColumn("__j", F.explode(F.sequence(F.col("__b"),
+                                                    F.lit(B - 1)))) \
+        .repartition(p, "__fp", "__b", "__j")
+    ys = big.withColumn("__i", F.explode(F.sequence(F.lit(0),
+                                                    F.col("__b")))) \
+        .repartition(p, "__fp", "__i", "__b")
+    # a cross-bucket pair lives in exactly group (min(bx,by), max(bx,by))
+    # with the lower bucket on the x side; same-bucket pairs order by id
+    tri = (xs.alias("x").join(
+        ys.alias("y"),
+        (F.col("x.__fp") == F.col("y.__fp")) &
+        (F.col("x.__b") == F.col("y.__i")) &
+        (F.col("x.__j") == F.col("y.__b")) &
+        ((F.col("x.__b") < F.col("y.__b")) |
+         ((F.col("x.__b") == F.col("y.__b")) &
+          (F.col("x.__mid") < F.col("y.__mid")))))
+        .select(F.least("x.__mid", "y.__mid").alias("id_a"),
+                F.greatest("x.__mid", "y.__mid").alias("id_b"), *vals))
+    intra = intra.unionByName(tri)
     # inter-cluster: expand each representative pair to all member
     # cross-pairs, re-normalizing id order (clusters are disjoint, so
     # no pair is emitted twice)
@@ -181,10 +237,11 @@ def _unique_text_lift(df: DataFrame, id_col: str, text_col: str, k: int,
     fb = reps.select(F.col("__rid").alias("id_b"), F.col("__fp").alias("__fb"))
     ma = m.select(F.col("__mid").alias("__ma"), F.col("__fp").alias("__fa"))
     mb = m.select(F.col("__mid").alias("__mb"), F.col("__fp").alias("__fb"))
+    carried = [val_col] if val_col else []
     inter = (rp.join(F.broadcast(fa), "id_a").join(F.broadcast(fb), "id_b")
              .join(ma, "__fa").join(mb, "__fb")
              .select(F.least("__ma", "__mb").alias("id_a"),
-                     F.greatest("__ma", "__mb").alias("id_b"), "jaccard"))
+                     F.greatest("__ma", "__mb").alias("id_b"), *carried))
     return intra.unionByName(inter)
 
 
@@ -193,7 +250,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                         df_cap: int | None = None,
                         broadcast_verify: bool | None = None,
                         broadcast_threshold_bytes: int = 1 << 30,
-                        unique_lift: bool = True) -> DataFrame:
+                        unique_lift: bool = True,
+                        star_intra: bool = False) -> DataFrame:
     """All pairs (a < b) with shingle-set Jaccard ≥ threshold.
 
     Exact semantics: candidates = docs sharing ≥1 shingle (a pair below
@@ -227,15 +285,21 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
         # only one representative per distinct text, lift pairs back to
         # members (identical output — see _unique_text_lift). df_cap
         # changes document frequencies under the lift, so it disables it.
-        lifted = _unique_text_lift(
-            df, id_col, text_col, k,
-            lambda rep_df: ngram_jaccard_pairs(
-                rep_df, id_col, text_col, k=k, threshold=threshold,
-                df_cap=None, broadcast_verify=broadcast_verify,
-                broadcast_threshold_bytes=broadcast_threshold_bytes,
-                unique_lift=False))
-        if lifted is not None:
-            return lifted
+        # Engage on EITHER trigger: dup mass ≥ 20% (lift pays for itself,
+        # measured -19 s at sf1), OR an estimated exact-dup cluster of
+        # ≥256 members even in an otherwise-unique corpus — a clique of
+        # identical docs makes the direct prefix self-join quadratic in
+        # the clique (every member shares every prefix shingle), while
+        # the lift reduces it to ONE representative.
+        dup_frac, est_max = _dup_stats(df, id_col, text_col)
+        if dup_frac >= 0.2 or est_max >= 256:
+            return _unique_text_lift(
+                df, id_col, text_col, k,
+                lambda rep_df: ngram_jaccard_pairs(
+                    rep_df, id_col, text_col, k=k, threshold=threshold,
+                    df_cap=None, broadcast_verify=broadcast_verify,
+                    broadcast_threshold_bytes=broadcast_threshold_bytes,
+                    unique_lift=False), star=star_intra)
     sets_ = _shingle_sets(df, id_col, text_col, k)
     hashed = sets_.select(
         "id",
@@ -391,7 +455,9 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str = "text",
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                       k: int = 3, num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.5, verify: bool = True,
-                      hash_family: str = "xxhash64") -> DataFrame:
+                      hash_family: str = "xxhash64",
+                      unique_lift: bool | None = None,
+                      star_intra: bool = False) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH; same-band candidates are
     (optionally) verified with exact shingle Jaccard ≥ threshold.
 
@@ -403,10 +469,27 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     (array equality) instead of xxhash64-of-slice, keeping the entire
     pipeline oracle-reproducible (q69)."""
     assert num_hashes % bands == 0
-    # NOTE: the unique-text lift that pays off 3× for ngram_jaccard_pairs
-    # was measured 7× SLOWER here (42 s vs 6 s at sf1, 90% dups): banded
-    # LSH is already ~linear in duplicate density — only the quadratic
-    # prefix self-join benefits from dedup-before-neardup.
+    # The unique-text lift that pays off 3× for ngram_jaccard_pairs was
+    # measured 7× SLOWER here at UNIFORM 10-member clusters (42 s vs 6 s
+    # at sf1, 90% dups): banded LSH is already ~linear in duplicate
+    # density.  But a GIANT clique of identical docs is different in
+    # kind: c identical texts put c identical signatures in the same
+    # bucket of EVERY band, so the bucket self-join emits bands·c²/2
+    # candidate rows (10k clique × 8 bands = 400M) before verify.  The
+    # lift collapses the clique to one representative and emits its c²/2
+    # member pairs ONCE, directly, with no verify — so auto (None)
+    # engages it only on the estimated-max-cluster trigger, never on
+    # plain dup density (exactly the opposite gate from jaccard's).
+    if unique_lift is None:
+        unique_lift = _dup_stats(df, id_col, text_col)[1] >= 256
+    if unique_lift:
+        return _unique_text_lift(
+            df, id_col, text_col, k,
+            lambda rep_df: minhash_lsh_pairs(
+                rep_df, id_col, text_col, k=k, num_hashes=num_hashes,
+                bands=bands, threshold=threshold, verify=verify,
+                hash_family=hash_family, unique_lift=False),
+            val_col="jaccard" if verify else None, star=star_intra)
     r = num_hashes // bands
     # ONE shingle pass feeds both the signature aggregation and (when
     # verifying) the exact-Jaccard join — at 100 TB this halves the
@@ -475,9 +558,29 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text",
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text",
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  unique_lift: bool | None = None,
+                  star_intra: bool = False) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, blocked on four
-    16-bit bands (any pair within hamming 3 shares ≥1 exact band)."""
+    16-bit bands (any pair within hamming 3 shares ≥1 exact band).
+
+    Giant-clique guard (same reasoning as minhash_lsh_pairs): c identical
+    texts share every band key, so the banded self-join emits 4·c²/2
+    candidate rows; `unique_lift=None` auto-engages the unique-text lift
+    on the estimated-max-cluster trigger (identical texts → identical
+    simhash → intra hamming exactly 0, inter pairs carry the reps'
+    hamming — output provably identical)."""
+    if unique_lift is None:
+        unique_lift = _dup_stats(df, id_col, text_col)[1] >= 256
+    if unique_lift:
+        # k=1: a cluster emits intra pairs iff its text has ≥1 token —
+        # matching the direct path, where an empty token list aggregates
+        # no bit sums and the doc never enters the banded join
+        return _unique_text_lift(
+            df, id_col, text_col, 1,
+            lambda rep_df: simhash_pairs(rep_df, id_col, text_col,
+                                         max_hamming, unique_lift=False),
+            val_col="hamming", val_lit=0, star=star_intra)
     sig = simhash(df, id_col, text_col).cache()
     banded = sig.select(
         "id", "simhash",

@@ -241,6 +241,67 @@ def test_jaccard_unique_lift_differential(spark):
     assert not lifted[["id_a", "id_b"]].isin(tiny_ids).any().any()
 
 
+def test_minhash_unique_lift_differential(spark):
+    """Clique-triggered MinHash lift must emit EXACTLY the direct banded
+    path's pairs — the lift exists because a c-member clique of
+    identical docs costs bands*c^2/2 candidate rows on the direct path."""
+    from juliadb_jl_spark.functions import dedup as DD
+    import pandas as pd
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta")
+            for i in range(30)]  # 30-member exact-dup clique
+    rows += [(100 + i, f"unique doc number {i} with distinct words w{i * 7}")
+             for i in range(10)]
+    rows += [(200, "tiny"), (201, "tiny")]  # dup cluster w/o shingles
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    key = ["id_a", "id_b"]
+    for verify in (True, False):
+        a = DD.minhash_lsh_pairs(df, "doc_id", threshold=0.5, verify=verify,
+                                 unique_lift=True).toPandas()
+        b = DD.minhash_lsh_pairs(df, "doc_id", threshold=0.5, verify=verify,
+                                 unique_lift=False).toPandas()
+        pd.testing.assert_frame_equal(a.sort_values(key, ignore_index=True),
+                                      b.sort_values(key, ignore_index=True))
+    assert len(a) >= 30 * 29 // 2  # the clique's member pairs all present
+    assert not a[key].isin({200, 201}).any().any()
+    # same clique guard for simhash (identical texts → hamming 0)
+    sa = DD.simhash_pairs(df, "doc_id", unique_lift=True).toPandas()
+    sb = DD.simhash_pairs(df, "doc_id", unique_lift=False).toPandas()
+    pd.testing.assert_frame_equal(sa.sort_values(key, ignore_index=True),
+                                  sb.sort_values(key, ignore_index=True))
+    assert (sa.merge(pd.DataFrame({"id_a": [0], "id_b": [1]}))["hamming"]
+            == 0).all()
+
+
+def test_star_intra_component_equivalence(spark):
+    """star_intra emits a sparse edge set whose connected components are
+    EXACTLY those of the all-pairs output (rep→member stars keep members
+    reachable; rep-level pairs keep clusters linked) — the scale path
+    for cluster-resolution consumers (a c-clique contributes c-1 edges
+    instead of c(c-1)/2)."""
+    import pandas as pd
+
+    from juliadb_jl_spark.functions import dedup as DD
+    texts = ["the quick brown fox jumps over the lazy dog today",
+             "the quick brown fox jumps over the lazy cat today",
+             "completely different text about spark query engines here",
+             "another unrelated passage on distributed systems design"]
+    rows = [(i * 10 + c, t) for i, t in enumerate(texts) for c in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = DD.ngram_jaccard_pairs(df, "doc_id", k=3, threshold=0.3)
+    star = DD.ngram_jaccard_pairs(df, "doc_id", k=3, threshold=0.3,
+                                  star_intra=True)
+    n_full, n_star = full.count(), star.count()
+    assert n_star < n_full  # sparse: 4-cliques contribute 3 edges, not 6
+    cf = DD.connected_components(full).toPandas() \
+        .sort_values("node", ignore_index=True)
+    cs = DD.connected_components(star).toPandas() \
+        .sort_values("node", ignore_index=True)
+    pd.testing.assert_frame_equal(cf, cs)
+    # doc 0x and 1x merge (near-dup reps), 2x and 3x stay separate
+    assert cs.set_index("node")["component"][0] == \
+        cs.set_index("node")["component"][11]
+
+
 def test_jaccard_unique_lift_noop_on_unique_corpus(spark):
     """No exact dups → the lift detects it and falls through (same
     result, no behavior change on the common path)."""

@@ -2,6 +2,8 @@
 multimodal plumbing, streaming aggs, ML features.
 """
 
+import importlib.util
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -488,10 +490,47 @@ def test_multimodal_resize_and_frames(tables):
     per = fr.groupby("media_id")["frame_idx"].agg(["count", "max"])
     assert (per["count"] <= 4).all()
     assert (fr["frame_idx"] % 5 == 0).all()
-    # real path without the decode lib raises the documented error
-    import pytest
+
+
+_HAS_PIL = importlib.util.find_spec("PIL") is not None
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="Pillow installed — real path active")
+def test_resize_images_raises_without_pillow(tables):
+    """Without the [media] extra, the real resize path fails with the
+    documented error (fake=True remains the plumbing-test path)."""
+    from juliadb_jl_spark.functions import multimodal as MM
+    d = tables["documents"].df.limit(5)
+    media = MM.attach_binary(d, "text", "doc_id")
     with pytest.raises(Exception, match="PIL|libav"):
         MM.resize_images(media, 8, 8).toPandas()
+
+
+@pytest.mark.skipif(not _HAS_PIL,
+                    reason="Pillow not installed (pip install .[media])")
+def test_resize_images_real_with_pillow(spark):
+    """With the [media] extra the pixel path is REAL: a generated PNG
+    resizes to the target dims and decode_media reads them back."""
+    import io
+
+    from PIL import Image
+
+    from juliadb_jl_spark.functions import multimodal as MM
+    bufs = []
+    for i in range(4):
+        buf = io.BytesIO()
+        Image.new("RGB", (31 + i, 17 + i), (i * 40, 10, 200)).save(buf, "PNG")
+        bufs.append((i, bytearray(buf.getvalue())))
+    df = spark.createDataFrame(bufs, "media_id long, content binary") \
+        .withColumn("mime", F.lit("image/png"))
+    out = MM.resize_images(df, 8, 8).toPandas()
+    assert len(out) == 4
+    for b in out["content"]:
+        with Image.open(io.BytesIO(bytes(b))) as im:
+            assert im.size == (8, 8)
+    meta = MM.decode_media(df).toPandas().set_index("media_id")
+    assert (meta["width"] == [31, 32, 33, 34]).all()
+    assert (meta["format"] == "png").all()
 
 
 # ---------------------------------------------------------------------------

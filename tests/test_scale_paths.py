@@ -265,3 +265,27 @@ def test_bloom_semi_join_empty_filter(tables, spark):
                      .filter(F.lit(False))
                      .select(F.col("c_custkey").alias("o_custkey")))
     assert len(bloom_semi_join(o, none, on="o_custkey").collect()) == 0
+
+
+def test_unique_lift_triangle_big_cluster(spark):
+    """A clique past the BIG threshold (1024) takes the triangle-bucketed
+    intra path; its pair set must be exactly the plain path's (count +
+    order-insensitive pair-hash checksum — no 600k-row driver transfer)."""
+    from juliadb_jl_spark.functions import dedup as DD
+    rows = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit")
+            for i in range(1100)]  # one 1100-member exact-dup clique
+    rows += [(5000 + i, f"unique filler doc {i} alpha beta gamma {i * 13}")
+             for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def sig(pairs):
+        r = pairs.agg(F.count(F.lit(1)).alias("n"),
+                      F.bit_xor(F.xxhash64("id_a", "id_b")).alias("h")).head()
+        return r["n"], r["h"]
+
+    lifted = sig(DD.ngram_jaccard_pairs(df, "doc_id", threshold=0.5,
+                                        unique_lift=True))
+    direct = sig(DD.ngram_jaccard_pairs(df, "doc_id", threshold=0.5,
+                                        unique_lift=False))
+    assert lifted == direct
+    assert lifted[0] == 1100 * 1099 // 2  # clique pairs; uniques pair nowhere
