@@ -1655,7 +1655,10 @@ def q79(spark, sf_dir):
     same closure with a recursive CTE (fine at sf, exponential blowup
     at scale — exactly why the star algorithm exists)."""
     d = read_table(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(d, "doc_id", k=3, threshold=0.5)
+    # star_intra: component-equivalent sparse edges (CC-equality tested;
+    # a c-clique contributes c-1 edges, not c^2/2 — the skew-proof path)
+    pairs = DD.ngram_jaccard_pairs(d, "doc_id", k=3, threshold=0.5,
+                                   star_intra=True)
     return DD.connected_components(pairs)
 
 
@@ -1670,7 +1673,8 @@ def q80(spark, sf_dir):
     representative; unpaired docs pass through. One left-anti join
     against the loser set — the corpus itself is never shuffled."""
     d = read_table(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(d, "doc_id", k=3, threshold=0.5)
+    pairs = DD.ngram_jaccard_pairs(d, "doc_id", k=3, threshold=0.5,
+                                   star_intra=True)  # CC-equivalent edges
     return DD.dedup_by_clusters(d, pairs, "doc_id") \
         .select("doc_id", F.md5("text").alias("text_md5"))
 
