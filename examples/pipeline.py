@@ -87,8 +87,12 @@ def main():
         kept = DD.dedup_exact(kept, "doc_id")
 
     with jdb.tracktime("neardup-minhash+clusters", spark):
+        # star_intra: component-equivalent sparse edges — the input is
+        # already exact-deduped, so this is a no-op today, but it keeps
+        # the stage linear if a near-identical clique slips through
         pairs = DD.minhash_lsh_pairs(kept, "doc_id", k=3, num_hashes=32,
-                                     bands=16, threshold=0.6)
+                                     bands=16, threshold=0.6,
+                                     star_intra=True)
         # transitive cluster resolution keeps the smallest-id member of
         # each near-dup cluster (not merely pairwise loser-dropping).
         # The curated set feeds split/pack/save/counts — persist so the
