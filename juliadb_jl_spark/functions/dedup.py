@@ -457,7 +457,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                       threshold: float = 0.5, verify: bool = True,
                       hash_family: str = "xxhash64",
                       unique_lift: bool | None = None,
-                      star_intra: bool = False) -> DataFrame:
+                      star_intra: bool = False,
+                      bucket_cap: int | None = None) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH; same-band candidates are
     (optionally) verified with exact shingle Jaccard ≥ threshold.
 
@@ -488,7 +489,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
             lambda rep_df: minhash_lsh_pairs(
                 rep_df, id_col, text_col, k=k, num_hashes=num_hashes,
                 bands=bands, threshold=threshold, verify=verify,
-                hash_family=hash_family, unique_lift=False),
+                hash_family=hash_family, unique_lift=False,
+                bucket_cap=bucket_cap),
             val_col="jaccard" if verify else None, star=star_intra)
     r = num_hashes // bands
     # ONE shingle pass feeds both the signature aggregation and (when
@@ -513,6 +515,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     p = df.sparkSession.sparkContext.defaultParallelism
     banded = scratch.register(
         banded.repartition(p, "band", "bucket").persist())
+    if bucket_cap:
+        # hot-BUCKET skew guard (deliberately lossy, like jaccard's
+        # df_cap): a band bucket holding b docs self-joins into b²/2
+        # candidate rows, and shared boilerplate can put thousands of
+        # DIFFERENT-text docs in one bucket (identical-text cliques are
+        # already collapsed by the unique-text lift). Dropping buckets
+        # over the cap bounds every bucket's fanout; a dropped pair can
+        # still surface through any of its other bands, so recall decays
+        # gracefully rather than cliff-ing. Leave None for exact-recall
+        # candidate generation.
+        hot = (banded.groupBy("band", "bucket").count()
+               .filter(F.col("count") > bucket_cap)
+               .select("band", "bucket"))
+        banded = banded.join(F.broadcast(hot), ["band", "bucket"],
+                             "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b.hint("shuffle_hash"),
                    (F.col("a.band") == F.col("b.band")) &

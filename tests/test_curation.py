@@ -272,6 +272,38 @@ def test_minhash_unique_lift_differential(spark):
             == 0).all()
 
 
+def test_minhash_bucket_cap(spark):
+    """bucket_cap prunes hot band buckets (shared-boilerplate skew):
+    capped candidates are a subset of uncapped; a generous cap changes
+    nothing; true near-dup pairs that share a COLD bucket survive."""
+    import pandas as pd
+
+    from juliadb_jl_spark.functions import dedup as DD
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{boiler} tail{i} a{i} b{i} c{i} d{i} e{i} f{i} g{i} "
+                f"h{i} j{i}") for i in range(300)]
+    # one genuine near-dup pair differing in a single tail token
+    rows += [(1000, f"{boiler} same same same same same same same same "
+                    "same one"),
+             (1001, f"{boiler} same same same same same same same same "
+                    "same two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(threshold=0.5, verify=False, unique_lift=False)
+    uncapped = DD.minhash_lsh_pairs(df, "doc_id", **kw).toPandas()
+    capped = DD.minhash_lsh_pairs(df, "doc_id", bucket_cap=8,
+                                  **kw).toPandas()
+    generous = DD.minhash_lsh_pairs(df, "doc_id", bucket_cap=10_000,
+                                    **kw).toPandas()
+    key = ["id_a", "id_b"]
+    u = set(map(tuple, uncapped[key].values))
+    c = set(map(tuple, capped[key].values))
+    assert c <= u and len(c) < len(u)
+    pd.testing.assert_frame_equal(
+        generous.sort_values(key, ignore_index=True),
+        uncapped.sort_values(key, ignore_index=True))
+    assert (1000, 1001) in c  # cold-bucket near-dup pair survives the cap
+
+
 def test_star_intra_component_equivalence(spark):
     """star_intra emits a sparse edge set whose connected components are
     EXACTLY those of the all-pairs output (rep→member stars keep members

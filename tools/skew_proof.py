@@ -163,6 +163,50 @@ def main() -> None:
 
         docs.unpersist(); li.unpersist(); supp.unpersist()
 
+    # --- hot-SHINGLE skew (shared boilerplate, different texts): the
+    # unique-text lift can't help (texts differ), so the guards are
+    # jaccard's df_cap (drop ubiquitous shingles) and minhash's
+    # bucket_cap (drop overfull band buckets). True ≥0.5 pairs on this
+    # corpus are exactly 0 (boilerplate overlap tops out at ~0.33), so
+    # capped and exact results must agree where both are feasible.
+    boiler = ("the quick brown fox jumps over the lazy dog again and "
+              "again today")
+    def boiler_docs(n):
+        return (spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit(boiler + " "),
+                     F.concat_ws(" ", *[
+                         F.format_string(f"w{i}_%d", F.col("id"))
+                         for i in range(10)])).alias("text"))
+            .cache())
+
+    small, big = boiler_docs(5000), boiler_docs(50000)
+    small.count(); big.count()
+    r_exact = run(spark, "boiler5k", "jaccard_exact",
+                  lambda: DD.ngram_jaccard_pairs(
+                      small, "doc_id", threshold=0.5).count())
+    r_cap = run(spark, "boiler5k", "jaccard_df_cap",
+                lambda: DD.ngram_jaccard_pairs(
+                    small, "doc_id", threshold=0.5, df_cap=1000).count())
+    r_cap_big = run(spark, "boiler50k", "jaccard_df_cap",
+                    lambda: DD.ngram_jaccard_pairs(
+                        big, "doc_id", threshold=0.5, df_cap=1000).count())
+    m_exact = run(spark, "boiler5k", "minhash_exact",
+                  lambda: DD.minhash_lsh_pairs(
+                      small, "doc_id", threshold=0.5).count())
+    m_cap_big = run(spark, "boiler50k", "minhash_bucket_cap",
+                    lambda: DD.minhash_lsh_pairs(
+                        big, "doc_id", threshold=0.5,
+                        bucket_cap=1000).count())
+    small.unpersist(); big.unpersist()
+    boiler_checks = {
+        "jaccard_df_cap_matches_exact_5k":
+            r_cap["result"] == r_exact["result"],
+        "minhash_caps_agree_zero_pairs":
+            m_exact["result"] == m_cap_big["result"] == r_cap_big["result"],
+    }
+    print(json.dumps({"boiler_checks": boiler_checks}), flush=True)
+
     # --- structural invariants on the skewed corpus (cheap exact oracle)
     import duckdb
     con = duckdb.connect()
@@ -198,7 +242,8 @@ def main() -> None:
             == by[("skewed", "join_broadcast")]["result"],
     }
     print(json.dumps({"hot_cluster": H, "checks": checks,
-                      "all_ok": all(checks.values())}), flush=True)
+                      "all_ok": all(checks.values())
+                      and all(boiler_checks.values())}), flush=True)
 
 
 if __name__ == "__main__":
