@@ -68,6 +68,8 @@ def _straggler(spark, before: set[tuple[int, int]]) -> dict | None:
         # explodes whenever a stage mixes real tasks with near-empty
         # ones); executorRunTime is the stage's TOTAL task time
         mean = s.get("executorRunTime", 0) / max(s["numCompleteTasks"], 1)
+        if mean < 100:
+            continue  # stage of near-empty tasks: ratio would be noise
         ratio = mx / max(mean, 1.0)
         if worst is None or ratio > worst["ratio"]:
             worst = {"ratio": round(ratio, 2), "stage": s["stageId"],
