@@ -1,0 +1,115 @@
+"""Scalable structural correctness gate for the dedup family.
+
+DuckDB's pairwise oracles stop being runnable past sf1 on
+duplicate-dense data (the q35 oracle spilled >78 GB of temp at sf10
+and died), so this tool checks EXACT structural invariants whose
+oracle side is a cheap aggregation:
+
+1. dedup_exact keeps exactly countDistinct(case-folded normalized
+   text) rows.
+2. ngram_jaccard_pairs emits jaccard=1.0 for exactly the member pairs
+   of exact-duplicate clusters with ≥k tokens — count == Σ C(sz,2)
+   (different texts with identical shingle SETS would legitimately
+   exceed this; a strict > is reported, not failed).
+3. minhash_lsh_pairs: same jaccard=1.0 population (identical docs
+   always collide in every band).
+4. Cluster coherence: over star_intra edges + connected components,
+   every exact-dup cluster's members land in ONE component.
+
+Usage: python tools/check_invariants.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def check(sf_dir: str, spark) -> bool:
+    import duckdb
+
+    from juliadb_jl_spark.functions import dedup as DD
+
+    from juliadb_jl_spark.sources.testdata import read_table
+
+    con = duckdb.connect()
+    norm = r"regexp_replace(trim(text), '\s+', ' ', 'g')"
+    doc = f"read_parquet('{sf_dir}/documents.parquet')"
+    n_ci = con.execute(
+        f"SELECT count(DISTINCT lower({norm})) FROM {doc}").fetchone()[0]
+    exp_pairs = con.execute(f"""
+        SELECT coalesce(CAST(sum(c*(c-1)/2) AS BIGINT), 0) FROM (
+          SELECT count(*) AS c FROM {doc}
+          WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+          GROUP BY {norm} HAVING count(*) > 1) t""").fetchone()[0]
+
+    docs = read_table(spark, sf_dir, "documents").cache()
+    docs.count()
+    results, ok = [], True
+
+    def rec(name, passed, detail):
+        nonlocal ok
+        ok = ok and passed
+        results.append((name, passed, detail))
+        print(json.dumps({"sf_dir": sf_dir, "check": name,
+                          "pass": bool(passed), "detail": detail}),
+              flush=True)
+
+    t0 = time.time()
+    kept = DD.dedup_exact(docs, "doc_id").count()
+    rec("dedup_exact_cardinality", kept == n_ci,
+        f"kept={kept} distinct_ci={n_ci} ({time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    jac = DD.ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.5)
+    ones = jac.filter(F.col("jaccard") == 1.0).count()
+    rec("jaccard_ones_eq_dup_member_pairs", ones >= exp_pairs,
+        f"ones={ones} expected={exp_pairs} exact={ones == exp_pairs} "
+        f"({time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    mh = DD.minhash_lsh_pairs(docs, "doc_id", threshold=0.5)
+    m_ones = mh.filter(F.col("jaccard") == 1.0).count()
+    rec("minhash_ones_eq_dup_member_pairs", m_ones >= exp_pairs,
+        f"ones={m_ones} expected={exp_pairs} exact={m_ones == exp_pairs} "
+        f"({time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    star = DD.ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.5,
+                                  star_intra=True)
+    labels = DD.connected_components(star)
+    clusters = (docs.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
+                .select("doc_id",
+                        F.md5(F.trim(F.regexp_replace("text", r"\s+", " ")))
+                        .alias("fp")))
+    sizes = clusters.groupBy("fp").count().filter(F.col("count") > 1)
+    coher = (clusters.join(sizes.select("fp"), "fp", "left_semi")
+             .join(labels.withColumnRenamed("node", "doc_id"), "doc_id")
+             .groupBy("fp").agg(F.countDistinct("component").alias("nc"))
+             .agg(F.coalesce(F.max("nc"), F.lit(1)).alias("mx")).head()["mx"])
+    rec("cluster_coherence_one_component", coher == 1,
+        f"max_components_per_cluster={coher} ({time.time()-t0:.1f}s)")
+
+    docs.unpersist()
+    return ok
+
+
+def main() -> None:
+    from juliadb_jl_spark.session import get_spark
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.01"]
+    spark = get_spark("invariants")
+    ok = True
+    for d in dirs:
+        ok = check(d, spark) and ok
+    print(json.dumps({"all_ok": ok}), flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
