@@ -167,9 +167,12 @@ def _unique_text_lift(df: DataFrame, id_col: str, text_col: str, k: int,
              .filter(F.col("__sz") > 1))
     # a doc shingles to nothing iff it has < k tokens — test the token
     # count on the (semi-join-shrunk, spread) cluster reps instead of
-    # building shingle arrays for the whole corpus
+    # building shingle arrays for the whole corpus.  NO broadcast hint:
+    # `multi` is (distinct duplicated texts)-sized — corpus-scale on a
+    # dup-dense 100 TB crawl — so the planner/AQE must keep the right to
+    # shuffle it; at small scale AQE broadcasts it from runtime stats.
     rep_rows = df.join(
-        F.broadcast(multi.select(F.col("__rid").alias(id_col))),
+        multi.select(F.col("__rid").alias(id_col)),
         id_col, "left_semi")
     has_sh = (_spread(rep_rows.select(F.col(id_col).alias("__rid"),
                                       F.col(text_col)))
@@ -178,7 +181,8 @@ def _unique_text_lift(df: DataFrame, id_col: str, text_col: str, k: int,
     live = scratch.register(  # feeds both sides of the self-join
         multi.join(has_sh, "__rid", "left_semi")
         .select("__fp", "__sz", "__rid").persist())
-    mm = m.join(F.broadcast(live), "__fp")
+    # no broadcast hint on `live` either — same corpus-distinct scale
+    mm = m.join(live, "__fp")
     vals = [F.lit(val_lit).alias(val_col)] if val_col else []
     if star:
         stars = (mm.filter(F.col("__mid") != F.col("__rid"))
@@ -232,13 +236,16 @@ def _unique_text_lift(df: DataFrame, id_col: str, text_col: str, k: int,
     intra = intra.unionByName(tri)
     # inter-cluster: expand each representative pair to all member
     # cross-pairs, re-normalizing id order (clusters are disjoint, so
-    # no pair is emitted twice)
+    # no pair is emitted twice).  Broadcast direction matters at scale:
+    # rp (the FOUND pairs, persisted and counted — known small) is the
+    # build side; reps/m are corpus-distinct-sized and must never carry
+    # a broadcast hint (billions of rows on a 100 TB crawl).
     fa = reps.select(F.col("__rid").alias("id_a"), F.col("__fp").alias("__fa"))
     fb = reps.select(F.col("__rid").alias("id_b"), F.col("__fp").alias("__fb"))
     ma = m.select(F.col("__mid").alias("__ma"), F.col("__fp").alias("__fa"))
     mb = m.select(F.col("__mid").alias("__mb"), F.col("__fp").alias("__fb"))
     carried = [val_col] if val_col else []
-    inter = (rp.join(F.broadcast(fa), "id_a").join(F.broadcast(fb), "id_b")
+    inter = (F.broadcast(rp).join(fa, "id_a").join(fb, "id_b")
              .join(ma, "__fa").join(mb, "__fb")
              .select(F.least("__ma", "__mb").alias("id_a"),
                      F.greatest("__ma", "__mb").alias("id_b"), *carried))
