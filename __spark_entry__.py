@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 import juliadb_jl_spark as jdb
 from juliadb_jl_spark.functions import curation as CU
 from juliadb_jl_spark.functions import dedup as DD
+from juliadb_jl_spark.functions import incremental as INC
 from juliadb_jl_spark.functions import rollup as RU
 from juliadb_jl_spark.functions import sampling as SP
 from juliadb_jl_spark.functions import search as SR
@@ -2504,6 +2505,78 @@ def q9a(spark, sf_dir):
         {"revenue": F.sum("rev_c4").cast("double") / 10000.0},
         full, by=("n_name",))
     return g.df.orderBy(F.desc("revenue"), F.asc("n_name"))
+
+
+# ===========================================================================
+# Incremental (append-only) ingest dedup (functions/incremental.py)
+# ===========================================================================
+# The 100-TB production shape: a new crawl batch is deduped against a
+# persisted corpus INDEX (fingerprints / MinHash signatures) — the corpus
+# itself is never re-scanned. Even doc_ids play the existing corpus, odd
+# doc_ids the incoming batch.
+
+@_q("q9b_dedup_incremental", r"""
+WITH fp AS (SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+            FROM documents),
+idx AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0)
+SELECT min(f.doc_id) AS doc_id
+FROM fp f LEFT JOIN idx ON f.fp = idx.fp
+WHERE f.doc_id % 2 = 1 AND idx.fp IS NULL
+GROUP BY f.fp
+""")
+def q9b(spark, sf_dir):
+    """Exact incremental dedup: batch rows surviving (a) the anti-join
+    against the corpus fingerprint index and (b) min-id dedup within the
+    batch. Both steps key on the same fingerprint, so they share one
+    hash partitioning; the index is joined, never re-scanned. The
+    append-equivalence contract (incremental ≡ one-shot dedup of the
+    union when batch ids sort last) is property-tested in
+    tests/test_incremental.py."""
+    d = read_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    idx = INC.dedup_index(old, "doc_id")
+    return INC.dedup_exact_against(new, idx, "doc_id").select("doc_id")
+
+
+@_q("q9c_minhash_incremental", f"""
+WITH sh AS ({_SH_CTE}),
+hb AS (SELECT id, s, {_charfold_sql('s')} AS h FROM sh),
+perm(i, a, b) AS (VALUES {_PERM_VALUES}),
+mh AS (SELECT id, i, CAST(min((a * h + b) % 2147483647) AS BIGINT) AS mh
+       FROM hb, perm GROUP BY 1, 2),
+banded AS (SELECT id, i // 2 AS band, list(mh ORDER BY i) AS bucket
+           FROM mh GROUP BY 1, 2),
+cand AS (SELECT DISTINCT b.id AS id_new, a.id AS id_corpus
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bucket = b.bucket
+          AND a.id % 2 = 0 AND b.id % 2 = 1),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (SELECT c.id_new, c.id_corpus, count(*) AS i
+          FROM cand c JOIN sh a ON a.id = c.id_corpus
+                      JOIN sh b ON b.id = c.id_new AND a.s = b.s
+          GROUP BY 1, 2)
+SELECT id_new, id_corpus, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter JOIN sizes sa ON id_corpus = sa.id JOIN sizes sb ON id_new = sb.id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+""")
+def q9c(spark, sf_dir):
+    """Incremental MinHash-LSH: batch signatures banded and joined
+    against the banded corpus index — new×index bucket matches ONLY (no
+    batch or index self-join), candidates verified with exact Jaccard
+    computed on just the matched corpus docs (semi-join prune). Portable
+    hash family ⇒ the full incremental pipeline is value-checked; the
+    xxhash64 default is the 100-TB path (equality with the cross-parity
+    slice of the self-join pipeline is tested for it)."""
+    d = read_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    idx = INC.minhash_index(old, "doc_id", k=3, num_hashes=_MH_N,
+                            hash_family="portable")
+    return INC.minhash_against(new, idx, "doc_id", k=3, num_hashes=_MH_N,
+                               bands=8, threshold=0.5,
+                               hash_family="portable", corpus_df=old)
 
 
 # ===========================================================================

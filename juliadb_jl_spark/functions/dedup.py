@@ -444,6 +444,26 @@ def _signature_from_sets(sets_: DataFrame, num_hashes: int,
                       .alias("signature"))
 
 
+def band_buckets(sig: DataFrame, bands: int, r: int,
+                 hash_family: str = "xxhash64") -> DataFrame:
+    """(id, band, bucket) rows from an (id, signature) frame — the LSH
+    banding step, shared by the self-join path (minhash_lsh_pairs) and
+    the incremental new-vs-index path (incremental.minhash_against).
+
+    xxhash64 family buckets on xxhash64(band, sig slice); the portable
+    family buckets on the raw r-value slice (array equality) so the
+    whole construction stays oracle-reproducible."""
+    if hash_family == "portable":
+        band_exprs = [F.array(*[F.col("signature")[bi * r + j]
+                                for j in range(r)]) for bi in range(bands)]
+    else:
+        band_exprs = [F.xxhash64(F.lit(bi), *[F.col("signature")[bi * r + j]
+                                              for j in range(r)])
+                      for bi in range(bands)]
+    return sig.select(
+        "id", F.posexplode(F.array(*band_exprs)).alias("band", "bucket"))
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str = "text",
                       k: int = 3, num_hashes: int = 32,
                       hash_family: str = "xxhash64") -> DataFrame:
@@ -507,15 +527,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     if verify:
         sets_ = scratch.register(sets_.persist())
     sig = _signature_from_sets(sets_, num_hashes, hash_family)
-    if hash_family == "portable":
-        band_exprs = [F.array(*[F.col("signature")[bi * r + j]
-                                for j in range(r)]) for bi in range(bands)]
-    else:
-        band_exprs = [F.xxhash64(F.lit(bi), *[F.col("signature")[bi * r + j]
-                                              for j in range(r)])
-                      for bi in range(bands)]
-    banded = sig.select(
-        "id", F.posexplode(F.array(*band_exprs)).alias("band", "bucket"))
+    banded = band_buckets(sig, bands, r, hash_family)
     # both sides of the bucket self-join read `banded` — persist so the
     # signature aggregation runs once, and co-partition by bucket so the
     # join parallelizes instead of broadcasting into one task

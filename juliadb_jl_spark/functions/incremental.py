@@ -1,0 +1,174 @@
+"""Incremental (append-only) dedup: a new batch against a persisted
+corpus index, without re-scanning the corpus.
+
+At 100 TB the corpus is never re-deduped when a new crawl lands. The
+engine maintains two index artifacts (both plain DataFrames — persist
+them with ``sources.parquet.save`` and keep appending):
+
+  * exact index   — one ``(fp, id)`` row per distinct normalized text
+    (~40 bytes/doc: md5 fingerprint + keeper id);
+  * minhash index — one ``(id, signature)`` row per kept doc
+    (``num_hashes`` × 8 bytes/doc).
+
+New-batch dedup is then:
+
+  * exact — anti-join the batch's fingerprints against the index, then
+    a min-id groupBy dedups WITHIN the batch.  Both operate on the same
+    key, so the groupBy reuses the anti-join's hash partitioning: one
+    exchange of the (small) batch, one of the (fingerprint-sized) index.
+  * near-dup — band the batch's signatures and equi-join against the
+    banded index: new×index bucket matches only — no new×new and,
+    critically, no index×index self-join, so cost is O(batch + matched
+    buckets) per ingest, independent of corpus size.  The batch side is
+    broadcast when small (plan-statistics estimate, same rule as
+    ``ngram_jaccard_pairs``), so the 100-TB index is never shuffled.
+
+Append-equivalence contract (tested): when every id in ``new`` sorts
+after every id already in the corpus (the natural ingest order),
+
+    dedup_exact(old ∪ new)  ≡  dedup_exact(old)
+                               ∪ dedup_exact_against(new, dedup_index(old))
+
+because both sides keep the minimum id per distinct text.
+
+No reference counterpart (JuliaDB.jl has no incremental dedup); this
+extends the training-pipeline tier alongside ``functions/dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from juliadb_jl_spark.functions import scratch
+from juliadb_jl_spark.functions.dedup import (
+    _shingle_sets, _signature_from_sets, band_buckets, verify_pairs_jaccard)
+from juliadb_jl_spark.functions.text import fingerprint
+
+
+def _fp(text_col: str, normalized: bool):
+    return fingerprint(F.col(text_col)) if normalized else F.col(text_col)
+
+
+def dedup_index(df: DataFrame, id_col: str, text_col: str = "text",
+                normalized: bool = True) -> DataFrame:
+    """``(fp, id)`` exact-dedup index: one row per distinct (normalized)
+    text, id = the keeper (minimum id).  One shuffle, output is
+    distinct-text-sized.  Same fingerprint as ``dedup_exact``."""
+    return (df.groupBy(_fp(text_col, normalized).alias("fp"))
+            .agg(F.min(id_col).alias(id_col)))
+
+
+def merge_dedup_index(*indexes: DataFrame) -> DataFrame:
+    """Union indexes built from disjoint batches into one — min-id wins,
+    so merge(index(A), index(B)) == dedup_index(A ∪ B) exactly."""
+    out = indexes[0]
+    id_col = [c for c in out.columns if c != "fp"][0]
+    for other in indexes[1:]:
+        out = out.unionByName(other)
+    return out.groupBy("fp").agg(F.min(id_col).alias(id_col))
+
+
+def dedup_exact_against(new_df: DataFrame, index: DataFrame, id_col: str,
+                        text_col: str = "text",
+                        normalized: bool = True) -> DataFrame:
+    """Rows of ``new_df`` that survive exact dedup against the corpus
+    index AND within the batch (min-id keeper both times).
+
+    Shape: anti-join on fp (drops texts the corpus already has) →
+    min-id groupBy on the same fp (intra-batch dedup; reuses the
+    anti-join's partitioning) → semi-join back to full rows.  The
+    index is only ever joined, never scanned twice."""
+    keep = (new_df.select(F.col(id_col), _fp(text_col, normalized).alias("fp"))
+            .join(index.select("fp"), "fp", "left_anti")
+            .groupBy("fp").agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    return new_df.join(keep, id_col, "left_semi")
+
+
+def minhash_index(df: DataFrame, id_col: str, text_col: str = "text",
+                  k: int = 3, num_hashes: int = 32,
+                  hash_family: str = "xxhash64") -> DataFrame:
+    """``(id, signature)`` MinHash index over (typically already
+    exact-deduped) corpus docs — the persistable artifact
+    ``minhash_against`` joins new batches onto.  Identical signature
+    construction to ``minhash_signature`` (so an index built today
+    matches batches signed tomorrow)."""
+    return _signature_from_sets(_shingle_sets(df, id_col, text_col, k),
+                                num_hashes, hash_family)
+
+
+def minhash_against(new_df: DataFrame, index: DataFrame, id_col: str,
+                    text_col: str = "text", k: int = 3,
+                    num_hashes: int = 32, bands: int = 8,
+                    threshold: float = 0.5, verify: bool = True,
+                    hash_family: str = "xxhash64",
+                    corpus_df: DataFrame | None = None,
+                    broadcast_new: bool | None = None,
+                    broadcast_threshold_bytes: int = 1 << 30) -> DataFrame:
+    """Near-dup links (id_new, id_corpus[, jaccard]) between a new batch
+    and an existing MinHash index — the incremental-ingest LSH path.
+
+    Only new×index bucket matches are generated (no new×new — run
+    ``minhash_lsh_pairs`` on the batch alone for intra-batch pairs —
+    and no index×index).  ``broadcast_new=None`` auto-broadcasts the
+    banded batch when its plan-statistics size estimate (×8 expansion,
+    same rule as ngram_jaccard_pairs) fits under the threshold, so the
+    corpus-sized index side is joined in place rather than shuffled.
+
+    ``verify=True`` needs ``corpus_df`` (id/text of the indexed docs) to
+    compute exact Jaccard — but only for docs that actually matched a
+    bucket: the candidate corpus-ids semi-join prunes the corpus scan
+    to the (tiny) matched set before shingling.
+
+    Precondition: ids are unique ACROSS batch and corpus (standard for
+    document ids; the append-ingest contract already assumes it)."""
+    assert num_hashes % bands == 0
+    if verify and corpus_df is None:
+        raise ValueError("verify=True needs corpus_df (id/text of the "
+                         "indexed docs) for the exact-Jaccard check; "
+                         "pass verify=False for candidates only")
+    r = num_hashes // bands
+    new_sets = _shingle_sets(new_df, id_col, text_col, k)
+    if verify:
+        new_sets = scratch.register(new_sets.persist())
+    new_sig = _signature_from_sets(new_sets, num_hashes, hash_family)
+    new_banded = band_buckets(new_sig, bands, r, hash_family)
+    idx_id = id_col if id_col in index.columns else "id"
+    idx_banded = band_buckets(
+        index.select(F.col(idx_id).alias("id"), "signature"),
+        bands, r, hash_family)
+    if broadcast_new is None:
+        est = int(new_df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+        broadcast_new = 0 <= est * 8 <= broadcast_threshold_bytes
+    n, c = new_banded.alias("n"), idx_banded.alias("c")
+    if broadcast_new:
+        n = F.broadcast(n)
+    else:
+        # both sides large: co-partition on the bucket key so the join
+        # parallelizes; shuffle_hash avoids sorting the corpus side
+        p = new_df.sparkSession.sparkContext.defaultParallelism
+        n = n.repartition(p, "band", "bucket")
+        c = c.repartition(p, "band", "bucket").hint("shuffle_hash")
+    cand = (c.join(n, (F.col("c.band") == F.col("n.band")) &
+                   (F.col("c.bucket") == F.col("n.bucket")))
+            .select(F.col("n.id").alias("id_new"),
+                    F.col("c.id").alias("id_corpus"))
+            .distinct())
+    if not verify:
+        return cand
+    cand = scratch.register(cand.persist())
+    matched_ids = cand.select(F.col("id_corpus").alias(id_col)).distinct()
+    corp_sets = _shingle_sets(
+        corpus_df.join(F.broadcast(matched_ids), id_col, "left_semi"),
+        id_col, text_col, k)
+    # the union feeds BOTH sides of the verify join — persist so the
+    # matched-corpus shingling (and its corpus semi-join) runs once
+    sets = scratch.register(new_sets.unionByName(corp_sets).persist())
+    pairs = verify_pairs_jaccard(
+        None, cand.select(F.col("id_corpus").alias("id_a"),
+                          F.col("id_new").alias("id_b")),
+        id_col, text_col, k, threshold, sets=sets)
+    return pairs.select(F.col("id_b").alias("id_new"),
+                        F.col("id_a").alias("id_corpus"), "jaccard")

@@ -1,0 +1,97 @@
+"""Incremental (new-batch-vs-corpus-index) dedup: append-equivalence of
+the exact path, index-merge exactness, and new×index MinHash links ≡ the
+cross-parity slice of the full self-join pipeline."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from juliadb_jl_spark.functions import dedup as DD
+from juliadb_jl_spark.functions import incremental as INC
+from juliadb_jl_spark.sources.testdata import read_table
+
+from tests.conftest import SF_DIR
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+OLD_ROWS = [
+    (0, "the quick brown fox jumps over the dog"),
+    (1, "pack my box with five dozen jugs"),
+    (2, "the quick brown fox jumps over the dog"),   # dup of 0
+    (3, "entirely different sentence about spark"),
+]
+NEW_ROWS = [
+    (10, "pack my box with five dozen jugs"),        # dup of corpus 1
+    (11, "a genuinely fresh document"),
+    (12, "a genuinely fresh document"),              # intra-batch dup of 11
+    (13, "THE QUICK  brown fox jumps over the dog"), # normalized dup of 0
+    (14, "another brand new text"),
+]
+
+
+def test_dedup_exact_against_append_equivalence(spark):
+    """dedup(old ∪ new) == dedup(old) ∪ dedup_against(new, index(old))
+    when new ids sort after old ids (the ingest contract)."""
+    old, new = _docs(spark, OLD_ROWS), _docs(spark, NEW_ROWS)
+    full = DD.dedup_exact(old.unionByName(new), "doc_id")
+    idx = INC.dedup_index(old, "doc_id")
+    inc = (DD.dedup_exact(old, "doc_id")
+           .unionByName(INC.dedup_exact_against(new, idx, "doc_id")))
+    assert (sorted(r["doc_id"] for r in full.collect())
+            == sorted(r["doc_id"] for r in inc.collect())
+            == [0, 1, 3, 11, 14])
+
+
+def test_merge_dedup_index_exact(spark):
+    """merge(index(A), index(B)) == index(A ∪ B) — min-id keeper wins."""
+    old, new = _docs(spark, OLD_ROWS), _docs(spark, NEW_ROWS)
+    merged = INC.merge_dedup_index(INC.dedup_index(old, "doc_id"),
+                                   INC.dedup_index(new, "doc_id"))
+    direct = INC.dedup_index(old.unionByName(new), "doc_id")
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, direct.collect())))
+
+
+def test_minhash_against_equals_cross_slice(spark):
+    """new×index links == the cross-parity slice of the full LSH
+    self-join (same banding ⇒ same bucket-collision candidates ⇒ same
+    verified pairs), on the real documents table."""
+    docs = read_table(spark, SF_DIR, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = INC.minhash_index(old, "doc_id", num_hashes=32)
+    got = INC.minhash_against(new, idx, "doc_id", num_hashes=32, bands=8,
+                              threshold=0.4, corpus_df=old).collect()
+    full = DD.minhash_lsh_pairs(docs, "doc_id", num_hashes=32, bands=8,
+                                threshold=0.4).collect()
+    want = {(max(r["id_a"], r["id_b"], key=lambda i: i % 2),
+             min(r["id_a"], r["id_b"], key=lambda i: i % 2),
+             round(r["jaccard"], 12))
+            for r in full if r["id_a"] % 2 != r["id_b"] % 2}
+    # key fns: odd id (the "new" side) sorts last under i % 2
+    assert {(r["id_new"], r["id_corpus"], round(r["jaccard"], 12))
+            for r in got} == want
+
+
+def test_minhash_against_candidates_superset(spark):
+    """verify=False candidates ⊇ verified pairs; both shuffle paths
+    (broadcast_new True/False) agree."""
+    docs = read_table(spark, SF_DIR, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = INC.minhash_index(old, "doc_id", num_hashes=32)
+    kw = dict(num_hashes=32, bands=8, threshold=0.4)
+    ver = {(r["id_new"], r["id_corpus"]) for r in
+           INC.minhash_against(new, idx, "doc_id", corpus_df=old,
+                               broadcast_new=True, **kw).collect()}
+    cand_b = {tuple(r) for r in
+              INC.minhash_against(new, idx, "doc_id", verify=False,
+                                  broadcast_new=True, **kw).collect()}
+    cand_s = {tuple(r) for r in
+              INC.minhash_against(new, idx, "doc_id", verify=False,
+                                  broadcast_new=False, **kw).collect()}
+    assert cand_b == cand_s and ver <= cand_b
