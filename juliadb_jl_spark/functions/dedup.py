@@ -252,9 +252,43 @@ def _unique_text_lift(df: DataFrame, id_col: str, text_col: str, k: int,
     return intra.unionByName(inter)
 
 
+def _auto_cap(counts: DataFrame, floor: int = 64,
+              budget_factor: int = 32) -> int | None:
+    """Pick a hot-key cap from a (…, count) frame's own size histogram,
+    or None when no cap is needed — backs df_cap="auto" (jaccard) and
+    bucket_cap="auto" (minhash).
+
+    A key of multiplicity s self-joins into C(s,2) candidate pairs, so
+    total fanout is Σ n(s)·C(s,2) over the histogram while honest work
+    is ~the posting count Σ n(s)·s.  The histogram is aggregated
+    key→size→(size, n_keys) — at most #distinct-sizes driver rows, one
+    cheap map-side-combined agg over the already-persisted frame.  If
+    total fanout fits budget_factor × postings (default 32×, plus a 1M
+    absolute floor so small corpora never cap), return None: the corpus
+    is not pathological and exact recall is preserved.  Otherwise return
+    the LARGEST cap whose surviving fanout fits the budget — dropping
+    the fewest keys that still bounds the blowup — floored at `floor`
+    so recall never collapses entirely."""
+    hist = (counts.groupBy(F.col("count").alias("sz"))
+            .agg(F.count(F.lit(1)).alias("nk")).collect())
+    sizes = sorted(((int(r["sz"]), int(r["nk"])) for r in hist))
+    postings = sum(sz * nk for sz, nk in sizes)
+    budget = max(1_000_000, budget_factor * postings)
+    running = sum(nk * sz * (sz - 1) // 2 for sz, nk in sizes)
+    if running <= budget:
+        return None
+    cap = floor
+    for sz, nk in reversed(sizes):
+        running -= nk * sz * (sz - 1) // 2
+        if running <= budget:
+            cap = sz - 1
+            break
+    return max(floor, cap)
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                         k: int = 3, threshold: float = 0.5,
-                        df_cap: int | None = None,
+                        df_cap: int | str | None = None,
                         broadcast_verify: bool | None = None,
                         broadcast_threshold_bytes: int = 1 << 30,
                         unique_lift: bool = True,
@@ -265,6 +299,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     that shares nothing and has Jaccard 0), intersection counted per pair,
     |A∪B| = |A|+|B|-∩.  `df_cap` drops shingles appearing in more than
     df_cap docs (skew guard; slightly lossy — leave None for exact).
+    `df_cap="auto"` sizes the cap from the corpus's own df histogram
+    (`_auto_cap`): exact (no cap) unless the candidate fanout is
+    pathological — still opt-in, because engaging it IS opting into
+    lossiness; like any cap it disables the unique-text lift.
 
     AllPairs-style prefix filtering (exact, no recall loss): with shingles
     in a global total order (sorted xxhash64), any pair with Jaccard ≥ t
@@ -316,6 +354,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     # persist so the shingle pass runs once, as a multi-pass algorithm
     # should (spills to disk at scale; ~1% the size of the raw corpus)
     hashed = scratch.register(hashed.persist())
+    if df_cap == "auto":
+        # one histogram agg over the persisted shingle pass decides from
+        # the corpus's own df distribution; None → the exact path below
+        df_cap = _auto_cap(hashed.select(F.explode("hs").alias("h"))
+                           .groupBy("h").count())
     if df_cap:
         flat = hashed.select("id", F.explode("hs").alias("h"))
         hot = flat.groupBy("h").count().filter(F.col("count") > df_cap).select("h")
@@ -485,7 +528,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                       hash_family: str = "xxhash64",
                       unique_lift: bool | None = None,
                       star_intra: bool = False,
-                      bucket_cap: int | None = None) -> DataFrame:
+                      bucket_cap: int | str | None = None) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH; same-band candidates are
     (optionally) verified with exact shingle Jaccard ≥ threshold.
 
@@ -534,6 +577,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     p = df.sparkSession.sparkContext.defaultParallelism
     banded = scratch.register(
         banded.repartition(p, "band", "bucket").persist())
+    if bucket_cap == "auto":
+        # size the cap from the banded frame's own bucket histogram —
+        # one agg over the persisted frame; None → exact-recall path
+        bucket_cap = _auto_cap(banded.groupBy("band", "bucket").count())
     if bucket_cap:
         # hot-BUCKET skew guard (deliberately lossy, like jaccard's
         # df_cap): a band bucket holding b docs self-joins into b²/2

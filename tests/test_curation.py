@@ -304,6 +304,65 @@ def test_minhash_bucket_cap(spark):
     assert (1000, 1001) in c  # cold-bucket near-dup pair survives the cap
 
 
+def test_auto_cap_histogram(spark):
+    """_auto_cap from the size histogram: benign distributions choose no
+    cap (exact recall preserved); a pathological hot key chooses the
+    LARGEST cap that still bounds the fanout — i.e. it drops exactly the
+    hot key and nothing else."""
+    from juliadb_jl_spark.functions.dedup import _auto_cap
+
+    def counts(pairs):  # (size, n_keys) → a (key, count) frame
+        rows = [(f"k{sz}_{i}", sz) for sz, nk in pairs for i in range(nk)]
+        return spark.createDataFrame(rows, "k string, count long")
+
+    # uniform: 1000 keys × size 5 → fanout 10k ≪ 1M floor → exact
+    assert _auto_cap(counts([(5, 1000)])) is None
+    # one 5000-member hot key over a small tail: fanout 12.5M over
+    # postings 5200 → cap at 4999 = drops ONLY the hot key
+    assert _auto_cap(counts([(5000, 1), (2, 100)])) == 4999
+    # every key equally hot: the only cap that bounds the 1.5B fanout
+    # drops them all — still sz-1 (the largest), caller opted in
+    assert _auto_cap(counts([(1000, 3000)])) == 999
+    # two-tier hot mass: cap lands between the tiers (drops the 10k
+    # keys, keeps the 500s whose fanout fits the budget)
+    assert _auto_cap(counts([(10_000, 20), (500, 50), (3, 1000)])) == 9999
+    assert _auto_cap(counts([])) is None  # empty corpus
+
+
+def test_caps_auto_mode(spark):
+    """df_cap="auto" / bucket_cap="auto" at sub-floor corpus size: the
+    1M-pair absolute floor means NO cap engages, so output is
+    bit-identical to the exact path even on a boilerplate-skew corpus —
+    the no-false-positive half of the contract (selection logic is
+    unit-tested above; at-scale engagement is demonstrated by
+    tools/skew_proof.py on the 50k-doc boilerplate corpus)."""
+    import pandas as pd
+
+    from juliadb_jl_spark.functions import dedup as DD
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{boiler} tail{i} a{i} b{i} c{i} d{i} e{i} f{i} g{i} "
+                f"h{i} j{i}") for i in range(300)]
+    rows += [(1000, f"{boiler} same same same same same same same same "
+                    "same one"),
+             (1001, f"{boiler} same same same same same same same same "
+                    "same two")]
+    skewed = spark.createDataFrame(rows, "doc_id long, text string")
+    key = ["id_a", "id_b"]
+    exact_j = DD.ngram_jaccard_pairs(skewed, "doc_id",
+                                     unique_lift=False).toPandas()
+    auto_j = DD.ngram_jaccard_pairs(skewed, "doc_id", df_cap="auto",
+                                    unique_lift=False).toPandas()
+    pd.testing.assert_frame_equal(auto_j.sort_values(key, ignore_index=True),
+                                  exact_j.sort_values(key, ignore_index=True))
+    assert (1000, 1001) in set(map(tuple, auto_j[key].values))
+    mkw = dict(threshold=0.5, verify=False, unique_lift=False)
+    exact_m = DD.minhash_lsh_pairs(skewed, "doc_id", **mkw).toPandas()
+    auto_m = DD.minhash_lsh_pairs(skewed, "doc_id", bucket_cap="auto",
+                                  **mkw).toPandas()
+    pd.testing.assert_frame_equal(auto_m.sort_values(key, ignore_index=True),
+                                  exact_m.sort_values(key, ignore_index=True))
+
+
 def test_star_intra_component_equivalence(spark):
     """star_intra emits a sparse edge set whose connected components are
     EXACTLY those of the all-pairs output (rep→member stars keep members

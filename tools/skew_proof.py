@@ -91,8 +91,10 @@ def run(spark, label: str, name: str, thunk) -> dict:
 
 
 def main() -> None:
-    uniform = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.testdata/sf1"
-    skewed = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.testdata/sf1skew"
+    boiler_only = "--boiler-only" in sys.argv  # just the hot-shingle section
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    uniform = argv[0] if len(argv) > 0 else "/root/repo/.testdata/sf1"
+    skewed = argv[1] if len(argv) > 1 else "/root/repo/.testdata/sf1skew"
     from juliadb_jl_spark.functions import dedup as DD
     from juliadb_jl_spark.operators.join import salted_join
     from juliadb_jl_spark.plans.table import Table
@@ -101,7 +103,8 @@ def main() -> None:
 
     spark = get_spark("skew_proof", extra_conf={"spark.ui.enabled": "true"})
     recs = []
-    for label, sf_dir in [("uniform", uniform), ("skewed", skewed)]:
+    for label, sf_dir in ([] if boiler_only
+                          else [("uniform", uniform), ("skewed", skewed)]):
         docs = read_table(spark, sf_dir, "documents").cache()
         docs.count()
         li = read_table(spark, sf_dir, "lineitem").cache()
@@ -200,14 +203,40 @@ def main() -> None:
                     lambda: DD.minhash_lsh_pairs(
                         big, "doc_id", threshold=0.5,
                         bucket_cap=1000).count())
+    # auto mode: the cap is sized from the corpus's own histogram. At
+    # 50k docs the boilerplate fanout (12 shingles × C(50k,2) ≈ 15B;
+    # hot band buckets ~n/16 docs) blows the 32×postings budget, so
+    # auto ENGAGES here — the engagement value is recorded below; the
+    # sub-floor no-op half of the contract is unit-tested.
+    from juliadb_jl_spark.functions.text import shingles as _shingles
+    jcap_auto = DD._auto_cap(
+        big.select(F.explode(F.array_distinct(
+            _shingles(F.col("text"), 3))).alias("h")).groupBy("h").count())
+    r_auto_big = run(spark, "boiler50k", "jaccard_df_cap_auto",
+                     lambda: DD.ngram_jaccard_pairs(
+                         big, "doc_id", threshold=0.5,
+                         df_cap="auto").count())
+    m_auto_big = run(spark, "boiler50k", "minhash_bucket_cap_auto",
+                     lambda: DD.minhash_lsh_pairs(
+                         big, "doc_id", threshold=0.5,
+                         bucket_cap="auto").count())
     small.unpersist(); big.unpersist()
     boiler_checks = {
         "jaccard_df_cap_matches_exact_5k":
             r_cap["result"] == r_exact["result"],
         "minhash_caps_agree_zero_pairs":
             m_exact["result"] == m_cap_big["result"] == r_cap_big["result"],
+        "auto_caps_agree_zero_pairs":
+            r_auto_big["result"] == m_auto_big["result"]
+            == m_exact["result"],
+        "jaccard_auto_cap_engaged": jcap_auto is not None,
     }
-    print(json.dumps({"boiler_checks": boiler_checks}), flush=True)
+    print(json.dumps({"boiler_checks": boiler_checks,
+                      "jaccard_auto_cap": jcap_auto}), flush=True)
+    if boiler_only:
+        print(json.dumps({"all_ok": all(boiler_checks.values())}),
+              flush=True)
+        return
 
     # --- structural invariants on the skewed corpus (cheap exact oracle)
     import duckdb
