@@ -25,6 +25,7 @@ from juliadb_jl_spark.functions import bpe as BPE
 from juliadb_jl_spark.functions import classifier as CL
 from juliadb_jl_spark.functions import curation as CU
 from juliadb_jl_spark.functions import dedup as DD
+from juliadb_jl_spark.functions import incremental as INC
 from juliadb_jl_spark.functions import sampling as SP
 from juliadb_jl_spark.functions import similarity as SIM
 from juliadb_jl_spark.functions import text as TX
@@ -163,6 +164,21 @@ def main():
         tagged, cents = SIM.ivf_build(emb, n_cells=8)
         SIM.ivf_save(tagged, cents, f"{out_dir}/ivf")
 
+    with jdb.tracktime("incremental-ingest", spark):
+        # day-2 ingest: a new crawl batch (re-crawled copies of existing
+        # docs + whatever survived curation elsewhere) deduped against
+        # the persisted corpus INDEX — the curated corpus itself is
+        # never re-scanned; near-dup links come from banding the batch
+        # signatures against the signature index (no self-joins)
+        idx = INC.dedup_index(kept, "doc_id")
+        batch = (docs.sample(0.3, seed=7)
+                 .withColumn("doc_id", F.col("doc_id") + 10_000_000))
+        fresh = INC.dedup_exact_against(batch, idx, "doc_id")
+        sig_idx = INC.minhash_index(kept, "doc_id")
+        links = INC.minhash_against(fresh, sig_idx, "doc_id",
+                                    corpus_df=kept, threshold=0.5)
+        n_batch, n_fresh, n_links = batch.count(), fresh.count(), links.count()
+
     n_in = docs.count()
     n_out = kept.count()
     splits = {r["split"]: r["n"] for r in
@@ -172,7 +188,9 @@ def main():
           f"({n_in - n_out} dropped by quality/dedup); "
           f"splits {splits}; train packed into {(n_bins or 0) + 1} bins; "
           f"{epairs.count()} embedding near-dup pairs flagged; "
-          f"BPE: {len(merges)} merges, {n_pieces} train pieces")
+          f"BPE: {len(merges)} merges, {n_pieces} train pieces; "
+          f"day-2 ingest: {n_batch} batch docs -> {n_fresh} fresh "
+          f"({n_links} near-dup links vs corpus index)")
     print("\nstage timings:")
     print(jdb.timings().drop(columns=["ts"]).to_string(index=False))
     print(f"\ncurated corpus + IVF index at {out_dir}")
