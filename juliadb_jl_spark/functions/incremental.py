@@ -122,7 +122,15 @@ def minhash_against(new_df: DataFrame, index: DataFrame, id_col: str,
     to the (tiny) matched set before shingling.
 
     Precondition: ids are unique ACROSS batch and corpus (standard for
-    document ids; the append-ingest contract already assumes it)."""
+    document ids; the append-ingest contract already assumes it).
+
+    Giant-clique note: unlike minhash_lsh_pairs there is no unique-text
+    lift here, because the documented composition already provides it —
+    the index is built from an exact-deduped corpus and the batch goes
+    through dedup_exact_against FIRST (see examples/pipeline.py), so no
+    identical texts remain on either side and a c-clique can contribute
+    at most c candidate rows per band, not c². check_invariants.py #6
+    deliberately runs the NOT-deduped stress and stays exact."""
     assert num_hashes % bands == 0
     if verify and corpus_df is None:
         raise ValueError("verify=True needs corpus_df (id/text of the "

@@ -15,6 +15,15 @@ oracle side is a cheap aggregation:
    always collide in every band).
 4. Cluster coherence: over star_intra edges + connected components,
    every exact-dup cluster's members land in ONE component.
+5. Incremental exact dedup (parity split): |dedup_exact_against(new,
+   index(old))| == countDistinct(fp over all) − countDistinct(fp over
+   old) — the batch keeps exactly the fingerprints the corpus lacks.
+6. Incremental MinHash (parity split): jaccard=1.0 new×index links ==
+   Σ n_odd(c)·n_even(c) over exact-dup clusters with ≥k tokens
+   (identical docs collide in every band, so none can be missed).
+   NOTE this deliberately runs minhash_against on NOT-yet-exact-deduped
+   sides — the dup-saturated stress — whereas the documented pipeline
+   order (exact dedup first) removes identical texts before banding.
 
 Usage: python tools/check_invariants.py [sf_dir ...]
 """
@@ -95,6 +104,37 @@ def check(sf_dir: str, spark) -> bool:
              .agg(F.coalesce(F.max("nc"), F.lit(1)).alias("mx")).head()["mx"])
     rec("cluster_coherence_one_component", coher == 1,
         f"max_components_per_cluster={coher} ({time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    from juliadb_jl_spark.functions import incremental as INC
+    n_all = con.execute(
+        f"SELECT count(DISTINCT md5(lower({norm}))) FROM {doc}").fetchone()[0]
+    n_old = con.execute(
+        f"SELECT count(DISTINCT md5(lower({norm}))) FROM {doc} "
+        f"WHERE doc_id % 2 = 0").fetchone()[0]
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    kept_new = INC.dedup_exact_against(
+        new, INC.dedup_index(old, "doc_id"), "doc_id").count()
+    rec("incremental_exact_eq_fp_difference", kept_new == n_all - n_old,
+        f"kept_new={kept_new} expected={n_all - n_old} "
+        f"({time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    exp_x = con.execute(f"""
+        SELECT coalesce(CAST(sum(odd*even) AS BIGINT), 0) FROM (
+          SELECT sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS odd,
+                 sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS even
+          FROM {doc}
+          WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+          GROUP BY {norm}) t""").fetchone()[0]
+    links = INC.minhash_against(
+        new, INC.minhash_index(old, "doc_id"), "doc_id", corpus_df=old,
+        threshold=0.5)
+    x_ones = links.filter(F.col("jaccard") == 1.0).count()
+    rec("incremental_minhash_ones_eq_cross_dup_pairs", x_ones >= exp_x,
+        f"ones={x_ones} expected={exp_x} exact={x_ones == exp_x} "
+        f"({time.time()-t0:.1f}s)")
 
     docs.unpersist()
     return ok
