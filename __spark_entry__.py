@@ -2579,6 +2579,30 @@ def q9c(spark, sf_dir):
                                hash_family="portable", corpus_df=old)
 
 
+@_q("q9d_embedding_incremental", """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings)
+SELECT n.vec_id AS id_new, c.vec_id AS id_corpus,
+       round(list_cosine_similarity(n.e, c.e), 6) AS cosine_r6
+FROM v n, v c
+WHERE n.vec_id % 2 = 1 AND c.vec_id % 2 = 0
+  AND list_cosine_similarity(n.e, c.e) >= 0.35
+""")
+def q9d(spark, sf_dir):
+    """Incremental embedding near-dup (exact mode): the new batch is
+    broadcast against the corpus embedding index — one corpus pass, no
+    corpus shuffle. exact=True is exhaustive and oracle-checked; the
+    hyperplane-blocked default (the scale path for huge batches) is
+    differential-tested against it in tests/test_incremental.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = INC.embedding_index(old, "vec_id", "embedding")
+    links = INC.embedding_against(new, idx, "vec_id", "embedding",
+                                  threshold=0.35, exact=True)
+    return links.select("id_new", "id_corpus",
+                        F.round("cosine", 6).alias("cosine_r6"))
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================

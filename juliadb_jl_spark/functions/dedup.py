@@ -687,23 +687,15 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text",
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
-                            threshold: float = 0.95,
-                            n_planes: int = 8, seed: int = 42) -> DataFrame:
-    """Near-duplicate pairs by cosine ≥ threshold, LSH-blocked by random
-    hyperplane sign buckets (deterministic planes from `seed`), verified
-    exactly. Pairs in different buckets are missed — standard recall/cost
-    trade; raise n_planes for precision, lower for recall."""
+def hyperplane_bucket(vec_col: str, dim: int, n_planes: int = 8,
+                      seed: int = 42) -> Column:
+    """Random-hyperplane sign-bucket Column for an array<float/double>
+    vector: bit i = sign of ⟨v, plane_i⟩, planes drawn deterministically
+    from `seed`.  Shared by the self-join blocker
+    (embedding_neardup_pairs) and the incremental new-vs-index path
+    (incremental.embedding_against) — both sides MUST use the same
+    (dim, n_planes, seed) for buckets to be comparable."""
     import numpy as np
-    from juliadb_jl_spark.functions.similarity import cosine_expr
-
-    head = df.select(vec_col).head(1)
-    if not head:  # empty corpus: no pairs, keep the output schema
-        return df.sparkSession.createDataFrame(
-            [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
-                f"id_b {df.schema[id_col].dataType.simpleString()}, "
-                "cosine double")
-    dim = len(head[0][0])
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
     bucket = None
@@ -713,8 +705,28 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
                           F.lit(0.0), lambda acc, x: acc + x)
         bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket.bitwiseOR(bit)
+    return bucket
+
+
+def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                            threshold: float = 0.95,
+                            n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold, LSH-blocked by random
+    hyperplane sign buckets (deterministic planes from `seed`), verified
+    exactly. Pairs in different buckets are missed — standard recall/cost
+    trade; raise n_planes for precision, lower for recall."""
+    from juliadb_jl_spark.functions.similarity import cosine_expr
+
+    head = df.select(vec_col).head(1)
+    if not head:  # empty corpus: no pairs, keep the output schema
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
+                f"id_b {df.schema[id_col].dataType.simpleString()}, "
+                "cosine double")
+    dim = len(head[0][0])
     keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                      bucket.alias("bucket"))
+                      hyperplane_bucket(vec_col, dim, n_planes, seed)
+                      .alias("bucket"))
     # co-partition by bucket (same guard as the jaccard/minhash siblings):
     # the self-join fans out from a byte-small keyed frame, and without an
     # explicit shuffle AQE would broadcast it and run the O(pairs-per-

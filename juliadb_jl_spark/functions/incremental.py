@@ -2,13 +2,15 @@
 corpus index, without re-scanning the corpus.
 
 At 100 TB the corpus is never re-deduped when a new crawl lands. The
-engine maintains two index artifacts (both plain DataFrames — persist
+engine maintains three index artifacts (all plain DataFrames — persist
 them with ``sources.parquet.save`` and keep appending):
 
   * exact index   — one ``(fp, id)`` row per distinct normalized text
     (~40 bytes/doc: md5 fingerprint + keeper id);
   * minhash index — one ``(id, signature)`` row per kept doc
-    (``num_hashes`` × 8 bytes/doc).
+    (``num_hashes`` × 8 bytes/doc);
+  * embedding index — one ``(id, v, bucket)`` row per kept doc
+    (hyperplane-LSH sign bucket + the float64 vector).
 
 New-batch dedup is then:
 
@@ -42,7 +44,8 @@ from pyspark.sql import functions as F
 
 from juliadb_jl_spark.functions import scratch
 from juliadb_jl_spark.functions.dedup import (
-    _shingle_sets, _signature_from_sets, band_buckets, verify_pairs_jaccard)
+    _shingle_sets, _signature_from_sets, band_buckets, hyperplane_bucket,
+    verify_pairs_jaccard)
 from juliadb_jl_spark.functions.text import fingerprint
 
 
@@ -180,3 +183,82 @@ def minhash_against(new_df: DataFrame, index: DataFrame, id_col: str,
         id_col, text_col, k, threshold, sets=sets)
     return pairs.select(F.col("id_b").alias("id_new"),
                         F.col("id_a").alias("id_corpus"), "jaccard")
+
+
+def embedding_index(df: DataFrame, id_col: str, vec_col: str,
+                    n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """``(id, v, bucket)`` hyperplane-LSH index over corpus embeddings —
+    the persistable artifact ``embedding_against`` probes.  The planes
+    are deterministic in (dim, n_planes, seed), so an index built today
+    buckets identically to batches bucketed tomorrow."""
+    head = df.select(vec_col).head(1)
+    if not head:
+        return df.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).alias("v"),
+                         F.lit(0).alias("bucket")).limit(0)
+    dim = len(head[0][0])
+    # float64 vectors: the verify cosine must be bit-identical with the
+    # pure-Column/oracle path (same cast embedding_pairs_exact applies)
+    return df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"),
+                     hyperplane_bucket(vec_col, dim, n_planes, seed)
+                     .alias("bucket"))
+
+
+def embedding_against(new_df: DataFrame, index: DataFrame, id_col: str,
+                      vec_col: str, threshold: float = 0.95,
+                      n_planes: int = 8, seed: int = 42,
+                      exact: bool = False,
+                      broadcast_new: bool | None = None,
+                      broadcast_threshold_bytes: int = 1 << 30) -> DataFrame:
+    """(id_new, id_corpus, cosine) links between a new embedding batch
+    and the corpus index, cosine ≥ threshold — the third modality of the
+    incremental-ingest family (exact text / MinHash text / embeddings).
+
+    Default (exact=False) is the scale path: bucket the batch with the
+    SAME hyperplanes as the index and join bucket-equal rows only —
+    cross-bucket true pairs are missed, the standard LSH recall/cost
+    trade of embedding_neardup_pairs.  exact=True skips blocking and
+    scans the index once against the batch — exhaustive, so it doubles
+    as the oracle for the blocked path (requires a broadcastable batch).
+
+    ``broadcast_new=None`` auto-broadcasts the batch under the same
+    plan-statistics ×8 rule as minhash_against, so the corpus index is
+    joined in place; a too-big batch falls back to co-partitioning both
+    sides on the bucket (blocked mode only)."""
+    from juliadb_jl_spark.functions.similarity import cosine_expr
+    head = new_df.select(vec_col).head(1)
+    if not head:
+        return new_df.select(F.col(id_col).alias("id_new")).limit(0) \
+            .crossJoin(index.select(F.col("id").alias("id_corpus")).limit(0)) \
+            .withColumn("cosine", F.lit(0.0))
+    dim = len(head[0][0])
+    if broadcast_new is None:
+        est = int(new_df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+        broadcast_new = 0 <= est * 8 <= broadcast_threshold_bytes
+    if exact and not broadcast_new:
+        raise ValueError("exact=True scans the corpus against the "
+                         "broadcast batch; the batch's size estimate "
+                         "exceeds the broadcast threshold — use the "
+                         "blocked path (exact=False) or raise "
+                         "broadcast_threshold_bytes")
+    n = new_df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"),
+                      hyperplane_bucket(vec_col, dim, n_planes, seed)
+                      .alias("bucket"))
+    c = index
+    if broadcast_new:
+        n = F.broadcast(n)
+    else:
+        p = new_df.sparkSession.sparkContext.defaultParallelism
+        n = n.repartition(p, "bucket")
+        c = c.repartition(p, "bucket").hint("shuffle_hash")
+    n, c = n.alias("n"), c.alias("c")
+    cond = F.lit(True) if exact else \
+        (F.col("n.bucket") == F.col("c.bucket"))
+    cos = cosine_expr(F.col("n.v"), F.col("c.v"))
+    return (c.join(n, cond)
+            .select(F.col("n.id").alias("id_new"),
+                    F.col("c.id").alias("id_corpus"), cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

@@ -95,3 +95,36 @@ def test_minhash_against_candidates_superset(spark):
               INC.minhash_against(new, idx, "doc_id", verify=False,
                                   broadcast_new=False, **kw).collect()}
     assert cand_b == cand_s and ver <= cand_b
+
+
+def test_embedding_against_exact_and_blocked(spark):
+    """exact=True equals the cross-parity slice of the exact all-pairs
+    generator; the hyperplane-blocked path is a subset of exact with
+    every emitted cosine above threshold and correct on same-bucket
+    pairs; broadcast/shuffle paths agree."""
+    from juliadb_jl_spark.functions import incremental as INC
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = INC.embedding_index(old, "vec_id", "embedding")
+    exact = {(r["id_new"], r["id_corpus"], round(r["cosine"], 9)) for r in
+             INC.embedding_against(new, idx, "vec_id", "embedding",
+                                   threshold=0.35, exact=True).collect()}
+    full = DD.embedding_pairs_exact(emb, "vec_id", "embedding",
+                                    threshold=0.35).collect()
+    want = {(max(r["id_a"], r["id_b"], key=lambda i: i % 2),
+             min(r["id_a"], r["id_b"], key=lambda i: i % 2),
+             round(r["cosine"], 9))
+            for r in full if r["id_a"] % 2 != r["id_b"] % 2}
+    assert exact == want
+    blocked_b = {(r["id_new"], r["id_corpus"], round(r["cosine"], 9)) for r in
+                 INC.embedding_against(new, idx, "vec_id", "embedding",
+                                       threshold=0.35,
+                                       broadcast_new=True).collect()}
+    blocked_s = {(r["id_new"], r["id_corpus"], round(r["cosine"], 9)) for r in
+                 INC.embedding_against(new, idx, "vec_id", "embedding",
+                                       threshold=0.35,
+                                       broadcast_new=False).collect()}
+    assert blocked_b == blocked_s and blocked_b <= exact
+    assert all(c >= 0.35 for _, _, c in blocked_b)
