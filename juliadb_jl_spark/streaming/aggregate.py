@@ -102,6 +102,27 @@ def streaming_dedup(df: DataFrame, keys: list[str] | str,
     return df.dropDuplicates(keys)
 
 
+def stream_dedup_against(df: DataFrame, index: DataFrame,
+                         text_col: str = "text",
+                         normalized: bool = True) -> DataFrame:
+    """Continuous-ingest exact dedup: drop streamed rows whose text
+    fingerprint already exists in the STATIC corpus index (the artifact
+    ``incremental.dedup_index`` builds) via a stream-static left-anti
+    join — Spark re-reads the static side per micro-batch, so saving an
+    updated index between batches is picked up automatically.
+
+    Composition note: this is the corpus-vs-stream half; chain
+    ``streaming_dedup`` on the fingerprint for WITHIN-stream dedup
+    (bounded state via watermark).  Works identically on a batch frame
+    (the anti-join is the same plan ``dedup_exact_against`` uses)."""
+    from juliadb_jl_spark.functions.incremental import _fp
+    fp = _fp(text_col, normalized)
+    return (df.withColumn("__fp", fp)
+            .join(index.select(F.col("fp").alias("__fp")), "__fp",
+                  "left_anti")
+            .drop("__fp"))
+
+
 def stream_join(l: DataFrame, r: DataFrame, on, l_ts: str, r_ts: str,
                 watermark: str = "1 hour", within: str = "1 hour",
                 how: str = "inner") -> DataFrame:
