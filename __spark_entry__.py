@@ -2579,6 +2579,60 @@ def q9c(spark, sf_dir):
                                hash_family="portable", corpus_df=old)
 
 
+@_q("q9e_substring_incremental", r"""
+WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents),
+w AS (SELECT doc_id, u.s['pos'] AS pos, u.s['fp'] AS fp
+      FROM t, unnest(CASE WHEN len(toks) >= 20
+        THEN [{'pos': i, 'fp': md5(array_to_string(toks[i:i+19], ' '))}
+              FOR i IN range(1, len(toks) - 18)]
+        ELSE [] END) AS u(s)),
+wo AS (SELECT DISTINCT fp FROM w WHERE doc_id % 2 = 0),
+wn AS (SELECT * FROM w WHERE doc_id % 2 = 1),
+keepn AS (SELECT fp, min(doc_id) AS kid, count(*) AS n FROM wn GROUP BY fp),
+dup AS (SELECT DISTINCT doc_id, pos AS s, pos + 20 AS e FROM wn
+        WHERE fp IN (SELECT fp FROM wo)
+        UNION
+        SELECT DISTINCT wn.doc_id, wn.pos AS s, wn.pos + 20 AS e
+        FROM wn JOIN keepn USING (fp) WHERE n > 1 AND doc_id <> kid),
+pe AS (SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+       FROM dup),
+isl AS (SELECT doc_id, s, e,
+          sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY s
+              ROWS UNBOUNDED PRECEDING) AS g
+        FROM pe),
+merged AS (SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+           FROM isl GROUP BY doc_id, g),
+sp AS (SELECT doc_id,
+         list({'s': span_start, 'e': span_end}) AS spans
+       FROM merged GROUP BY doc_id)
+SELECT t.doc_id,
+  md5(CASE WHEN sp.spans IS NULL THEN t.text
+    ELSE coalesce(array_to_string(
+      [t.toks[i] FOR i IN range(1, len(t.toks) + 1)
+       IF len(list_filter(sp.spans,
+              x -> i >= x['s'] AND i < x['e'])) = 0], ' '), '') END)
+    AS text_md5
+FROM t LEFT JOIN sp USING (doc_id)
+WHERE t.doc_id % 2 = 1
+""")
+def q9e(spark, sf_dir):
+    """Incremental exact substring dedup: cut batch spans repeating the
+    corpus window-fingerprint index (semi-join, corpus never re-read)
+    plus intra-batch repeats, both computed on ORIGINAL text and merged
+    before one cut — composition-equal to the one-shot q88 on the batch
+    slice (property-tested in tests/test_incremental.py)."""
+    d = read_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    idx = INC.substring_index(old, "doc_id", k=20)
+    out = INC.dedup_substrings_against(new, idx, "doc_id", k=20)
+    return out.select("doc_id", F.md5("text").alias("text_md5"))
+
+
 @_q("q9d_embedding_incremental", """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings)
 SELECT n.vec_id AS id_new, c.vec_id AS id_corpus,

@@ -809,6 +809,16 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
                        (F.col("pos") + k).alias("span_end")).distinct())
     if not merge:
         return dup
+    return merge_spans(dup, id_col)
+
+
+def merge_spans(dup: DataFrame, id_col: str) -> DataFrame:
+    """Merge overlapping/adjacent (id, span_start, span_end) windows
+    into maximal spans — classic island detection as a per-doc window,
+    shuffling only the duplicated windows.  Shared by the one-shot
+    (duplicate_spans) and incremental (incremental.duplicate_spans_
+    against) span generators."""
+    from pyspark.sql import Window
     win = Window.partitionBy("id").orderBy("span_start")
     prev_end = F.max("span_end").over(
         win.rowsBetween(Window.unboundedPreceding, -1))
@@ -835,10 +845,19 @@ def dedup_substrings(df: DataFrame, id_col: str, text_col: str = "text",
     Scale: spans are tiny relative to the corpus; they come back as one
     per-doc array via a left join, and the cut is a per-row native
     filter over token positions."""
-    from juliadb_jl_spark.functions.text import tokens
-    out_col = out_col or text_col
     spans = duplicate_spans(df, id_col, text_col, k,
                             within_doc=within_doc)
+    return cut_spans(df, spans, id_col, text_col, out_col)
+
+
+def cut_spans(df: DataFrame, spans: DataFrame, id_col: str,
+              text_col: str, out_col: str | None = None) -> DataFrame:
+    """Apply an (id, span_start, span_end) token-span table to the
+    text: surviving tokens rejoined with single spaces; untouched docs
+    keep their original bytes.  Shared by the one-shot and incremental
+    substring-dedup paths."""
+    from juliadb_jl_spark.functions.text import tokens
+    out_col = out_col or text_col
     sp = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans"))
     # plain left join — the span table is usually small enough that AQE

@@ -44,8 +44,8 @@ from pyspark.sql import functions as F
 
 from juliadb_jl_spark.functions import scratch
 from juliadb_jl_spark.functions.dedup import (
-    _shingle_sets, _signature_from_sets, band_buckets, hyperplane_bucket,
-    verify_pairs_jaccard)
+    _shingle_sets, _signature_from_sets, _window_fps, band_buckets,
+    cut_spans, hyperplane_bucket, merge_spans, verify_pairs_jaccard)
 from juliadb_jl_spark.functions.text import fingerprint
 
 
@@ -262,3 +262,63 @@ def embedding_against(new_df: DataFrame, index: DataFrame, id_col: str,
             .select(F.col("n.id").alias("id_new"),
                     F.col("c.id").alias("id_corpus"), cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def substring_index(df: DataFrame, id_col: str, text_col: str = "text",
+                    k: int = 50) -> DataFrame:
+    """Distinct k-token-window fingerprints of the (already
+    substring-deduped) corpus — the persistable artifact
+    ``dedup_substrings_against`` cuts new batches against.  One
+    ``(fp)`` row per distinct window; same md5 construction as
+    ``duplicate_spans`` so index and batch windows are comparable."""
+    return _window_fps(df, id_col, text_col, k).select("fp").distinct()
+
+
+def duplicate_spans_against(new_df: DataFrame, index: DataFrame,
+                            id_col: str, text_col: str = "text",
+                            k: int = 50, within_batch: bool = True,
+                            merge: bool = True) -> DataFrame:
+    """Maximal duplicated spans of a NEW batch vs the corpus window
+    index (+ within the batch): a batch window whose fingerprint exists
+    in the index is duplicated (the corpus keeps its copy); with
+    ``within_batch`` the min-id keeper rule also marks intra-batch
+    repeats.  Both span sources are computed on the ORIGINAL batch
+    text and merged before any cut, which makes the composition
+    EXACTLY equal to the one-shot ``duplicate_spans(old ∪ new)``
+    restricted to batch ids when the corpus is pre-deduped and batch
+    ids sort last (property-tested).
+
+    Scale: one batch window explode; the index is semi-joined (never
+    scanned), intra-batch resolution is the same groupBy(fp)+join shape
+    as the one-shot — no pairwise self-join anywhere."""
+    w = scratch.register(
+        _window_fps(new_df, id_col, text_col, k).persist())
+    span = lambda d: d.select(  # noqa: E731
+        "id", F.col("pos").alias("span_start"),
+        (F.col("pos") + k).alias("span_end"))
+    vs_corpus = span(w.join(index.select("fp"), "fp", "left_semi"))
+    if within_batch:
+        keeper = w.groupBy("fp").agg(F.min("id").alias("__keep"),
+                                     F.count(F.lit(1)).alias("__n"))
+        intra = span(w.join(keeper.filter(F.col("__n") > 1), "fp")
+                     .filter(F.col("id") != F.col("__keep")))
+        dup = vs_corpus.unionByName(intra).distinct()
+    else:
+        dup = vs_corpus.distinct()
+    if not merge:
+        return dup.withColumnRenamed("id", id_col)
+    return merge_spans(dup, id_col)
+
+
+def dedup_substrings_against(new_df: DataFrame, index: DataFrame,
+                             id_col: str, text_col: str = "text",
+                             k: int = 50, within_batch: bool = True,
+                             out_col: str | None = None) -> DataFrame:
+    """Incremental exact substring dedup: cut every batch span of >= k
+    tokens that repeats the corpus (or, with ``within_batch``, another
+    batch occurrence outside the min-id keeper).  One cut on the
+    original text — composition-equal to the one-shot
+    ``dedup_substrings(old ∪ new)`` on the batch slice."""
+    spans = duplicate_spans_against(new_df, index, id_col, text_col, k,
+                                    within_batch=within_batch)
+    return cut_spans(new_df, spans, id_col, text_col, out_col)

@@ -164,3 +164,45 @@ def test_stream_dedup_against_matches_batch(spark, tmp_path):
         r["doc_id"] for r in
         SA.stream_dedup_against(_docs(spark, NEW_ROWS), idx).collect())
     assert batch_got == got
+
+
+def test_substring_against_equals_oneshot_slice(spark):
+    """dedup_substrings_against(new, index(old)) == the batch slice of
+    one-shot dedup_substrings(old ∪ new) — both span sources (vs-corpus
+    and intra-batch) are computed on ORIGINAL text and merged before
+    the single cut, so the composition is exactly the one-shot result
+    when batch ids sort after corpus ids."""
+    from juliadb_jl_spark.functions import incremental as INC
+
+    shared = " ".join(f"s{i}" for i in range(25))
+    rep = " ".join(f"r{i}" for i in range(22))
+    rows_old = [
+        (0, f"alpha beta {shared} gamma delta"),
+        (1, " ".join(f"u{i}" for i in range(30))),
+    ]
+    rows_new = [
+        (100, f"head1 head2 {shared} tail1 tail2"),      # vs-corpus cut
+        (101, f"{rep} mid1 mid2 mid3"),                  # intra keeper
+        (102, f"lead1 {rep} lead2"),                     # intra-batch cut
+        (103, " ".join(f"z{i}" for i in range(28))),     # untouched
+    ]
+    old, new = _docs(spark, rows_old), _docs(spark, rows_new)
+    k = 20
+    oneshot = DD.dedup_substrings(old.unionByName(new), "doc_id", k=k)
+    want = {r["doc_id"]: r["text"] for r in
+            oneshot.filter(F.col("doc_id") >= 100).collect()}
+    idx = INC.substring_index(old, "doc_id", k=k)
+    got = {r["doc_id"]: r["text"] for r in
+           INC.dedup_substrings_against(new, idx, "doc_id", k=k).collect()}
+    assert got == want
+    assert got[100] == "head1 head2 tail1 tail2"   # shared run cut
+    assert got[101].startswith("r0 ")              # keeper intact
+    assert got[102] == "lead1 lead2"               # intra-batch cut
+    assert got[103] == rows_new[3][1]              # untouched bytes
+    # span tables agree too (merge + ids)
+    sp_one = {tuple(r) for r in
+              DD.duplicate_spans(old.unionByName(new), "doc_id", k=k)
+              .filter(F.col("doc_id") >= 100).collect()}
+    sp_inc = {tuple(r) for r in
+              INC.duplicate_spans_against(new, idx, "doc_id", k=k).collect()}
+    assert sp_inc == sp_one
