@@ -322,3 +322,52 @@ def dedup_substrings_against(new_df: DataFrame, index: DataFrame,
     spans = duplicate_spans_against(new_df, index, id_col, text_col, k,
                                     within_batch=within_batch)
     return cut_spans(new_df, spans, id_col, text_col, out_col)
+
+
+def embedding_against_ivf(new_df: DataFrame, tagged_corpus: DataFrame,
+                          centroids, id_col: str, vec_col: str,
+                          threshold: float = 0.95,
+                          nprobe: int = 4) -> DataFrame:
+    """IVF-routed incremental embedding links — the shape for batches
+    too big to broadcast over corpora persisted with ``ivf_save``
+    (cell-partitioned, so each probe prunes whole partitions).
+
+    Each batch vector probes its ``nprobe`` nearest cells (one Arrow
+    matmul per batch, same rationale as ``similarity._assign_cells``);
+    only cell-equal rows are joined and cosine-verified.  Recall grows
+    with nprobe and reaches the exhaustive ``embedding_against``
+    answer at nprobe == n_cells (differential-tested); a corpus doc
+    lives in exactly one cell, so no candidate pair repeats and no
+    distinct pass is needed."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from juliadb_jl_spark.functions.similarity import cosine_expr
+
+    cents = np.asarray(centroids, dtype="float64")
+    cnorm = np.linalg.norm(cents, axis=1) + 1e-12
+    np_ = min(int(nprobe), len(cents))
+
+    def _route(vs):
+        M = np.array([np.asarray(v, dtype="float64") for v in vs])
+        sims = (M @ cents.T) / (np.linalg.norm(M, axis=1, keepdims=True)
+                                + 1e-12) / cnorm
+        top = np.argsort(-sims, axis=1)[:, :np_].astype("int32")
+        return pd.Series([list(t) for t in top])
+
+    route = F.pandas_udf(_route, T.ArrayType(T.IntegerType()))
+    n = (new_df.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("v"))
+         .withColumn("cell", F.explode(route(F.col("v")))))
+    p = new_df.sparkSession.sparkContext.defaultParallelism
+    n = n.repartition(p, "cell").alias("n")
+    c = tagged_corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        "cell").alias("c")
+    cos = cosine_expr(F.col("n.v"), F.col("c.cv"))
+    return (c.join(n, F.col("n.cell") == F.col("c.cell"))
+            .select(F.col("n.id").alias("id_new"),
+                    F.col("c.cid").alias("id_corpus"), cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

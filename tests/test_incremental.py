@@ -206,3 +206,32 @@ def test_substring_against_equals_oneshot_slice(spark):
     sp_inc = {tuple(r) for r in
               INC.duplicate_spans_against(new, idx, "doc_id", k=k).collect()}
     assert sp_inc == sp_one
+
+
+def test_embedding_against_ivf_recall_ladder(spark):
+    """nprobe == n_cells reproduces the exhaustive embedding_against
+    answer exactly (every cell probed ⇒ every pair scored by the same
+    float64 cosine); small nprobe yields a subset above threshold."""
+    from juliadb_jl_spark.functions import incremental as INC
+    from juliadb_jl_spark.functions import similarity as SIM
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    tagged, cents = SIM.ivf_build(old, n_cells=4)
+    exact = {(r["id_new"], r["id_corpus"], round(r["cosine"], 9)) for r in
+             INC.embedding_against(
+                 new, INC.embedding_index(old, "vec_id", "embedding"),
+                 "vec_id", "embedding", threshold=0.35,
+                 exact=True).collect()}
+    full_probe = {(r["id_new"], r["id_corpus"], round(r["cosine"], 9))
+                  for r in INC.embedding_against_ivf(
+                      new, tagged, cents, "vec_id", "embedding",
+                      threshold=0.35, nprobe=4).collect()}
+    assert full_probe == exact
+    narrow = {(r["id_new"], r["id_corpus"], round(r["cosine"], 9))
+              for r in INC.embedding_against_ivf(
+                  new, tagged, cents, "vec_id", "embedding",
+                  threshold=0.35, nprobe=1).collect()}
+    assert narrow <= exact
+    assert all(c >= 0.35 for _, _, c in narrow)
