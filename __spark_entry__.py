@@ -2633,6 +2633,44 @@ def q9e(spark, sf_dir):
     return out.select("doc_id", F.md5("text").alias("text_md5"))
 
 
+@_q("q9f_novelty_incremental", r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 5
+          THEN [array_to_string(toks[i:i+4], ' ')
+                FOR i IN range(1, len(toks) - 3)]
+          ELSE [] END)) AS s
+      FROM t),
+idx AS (SELECT DISTINCT s FROM g WHERE doc_id % 2 = 0),
+gn AS (SELECT * FROM g WHERE doc_id % 2 = 1)
+SELECT d.doc_id,
+       CAST(count(gn.s) AS BIGINT) AS n_grams,
+       CAST(coalesce(sum(CASE WHEN idx.s IS NOT NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_known,
+       CASE WHEN count(gn.s) > 0
+         THEN 1 - CAST(sum(CASE WHEN idx.s IS NOT NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(gn.s)
+         ELSE 1.0 END AS novelty
+FROM documents d
+LEFT JOIN gn ON d.doc_id = gn.doc_id
+LEFT JOIN idx ON gn.s = idx.s
+WHERE d.doc_id % 2 = 1
+GROUP BY d.doc_id
+""")
+def q9f(spark, sf_dir):
+    """Ingest-time novelty (incremental.novelty_against): fraction of a
+    new doc's distinct 5-grams absent from the persisted corpus gram
+    index — the batch-curation twin of q98, with the corpus never
+    re-read and a shuffled gram join (a 100-TB gram set is not
+    broadcastable). Exact integer-ratio arithmetic as in q98."""
+    d = read_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    idx = INC.novelty_index(old, n=5)
+    return INC.novelty_against(new, idx, "doc_id", n=5)
+
+
 @_q("q9d_embedding_incremental", """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings)
 SELECT n.vec_id AS id_new, c.vec_id AS id_corpus,

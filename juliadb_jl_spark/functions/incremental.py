@@ -371,3 +371,45 @@ def embedding_against_ivf(new_df: DataFrame, tagged_corpus: DataFrame,
             .select(F.col("n.id").alias("id_new"),
                     F.col("c.cid").alias("id_corpus"), cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def novelty_index(df: DataFrame, text_col: str = "text",
+                  n: int = 5) -> DataFrame:
+    """Distinct word n-gram set of the corpus — one ``(gram)`` row per
+    distinct n-gram, the persistable artifact ``novelty_against``
+    scores new batches with.  Merge indexes of disjoint batches with a
+    union + distinct.  Same shingle construction as
+    ``curation.novelty_scores``."""
+    from juliadb_jl_spark.functions.text import shingles
+    return (df.select(F.explode(F.array_distinct(
+        shingles(F.col(text_col), n))).alias("gram"))
+        .distinct())
+
+
+def novelty_against(new_df: DataFrame, index: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    n: int = 5) -> DataFrame:
+    """Ingest-time novelty: per new doc, the fraction of its DISTINCT
+    word n-grams that appear NOWHERE in the corpus index —
+    (id, n_grams, n_known, novelty), novelty = 1 − n_known/n_grams,
+    docs with < n tokens report 0 / 0 / 1.0.  The batch-curation twin
+    of ``curation.novelty_scores`` (which scores docs against the rest
+    of one corpus): here the reference set is the persisted index, the
+    corpus is never re-read, and the join is shuffled on the gram key —
+    a 100-TB gram set is NOT broadcastable, unlike
+    ``contamination_report``'s benchmark list."""
+    from juliadb_jl_spark.functions.text import shingles
+    grams = new_df.select(
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(
+            shingles(F.col(text_col), n))).alias("gram"))
+    hit = index.select("gram").withColumn("__known", F.lit(1))
+    joined = grams.join(hit, "gram", "left")
+    n_grams = F.sum(F.col("gram").isNotNull().cast("long"))
+    n_known = F.sum(F.coalesce(F.col("__known"), F.lit(0)).cast("long"))
+    return (joined.groupBy(id_col)
+            .agg(n_grams.alias("n_grams"), n_known.alias("n_known"))
+            .withColumn("novelty",
+                        F.when(F.col("n_grams") > 0,
+                               1 - F.col("n_known") / F.col("n_grams"))
+                        .otherwise(F.lit(1.0))))

@@ -235,3 +235,42 @@ def test_embedding_against_ivf_recall_ladder(spark):
                   threshold=0.35, nprobe=1).collect()}
     assert narrow <= exact
     assert all(c >= 0.35 for _, _, c in narrow)
+
+
+def test_novelty_against_known_and_fresh(spark):
+    """novelty_against: fully-known text scores 0, fully-fresh text
+    scores 1, mixed in between; short docs report 1.0 with 0 grams;
+    agrees with a pure-Python recount on the real documents table."""
+    from juliadb_jl_spark.functions import incremental as INC
+
+    docs = read_table(spark, SF_DIR, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = INC.novelty_index(old, n=5)
+    got = {r["doc_id"]: (r["n_grams"], r["n_known"], r["novelty"])
+           for r in INC.novelty_against(new, idx, "doc_id", n=5).collect()}
+    # python reference
+    def grams(t, n=5):
+        toks = t.split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    corpus_grams = set()
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for i, t in rows.items():
+        if i % 2 == 0:
+            corpus_grams |= grams(t)
+    for i, t in rows.items():
+        if i % 2 == 1:
+            g = grams(t)
+            known = len(g & corpus_grams)
+            want = (len(g), known,
+                    1 - known / len(g) if g else 1.0)
+            assert got[i][:2] == want[:2] and abs(got[i][2] - want[2]) < 1e-12, i
+    # synthetic extremes
+    o = _docs(spark, [(0, "a b c d e f g h")])
+    nw = _docs(spark, [(10, "a b c d e f g h"),       # fully known
+                       (11, "p q r s t u v w"),       # fully fresh
+                       (12, "x y")])                  # too short
+    res = {r["doc_id"]: r for r in
+           INC.novelty_against(nw, INC.novelty_index(o), "doc_id").collect()}
+    assert res[10]["novelty"] == 0.0 and res[11]["novelty"] == 1.0
+    assert res[12]["n_grams"] == 0 and res[12]["novelty"] == 1.0
