@@ -2708,10 +2708,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver may record CORRECTNESS rows only for the first ~50
     # entries, so order by driver-verification recency (VERDICT r3 #6):
     # q53–q90's newest driver rows are from r2 code, so they lead this
-    # round, then the four NEVER-driver-verified round-4 queries
-    # (q99/q9a TPC-H shapes, q9b/q9c incremental dedup), then q01–q10
-    # (driver row from r2, judge-verified under r3), then q91–q98 and
-    # q11–q52 (driver-verified in r3).
+    # round, then the seven NEVER-driver-verified round-4 queries
+    # (q99/q9a TPC-H shapes, q9b–q9f incremental-ingest family), then
+    # q01–q10 (driver row from r2, judge-verified under r3), then
+    # q91–q98 and q11–q52 (driver-verified in r3).
     def _prio(k: str) -> int:
         if "q53" <= k < "q91":
             return 0

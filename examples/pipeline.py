@@ -177,6 +177,9 @@ def main():
         sig_idx = INC.minhash_index(kept, "doc_id")
         links = INC.minhash_against(fresh, sig_idx, "doc_id",
                                     corpus_df=kept, threshold=0.5)
+        # ingest-time curation signal: how novel is what survived?
+        nv = INC.novelty_against(fresh, INC.novelty_index(kept), "doc_id")
+        mean_novelty = nv.agg(F.avg("novelty")).head()[0]
         n_batch, n_fresh, n_links = batch.count(), fresh.count(), links.count()
 
     n_in = docs.count()
@@ -190,7 +193,8 @@ def main():
           f"{epairs.count()} embedding near-dup pairs flagged; "
           f"BPE: {len(merges)} merges, {n_pieces} train pieces; "
           f"day-2 ingest: {n_batch} batch docs -> {n_fresh} fresh "
-          f"({n_links} near-dup links vs corpus index)")
+          f"({n_links} near-dup links vs corpus index, "
+          f"mean novelty {mean_novelty:.3f})")
     print("\nstage timings:")
     print(jdb.timings().drop(columns=["ts"]).to_string(index=False))
     print(f"\ncurated corpus + IVF index at {out_dir}")
