@@ -220,7 +220,15 @@ def embedding_against(new_df: DataFrame, index: DataFrame, id_col: str,
     cross-bucket true pairs are missed, the standard LSH recall/cost
     trade of embedding_neardup_pairs.  exact=True skips blocking and
     scans the index once against the batch — exhaustive, so it doubles
-    as the oracle for the blocked path (requires a broadcastable batch).
+    as the oracle for the blocked path (requires a batch that fits in
+    executor memory as a float64 matrix; same bound as
+    embedding_pairs_exact).  Exhaustive candidate generation is one
+    blocked numpy matmul per corpus partition against the broadcast
+    batch matrix — a naive crossJoin would evaluate the interpreted
+    higher-order cosine |batch|·|corpus| times (the measured 400M-eval
+    trap embedding_pairs_exact's docstring records); survivors are
+    re-verified with the same native cosine, so emitted values stay
+    bit-identical with the blocked path and the SQL oracle.
 
     ``broadcast_new=None`` auto-broadcasts the batch under the same
     plan-statistics ×8 rule as minhash_against, so the corpus index is
@@ -237,16 +245,18 @@ def embedding_against(new_df: DataFrame, index: DataFrame, id_col: str,
         est = int(new_df._jdf.queryExecution().optimizedPlan()
                   .stats().sizeInBytes())
         broadcast_new = 0 <= est * 8 <= broadcast_threshold_bytes
-    if exact and not broadcast_new:
-        raise ValueError("exact=True scans the corpus against the "
-                         "broadcast batch; the batch's size estimate "
-                         "exceeds the broadcast threshold — use the "
-                         "blocked path (exact=False) or raise "
-                         "broadcast_threshold_bytes")
     n = new_df.select(F.col(id_col).alias("id"),
                       F.col(vec_col).cast("array<double>").alias("v"),
                       hyperplane_bucket(vec_col, dim, n_planes, seed)
                       .alias("bucket"))
+    if exact:
+        if not broadcast_new:
+            raise ValueError("exact=True scans the corpus against the "
+                             "broadcast batch; the batch's size "
+                             "estimate exceeds the broadcast threshold "
+                             "— use the blocked path (exact=False) or "
+                             "raise broadcast_threshold_bytes")
+        return _cross_pairs_exact(n.drop("bucket"), index, threshold)
     c = index
     if broadcast_new:
         n = F.broadcast(n)
@@ -255,13 +265,63 @@ def embedding_against(new_df: DataFrame, index: DataFrame, id_col: str,
         n = n.repartition(p, "bucket")
         c = c.repartition(p, "bucket").hint("shuffle_hash")
     n, c = n.alias("n"), c.alias("c")
-    cond = F.lit(True) if exact else \
-        (F.col("n.bucket") == F.col("c.bucket"))
     cos = cosine_expr(F.col("n.v"), F.col("c.v"))
-    return (c.join(n, cond)
+    return (c.join(n, F.col("n.bucket") == F.col("c.bucket"))
             .select(F.col("n.id").alias("id_new"),
                     F.col("c.id").alias("id_corpus"), cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def _cross_pairs_exact(batch_keyed: DataFrame, index: DataFrame,
+                       threshold: float,
+                       margin: float = 1e-6) -> DataFrame:
+    """Exhaustive batch×corpus cosine links: candidates from one blocked
+    float64 matmul per corpus partition vs the broadcast normalized
+    batch matrix (threshold padded by `margin` so BLAS reassociation
+    can never drop a boundary pair), then native-cosine verification of
+    the O(matching) survivors — the asymmetric twin of
+    dedup.embedding_pairs_exact's generator."""
+    import numpy as np
+    import pandas as pd
+
+    from juliadb_jl_spark.functions.similarity import cosine_expr
+
+    spark = batch_keyed.sparkSession
+    bpdf = batch_keyed.toPandas()
+    if bpdf.empty:
+        return (batch_keyed.select(F.col("id").alias("id_new")).limit(0)
+                .crossJoin(index.select(F.col("id").alias("id_corpus"))
+                           .limit(0))
+                .withColumn("cosine", F.lit(0.0)))
+    bids = bpdf["id"].to_numpy()
+    B = np.array([np.asarray(v, dtype="float64") for v in bpdf["v"]])
+    Bn = B / (np.linalg.norm(B, axis=1, keepdims=True) + 1e-300)
+    bc = spark.sparkContext.broadcast((bids, Bn))
+    thr = threshold - margin
+    id_t = batch_keyed.schema["id"].dataType.simpleString()
+
+    def gen(batches):
+        qids, qM = bc.value
+        for p in batches:
+            if not len(p):
+                continue
+            M = np.array([np.asarray(v, dtype="float64") for v in p["v"]])
+            Mn = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-300)
+            r, c = np.nonzero(Mn @ qM.T >= thr)
+            yield pd.DataFrame({"id_corpus": p["id"].to_numpy()[r],
+                                "id_new": qids[c]})
+
+    par = spark.sparkContext.defaultParallelism
+    cand = (index.select("id", "v").repartition(par)
+            .mapInPandas(gen, f"id_corpus {id_t}, id_new {id_t}"))
+    cv = index.select(F.col("id").alias("id_corpus"),
+                      F.col("v").alias("cv"))
+    nv = batch_keyed.select(F.col("id").alias("id_new"),
+                            F.col("v").alias("nv"))
+    return (cand.join(cv, "id_corpus").join(F.broadcast(nv), "id_new")
+            .withColumn("cosine", cosine_expr(F.col("nv"), F.col("cv")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_new", "id_corpus", "cosine"))
 
 
 def substring_index(df: DataFrame, id_col: str, text_col: str = "text",
