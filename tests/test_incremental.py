@@ -274,3 +274,45 @@ def test_novelty_against_known_and_fresh(spark):
            INC.novelty_against(nw, INC.novelty_index(o), "doc_id").collect()}
     assert res[10]["novelty"] == 0.0 and res[11]["novelty"] == 1.0
     assert res[12]["n_grams"] == 0 and res[12]["novelty"] == 1.0
+
+
+def test_index_persistence_roundtrip(spark, tmp_path):
+    """The indexes are persistable artifacts: save each with jdb.save,
+    reload, and dedup/link a batch against the LOADED frame — results
+    identical to the in-memory index (the ingest-pipeline contract:
+    build today, join tomorrow)."""
+    import juliadb_jl_spark as jdb
+    from juliadb_jl_spark.functions import incremental as INC
+
+    old, new = _docs(spark, OLD_ROWS), _docs(spark, NEW_ROWS)
+    base = str(tmp_path)
+
+    idx = INC.dedup_index(old, "doc_id")
+    jdb.save(jdb.table(idx), f"{base}/exact_idx")
+    idx2 = jdb.load(f"{base}/exact_idx", spark).df
+    assert (sorted(r["doc_id"] for r in
+                   INC.dedup_exact_against(new, idx2, "doc_id").collect())
+            == sorted(r["doc_id"] for r in
+                      INC.dedup_exact_against(new, idx, "doc_id").collect())
+            == [11, 14])
+
+    midx = INC.minhash_index(old, "doc_id", num_hashes=16)
+    jdb.save(jdb.table(midx), f"{base}/mh_idx")
+    midx2 = jdb.load(f"{base}/mh_idx", spark).df
+    kw = dict(num_hashes=16, bands=8, threshold=0.3, corpus_df=old)
+    got_mem = {(r["id_new"], r["id_corpus"], round(r["jaccard"], 12))
+               for r in INC.minhash_against(new, midx, "doc_id",
+                                            **kw).collect()}
+    got_disk = {(r["id_new"], r["id_corpus"], round(r["jaccard"], 12))
+                for r in INC.minhash_against(new, midx2, "doc_id",
+                                             **kw).collect()}
+    assert got_disk == got_mem and (10, 1) in {p[:2] for p in got_mem}
+
+    sidx = INC.substring_index(old, "doc_id", k=5)
+    jdb.save(jdb.table(sidx), f"{base}/sub_idx")
+    sidx2 = jdb.load(f"{base}/sub_idx", spark).df
+    a = {(r["doc_id"], r["text"]) for r in
+         INC.dedup_substrings_against(new, sidx, "doc_id", k=5).collect()}
+    b = {(r["doc_id"], r["text"]) for r in
+         INC.dedup_substrings_against(new, sidx2, "doc_id", k=5).collect()}
+    assert a == b
