@@ -24,6 +24,11 @@ oracle side is a cheap aggregation:
    NOTE this deliberately runs minhash_against on NOT-yet-exact-deduped
    sides — the dup-saturated stress — whereas the documented pipeline
    order (exact dedup first) removes identical texts before banding.
+7. Incremental embedding (parity split): cosine≈1 new×index links ≥
+   Σ n_odd(g)·n_even(g) over identical-VECTOR groups (identical
+   vectors always share every hyperplane bucket; random bucket
+   collisions are filtered by the ≥1−1e−9 cosine verify), exact-count
+   equality reported.
 
 Usage: python tools/check_invariants.py [sf_dir ...]
 """
@@ -134,6 +139,27 @@ def check(sf_dir: str, spark) -> bool:
     x_ones = links.filter(F.col("jaccard") == 1.0).count()
     rec("incremental_minhash_ones_eq_cross_dup_pairs", x_ones >= exp_x,
         f"ones={x_ones} expected={exp_x} exact={x_ones == exp_x} "
+        f"({time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    ep = f"read_parquet('{sf_dir}/embeddings.parquet')"
+    exp_e = con.execute(f"""
+        SELECT coalesce(CAST(sum(odd*even) AS BIGINT), 0) FROM (
+          SELECT sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS odd,
+                 sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS even
+          FROM {ep} GROUP BY embedding) t""").fetchone()[0]
+    emb = read_table(spark, sf_dir, "embeddings")
+    eold = emb.filter(F.col("vec_id") % 2 == 0)
+    enew = emb.filter(F.col("vec_id") % 2 == 1)
+    # 20 planes: random pairs rarely share all sign bits, and the few
+    # that do are filtered by the near-1 cosine verify — candidates
+    # stay ~= the identical-vector cross pairs at every rung
+    e_links = INC.embedding_against(
+        enew, INC.embedding_index(eold, "vec_id", "embedding",
+                                  n_planes=20),
+        "vec_id", "embedding", threshold=1 - 1e-9, n_planes=20).count()
+    rec("incremental_embedding_ones_eq_cross_dup_pairs", e_links >= exp_e,
+        f"links={e_links} expected={exp_e} exact={e_links == exp_e} "
         f"({time.time()-t0:.1f}s)")
 
     docs.unpersist()
