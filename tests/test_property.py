@@ -261,3 +261,37 @@ def test_substring_dedup_matches_pure_python(spark, docs, k):
         # touched docs are token-rejoined — token sequences must match
         # the reference either way
         assert got[i].split() == want[i].split(), (i, t, got[i], want[i])
+
+
+@st.composite
+def doc_corpora(draw):
+    """(old_rows, new_rows): texts drawn from a small pool so exact
+    duplicates arise across and within both sides; old ids < new ids
+    (the append-ingest contract)."""
+    pool = [f"text variant {i} with some shared words" for i in range(6)]
+    n_old = draw(st.integers(1, 12))
+    n_new = draw(st.integers(1, 12))
+    old = [(i, draw(st.sampled_from(pool))) for i in range(n_old)]
+    new = [(100 + i, draw(st.sampled_from(pool))) for i in range(n_new)]
+    return old, new
+
+
+@given(data=doc_corpora())
+@_settings
+def test_incremental_dedup_append_equivalence(spark, data):
+    """PROPERTY: dedup_exact(old ∪ new) ≡ dedup_exact(old) ∪
+    dedup_exact_against(new, dedup_index(old)) for ANY duplicate
+    structure, as long as new ids sort after old ids."""
+    from juliadb_jl_spark.functions import dedup as DD
+    from juliadb_jl_spark.functions import incremental as INC
+    old_rows, new_rows = data
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    full = sorted(r["doc_id"] for r in
+                  DD.dedup_exact(old.unionByName(new), "doc_id").collect())
+    idx = INC.dedup_index(old, "doc_id")
+    inc = sorted(
+        [r["doc_id"] for r in DD.dedup_exact(old, "doc_id").collect()]
+        + [r["doc_id"] for r in
+           INC.dedup_exact_against(new, idx, "doc_id").collect()])
+    assert inc == full
