@@ -507,6 +507,27 @@ def band_buckets(sig: DataFrame, bands: int, r: int,
         "id", F.posexplode(F.array(*band_exprs)).alias("band", "bucket"))
 
 
+def minhash_signature_rowwise(df: DataFrame, id_col: str,
+                              text_col: str = "text", k: int = 3,
+                              num_hashes: int = 32) -> DataFrame:
+    """Stateless per-row MinHash signature (xxhash64 family only):
+    array_min over per-shingle hashes — no explode, no groupBy, no
+    shuffle, so it runs unchanged under Structured Streaming
+    (streaming.stream_minhash_against) and matches minhash_signature
+    bit-for-bit (differential-tested; measured wall-time parity with
+    the aggregate form at sf1).  Docs with no shingles are dropped,
+    same as the aggregate form.  The portable family stays on the
+    aggregate path — its char-fold hash is itself a higher-order fold,
+    and nesting it inside transform would leave codegen."""
+    def mk(i):
+        return F.array_min(
+            F.transform("shset", lambda s: F.xxhash64(F.lit(i), s)))
+    sets_ = _shingle_sets(df, id_col, text_col, k)
+    return (sets_.filter(F.size("shset") > 0)
+            .select("id", F.array(*[mk(i) for i in range(num_hashes)])
+                    .alias("signature")))
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str = "text",
                       k: int = 3, num_hashes: int = 32,
                       hash_family: str = "xxhash64") -> DataFrame:

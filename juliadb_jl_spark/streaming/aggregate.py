@@ -123,6 +123,36 @@ def stream_dedup_against(df: DataFrame, index: DataFrame,
             .drop("__fp"))
 
 
+def stream_minhash_against(df: DataFrame, index: DataFrame, id_col: str,
+                           text_col: str = "text", k: int = 3,
+                           num_hashes: int = 32,
+                           bands: int = 8) -> DataFrame:
+    """Streaming near-dup candidates vs the STATIC MinHash index: each
+    streamed doc gets a stateless per-row signature
+    (dedup.minhash_signature_rowwise — no aggregation, so it runs
+    under Structured Streaming), is banded, and stream-static
+    equi-joined against the banded index.  Emits (id_new, id_corpus)
+    candidate links; a pair sharing several bands repeats up to
+    `bands` times — dedup/exact-verify downstream in batch (verify
+    needs corpus text; distinct on an unbounded stream would grow
+    state forever).  Batch frames take the identical plan, which is
+    how the batch-equivalence test checks it against
+    incremental.minhash_against candidates."""
+    from juliadb_jl_spark.functions.dedup import (
+        band_buckets, minhash_signature_rowwise)
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature_rowwise(df, id_col, text_col, k, num_hashes)
+    n = band_buckets(sig, bands, r).alias("n")
+    idx_id = id_col if id_col in index.columns else "id"
+    c = band_buckets(index.select(F.col(idx_id).alias("id"), "signature"),
+                     bands, r).alias("c")
+    return (n.join(c, (F.col("n.band") == F.col("c.band")) &
+                   (F.col("n.bucket") == F.col("c.bucket")))
+            .select(F.col("n.id").alias("id_new"),
+                    F.col("c.id").alias("id_corpus")))
+
+
 def stream_join(l: DataFrame, r: DataFrame, on, l_ts: str, r_ts: str,
                 watermark: str = "1 hour", within: str = "1 hour",
                 how: str = "inner") -> DataFrame:

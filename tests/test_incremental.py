@@ -316,3 +316,47 @@ def test_index_persistence_roundtrip(spark, tmp_path):
     b = {(r["doc_id"], r["text"]) for r in
          INC.dedup_substrings_against(new, sidx2, "doc_id", k=5).collect()}
     assert a == b
+
+
+def test_minhash_signature_rowwise_identical(spark):
+    """The stateless per-row signature form is bit-identical to the
+    explode+groupBy aggregate form on the real documents table."""
+    docs = read_table(spark, SF_DIR, "documents")
+    a = DD.minhash_signature(docs, "doc_id", num_hashes=16) \
+        .withColumnRenamed("signature", "sa")
+    b = DD.minhash_signature_rowwise(docs, "doc_id", num_hashes=16) \
+        .withColumnRenamed("signature", "sb")
+    j = a.join(b, "id", "full")
+    assert j.filter(F.col("sa").isNull() | F.col("sb").isNull() |
+                    (F.col("sa") != F.col("sb"))).count() == 0
+
+
+def test_stream_minhash_against_matches_batch(spark, tmp_path):
+    """Streaming near-dup flagging: per-row signatures + banding +
+    stream-static join across micro-batches produce exactly the batch
+    candidate set (distinct pairs == minhash_against verify=False)."""
+    from juliadb_jl_spark.functions import incremental as INC
+    from juliadb_jl_spark.streaming import aggregate as SA
+
+    docs = read_table(spark, SF_DIR, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = INC.minhash_index(old, "doc_id", num_hashes=16)
+    want = {tuple(r) for r in
+            INC.minhash_against(new, idx, "doc_id", num_hashes=16,
+                                bands=8, verify=False).collect()}
+    src = str(tmp_path / "mh_stream")
+    halves = new.randomSplit([0.5, 0.5], seed=3)
+    for i, h in enumerate(halves):
+        h.coalesce(1).write.parquet(f"{src}/b{i}")
+    stream = (spark.readStream.schema(new.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    out = SA.stream_minhash_against(stream, idx, "doc_id", num_hashes=16,
+                                    bands=8)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("mh_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["id_new"], r["id_corpus"]) for r in
+           spark.sql("SELECT DISTINCT * FROM mh_out").collect()}
+    assert got == want
