@@ -360,3 +360,34 @@ def test_stream_minhash_against_matches_batch(spark, tmp_path):
     got = {(r["id_new"], r["id_corpus"]) for r in
            spark.sql("SELECT DISTINCT * FROM mh_out").collect()}
     assert got == want
+
+
+def test_incremental_plan_shapes(spark):
+    """Physical-plan audit: in broadcast mode the BATCH side broadcasts
+    (BroadcastHashJoin, no SortMergeJoin fallback anywhere) so the
+    corpus/index side is joined in place — the plan shape the 100-TB
+    design depends on."""
+    from juliadb_jl_spark.functions import incremental as INC
+
+    docs = read_table(spark, SF_DIR, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan(INC.minhash_against(new, INC.minhash_index(old, "doc_id"),
+                                 "doc_id", verify=False,
+                                 broadcast_new=True))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    emb = read_table(spark, SF_DIR, "embeddings")
+    eold = emb.filter(F.col("vec_id") % 2 == 0)
+    enew = emb.filter(F.col("vec_id") % 2 == 1)
+    p = plan(INC.embedding_against(
+        enew, INC.embedding_index(eold, "vec_id", "embedding"),
+        "vec_id", "embedding", threshold=0.35, broadcast_new=True))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    # exact path: hash-partitioned joins + aggregates, never sort-merge
+    p = plan(INC.dedup_exact_against(new, INC.dedup_index(old, "doc_id"),
+                                     "doc_id"))
+    assert "SortMergeJoin" not in p
