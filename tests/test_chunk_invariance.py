@@ -117,3 +117,29 @@ def test_substring_dedup_chunk_invariant(tables):
             base = got
         else:
             pd.testing.assert_frame_equal(base, got)
+
+
+def test_incremental_against_chunk_invariant(tables):
+    """Incremental-ingest results are invariant to the partition layout
+    of BOTH the batch and the index (1/2/5-way grids)."""
+    from pyspark.sql import functions as F
+
+    from juliadb_jl_spark.functions import incremental as INC
+    d = tables["documents"].df
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    base_kept = None
+    base_cand = None
+    for nb, ni in [(1, 5), (2, 2), (5, 1)]:
+        idx = INC.dedup_index(old.repartition(ni), "doc_id").repartition(ni)
+        kept = sorted(r["doc_id"] for r in INC.dedup_exact_against(
+            new.repartition(nb), idx, "doc_id").collect())
+        mh = INC.minhash_index(old.repartition(ni), "doc_id",
+                               num_hashes=16).repartition(ni)
+        cand = sorted(tuple(r) for r in INC.minhash_against(
+            new.repartition(nb), mh, "doc_id", num_hashes=16, bands=8,
+            verify=False).collect())
+        if base_kept is None:
+            base_kept, base_cand = kept, cand
+        else:
+            assert kept == base_kept and cand == base_cand
