@@ -391,3 +391,35 @@ def test_incremental_plan_shapes(spark):
     p = plan(INC.dedup_exact_against(new, INC.dedup_index(old, "doc_id"),
                                      "doc_id"))
     assert "SortMergeJoin" not in p
+
+
+def test_stream_full_ingest_dedup_composition(spark, tmp_path):
+    """The documented continuous-ingest composition — stream_dedup_against
+    (vs corpus) chained with streaming_dedup on the fingerprint (within
+    stream) — keeps exactly what batch dedup_exact_against keeps, when
+    micro-batches arrive in id order (first-seen == min-id)."""
+    import pandas as pd
+    from juliadb_jl_spark.functions import incremental as INC
+    from juliadb_jl_spark.functions.text import fingerprint
+    from juliadb_jl_spark.streaming import aggregate as SA
+
+    old, new = _docs(spark, OLD_ROWS), _docs(spark, NEW_ROWS)
+    idx = INC.dedup_index(old, "doc_id")
+    want = sorted(r["doc_id"] for r in
+                  INC.dedup_exact_against(new, idx, "doc_id").collect())
+    src = str(tmp_path / "full_ingest")
+    for i, chunk in enumerate([NEW_ROWS[:2], NEW_ROWS[2:4], NEW_ROWS[4:]]):
+        spark.createDataFrame(pd.DataFrame(chunk, columns=["doc_id", "text"])
+                              ).coalesce(1).write.parquet(f"{src}/b{i}")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    out = SA.stream_dedup_against(stream, idx) \
+        .withColumn("__fp", fingerprint(F.col("text")))
+    out = SA.streaming_dedup(out, "__fp").drop("__fp")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("full_ingest_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r["doc_id"] for r in
+                 spark.sql("SELECT * FROM full_ingest_out").collect())
+    assert got == want == [11, 14]
