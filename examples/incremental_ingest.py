@@ -70,8 +70,8 @@ def main():
         merged = INC.merge_dedup_index(idx, INC.dedup_index(fresh, "doc_id"))
         jdb.save(jdb.table(merged), f"{work}/exact_idx_v{day}",
                  mode="overwrite")
-        jdb.save(jdb.table(mh.unionByName(
-            INC.minhash_index(fresh, "doc_id"))), f"{work}/mh_idx_v{day}",
+        jdb.save(jdb.table(INC.merge_minhash_index(
+            mh, INC.minhash_index(fresh, "doc_id"))), f"{work}/mh_idx_v{day}",
             mode="overwrite")
 
     # --- the contract: the accumulated corpus == one-shot dedup of

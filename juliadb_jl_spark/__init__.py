@@ -52,6 +52,7 @@ from juliadb_jl_spark.functions import (
     bpe, classifier, curation, dedup, incremental, multimodal, rollup,
     sampling, search, similarity, text,
 )
+from juliadb_jl_spark.functions.dedup import clear_dup_stats
 from juliadb_jl_spark.functions.scratch import release_scratch
 from juliadb_jl_spark import ml as ML
 from juliadb_jl_spark.api import (
@@ -92,6 +93,7 @@ __all__ = [
     "compute", "distribute", "glob", "keys_", "pairs", "rechunk_together",
     "rows", "values_", "ML", "load_table", "insert_row",
     "start_tracking_time", "stop_tracking_time", "fetch_timings",
+    "clear_dup_stats",
     "release_scratch",
 ]
 

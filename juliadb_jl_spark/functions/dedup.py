@@ -70,7 +70,21 @@ def _norm_text(text_col: str) -> Column:
 # path produces identical output either way), so a stale hit cannot
 # affect correctness; repeated queries over the same corpus skip the
 # stats jobs, which in local mode are ~all fixed submission overhead.
+# Session-lifetime assumption: semanticHash identifies a PLAN, not the
+# files under it — overwriting a parquet path mid-session leaves stale
+# duplicate-structure hints behind (still output-identical, possibly
+# mis-tuned guards); call `clear_dup_stats()` after rewriting inputs.
 _DUP_STATS_MEMO: dict[tuple, tuple[float, int]] = {}
+
+
+def clear_dup_stats() -> int:
+    """Drop the memoized duplicate-structure hints (see _DUP_STATS_MEMO
+    note above) — call after overwriting an input parquet in-session so
+    the skew guards re-measure the new data.  Returns how many entries
+    were dropped.  Exported next to ``release_scratch``."""
+    n = len(_DUP_STATS_MEMO)
+    _DUP_STATS_MEMO.clear()
+    return n
 
 
 def _dup_stats(df: DataFrame, id_col: str, text_col: str) -> tuple[float, int]:

@@ -25,6 +25,16 @@ New-batch dedup is then:
     broadcast when small (plan-statistics estimate, same rule as
     ``ngram_jaccard_pairs``), so the 100-TB index is never shuffled.
 
+Storage layout: persist each index hash-bucketed on its join key with
+``save_index_bucketed`` (exact/substring → fp, minhash → the pre-banded
+(band, bucket) form, embedding → bucket, novelty → gram).  Then even a
+batch too big to broadcast never re-shuffles the index — its bucketed
+scan already satisfies the join's required distribution, so the planner
+exchanges only the batch (plan-asserted).  Update indexes per ingest
+with the ``merge_*_index`` family: min-id groupBy for exact, plain
+append for minhash/embedding (signatures are pure functions of the
+text), anti-join append of only-new keys for substring/novelty.
+
 Append-equivalence contract (tested): when every id in ``new`` sorts
 after every id already in the corpus (the natural ingest order),
 
@@ -89,6 +99,134 @@ def dedup_exact_against(new_df: DataFrame, index: DataFrame, id_col: str,
     return new_df.join(keep, id_col, "left_semi")
 
 
+# join key per index kind — the bucketed-persistence layout contract:
+# an index saved bucketed on these keys is read by its *_against join
+# with NO exchange on the index side (the decisive storage choice once
+# batches outgrow broadcast: the 100-TB index is never re-shuffled).
+_INDEX_BUCKET_KEYS = {
+    "exact": ["fp"],          # dedup_exact_against anti-join key
+    "minhash": ["band", "bucket"],   # pre-banded form (minhash_index_banded)
+    "embedding": ["bucket"],  # hyperplane-LSH bucket
+    "substring": ["fp"],      # duplicate_spans_against semi-join key
+    "novelty": ["gram"],      # novelty_against join key
+}
+
+
+def save_index_bucketed(index: DataFrame, table_name: str, kind: str,
+                        buckets: int = 64, mode: str = "overwrite") -> None:
+    """Persist an incremental-ingest index hash-BUCKETED on its join
+    key (kind → key: exact/substring → fp, minhash → (band, bucket) of
+    the pre-banded form from ``minhash_index_banded``, embedding →
+    bucket, novelty → gram), via ``sources.parquet.save_bucketed``.
+
+    Every later ``*_against`` ingest then reads the index exchange-free:
+    the bucketed scan already satisfies the join's required
+    distribution, so the planner shuffles ONLY the (batch-sized) new
+    side — plan-asserted in tests/test_incremental.py.  Size ``buckets``
+    so one bucket of the index fits executor memory (e.g. a 100 TB
+    banded index at 4 GiB/bucket target → ~25k buckets).  Append later
+    batches with ``mode="append"`` — Spark bucketing is stable across
+    writes of the same bucket count."""
+    from juliadb_jl_spark.plans.table import Table
+    from juliadb_jl_spark.sources.parquet import save_bucketed
+    keys = _INDEX_BUCKET_KEYS[kind]
+    missing = [k for k in keys if k not in index.columns]
+    if missing:
+        raise ValueError(
+            f"index kind={kind!r} must carry join-key column(s) {keys} "
+            f"(missing {missing}); for kind='minhash' persist the "
+            f"pre-banded form from minhash_index_banded")
+    save_bucketed(Table(index), table_name, buckets, by=keys, mode=mode)
+
+
+def load_index(table_name: str, spark=None) -> DataFrame:
+    """Reopen an index persisted with ``save_index_bucketed`` (a plain
+    DataFrame over the bucketed table — bucketing metadata lives in the
+    catalog, so joins on the bucket key skip the index-side exchange)."""
+    from juliadb_jl_spark.sources.parquet import load_table
+    return load_table(table_name, spark).df
+
+
+def minhash_index_banded(index: DataFrame, id_col: str = "id",
+                         num_hashes: int = 32, bands: int = 8,
+                         hash_family: str = "xxhash64") -> DataFrame:
+    """(id, band, bucket) banded layout of an ``(id, signature)`` MinHash
+    index — the exact rows ``minhash_against`` probes, precomputed so
+    they can be persisted bucketed on (band, bucket) via
+    ``save_index_bucketed(kind="minhash")``.  ``minhash_against``
+    recognizes a pre-banded index by its columns and skips in-flight
+    banding; band parameters must match the batch side (same
+    num_hashes/bands/hash_family — document them next to the table).
+    xxhash64 family only: the portable family's bucket is an array,
+    which Spark bucketing cannot hash."""
+    if hash_family == "portable":
+        raise ValueError("banded persistence needs a hashable bucket "
+                         "column; the portable family's array buckets "
+                         "are oracle-path only — use hash_family="
+                         "'xxhash64' (the scale path)")
+    assert num_hashes % bands == 0
+    idx_id = id_col if id_col in index.columns else "id"
+    return band_buckets(
+        index.select(F.col(idx_id).alias("id"), "signature"),
+        bands, num_hashes // bands, hash_family)
+
+
+def merge_minhash_index(*indexes: DataFrame) -> DataFrame:
+    """Union MinHash indexes built from id-disjoint batches into one:
+    merge(minhash_index(A), minhash_index(B)) == minhash_index(A ∪ B)
+    exactly when A and B share no ids (the append-ingest contract),
+    because a signature is a pure function of its text — nothing to
+    re-aggregate.  In production just APPEND the new batch's index rows
+    to the persisted parquet (``mode="append"``); this helper is the
+    in-memory equivalent (property-tested against the one-shot index)."""
+    out = indexes[0]
+    for other in indexes[1:]:
+        out = out.unionByName(other)
+    return out
+
+
+def merge_embedding_index(*indexes: DataFrame) -> DataFrame:
+    """Union embedding indexes of id-disjoint batches — exact for the
+    same reason as ``merge_minhash_index`` (the hyperplanes are
+    deterministic in (dim, n_planes, seed), so buckets of a doc never
+    depend on which batch it arrived in).  Persisted form: plain
+    parquet append of the batch index."""
+    out = indexes[0]
+    for other in indexes[1:]:
+        out = out.unionByName(other)
+    return out
+
+
+def merge_substring_index(index: DataFrame, new_index: DataFrame) -> DataFrame:
+    """ONLY-NEW window fingerprints of ``new_index`` relative to the
+    persisted ``index`` — append the result to the index storage
+    (``mode="append"``); then  index ∪ result == substring_index(old ∪ new)
+    exactly (both are the distinct fp-set union).
+
+    Scale shape: one anti-join on fp with the distinct pass REUSING the
+    anti-join's hash partitioning (same key, zero extra exchange), and
+    the OUTPUT is batch-sized — unlike a union + distinct rewrite,
+    which re-shuffles and re-writes the entire corpus-sized fp set per
+    ingest.  With the index persisted bucketed on fp
+    (``save_index_bucketed``) its side of the anti-join also reads
+    exchange-free."""
+    return (new_index.select("fp")
+            .join(index.select("fp"), "fp", "left_anti")
+            .distinct())
+
+
+def merge_novelty_index(index: DataFrame, new_index: DataFrame) -> DataFrame:
+    """ONLY-NEW n-grams of ``new_index`` relative to the persisted
+    novelty ``index`` — the anti-join append that replaces the naive
+    union + distinct (which re-distincts the full 100-TB gram set every
+    merge): output is O(new grams), the index is read once (and
+    exchange-free when persisted bucketed on gram), and
+    index ∪ result == novelty_index(old ∪ new) exactly."""
+    return (new_index.select("gram")
+            .join(index.select("gram"), "gram", "left_anti")
+            .distinct())
+
+
 def minhash_index(df: DataFrame, id_col: str, text_col: str = "text",
                   k: int = 3, num_hashes: int = 32,
                   hash_family: str = "xxhash64") -> DataFrame:
@@ -118,6 +256,11 @@ def minhash_against(new_df: DataFrame, index: DataFrame, id_col: str,
     banded batch when its plan-statistics size estimate (×8 expansion,
     same rule as ngram_jaccard_pairs) fits under the threshold, so the
     corpus-sized index side is joined in place rather than shuffled.
+    For batches past the broadcast bound, persist the PRE-BANDED index
+    (``minhash_index_banded`` + ``save_index_bucketed(kind="minhash")``)
+    — this function recognizes the (band, bucket) columns, skips
+    in-flight banding, and the bucketed scan keeps the index
+    exchange-free there too; only the batch is ever shuffled.
 
     ``verify=True`` needs ``corpus_df`` (id/text of the indexed docs) to
     compute exact Jaccard — but only for docs that actually matched a
@@ -146,9 +289,16 @@ def minhash_against(new_df: DataFrame, index: DataFrame, id_col: str,
     new_sig = _signature_from_sets(new_sets, num_hashes, hash_family)
     new_banded = band_buckets(new_sig, bands, r, hash_family)
     idx_id = id_col if id_col in index.columns else "id"
-    idx_banded = band_buckets(
-        index.select(F.col(idx_id).alias("id"), "signature"),
-        bands, r, hash_family)
+    if {"band", "bucket"}.issubset(index.columns):
+        # pre-banded index (minhash_index_banded) — typically persisted
+        # bucketed on (band, bucket) via save_index_bucketed, whose scan
+        # then satisfies the join distribution with no exchange
+        idx_banded = index.select(F.col(idx_id).alias("id"),
+                                  "band", "bucket")
+    else:
+        idx_banded = band_buckets(
+            index.select(F.col(idx_id).alias("id"), "signature"),
+            bands, r, hash_family)
     if broadcast_new is None:
         est = int(new_df._jdf.queryExecution().optimizedPlan()
                   .stats().sizeInBytes())
@@ -157,11 +307,14 @@ def minhash_against(new_df: DataFrame, index: DataFrame, id_col: str,
     if broadcast_new:
         n = F.broadcast(n)
     else:
-        # both sides large: co-partition on the bucket key so the join
-        # parallelizes; shuffle_hash avoids sorting the corpus side
-        p = new_df.sparkSession.sparkContext.defaultParallelism
-        n = n.repartition(p, "band", "bucket")
-        c = c.repartition(p, "band", "bucket").hint("shuffle_hash")
+        # both sides large: shuffle-hash join BUILDING on the batch side
+        # (the smaller map), streaming the index.  No explicit
+        # repartition on either side — the planner co-partitions them,
+        # and when the index is persisted bucketed on (band, bucket)
+        # its scan already satisfies the distribution, so only the
+        # batch is shuffled (plan-asserted): the 100-TB index is never
+        # re-partitioned, broadcastable batch or not.
+        n = n.hint("shuffle_hash")
     cand = (c.join(n, (F.col("c.band") == F.col("n.band")) &
                    (F.col("c.bucket") == F.col("n.bucket")))
             .select(F.col("n.id").alias("id_new"),
@@ -261,9 +414,11 @@ def embedding_against(new_df: DataFrame, index: DataFrame, id_col: str,
     if broadcast_new:
         n = F.broadcast(n)
     else:
-        p = new_df.sparkSession.sparkContext.defaultParallelism
-        n = n.repartition(p, "bucket")
-        c = c.repartition(p, "bucket").hint("shuffle_hash")
+        # build on the batch side, stream the index; no explicit
+        # repartition so a bucket-persisted index (save_index_bucketed
+        # kind="embedding") is scanned in place and only the batch
+        # shuffles — same rationale as minhash_against
+        n = n.hint("shuffle_hash")
     n, c = n.alias("n"), c.alias("c")
     cos = cosine_expr(F.col("n.v"), F.col("c.v"))
     return (c.join(n, F.col("n.bucket") == F.col("c.bucket"))
@@ -437,9 +592,9 @@ def novelty_index(df: DataFrame, text_col: str = "text",
                   n: int = 5) -> DataFrame:
     """Distinct word n-gram set of the corpus — one ``(gram)`` row per
     distinct n-gram, the persistable artifact ``novelty_against``
-    scores new batches with.  Merge indexes of disjoint batches with a
-    union + distinct.  Same shingle construction as
-    ``curation.novelty_scores``."""
+    scores new batches with.  Update with ``merge_novelty_index`` (an
+    O(batch) anti-join append — do NOT union + distinct the full set).
+    Same shingle construction as ``curation.novelty_scores``."""
     from juliadb_jl_spark.functions.text import shingles
     return (df.select(F.explode(F.array_distinct(
         shingles(F.col(text_col), n))).alias("gram"))

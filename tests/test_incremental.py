@@ -318,6 +318,148 @@ def test_index_persistence_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_merge_index_family_exactness(spark):
+    """merge_*_index contracts: minhash/embedding union of id-disjoint
+    batches == the one-shot index; substring/novelty deltas are disjoint
+    from the index and union to exactly the one-shot key set."""
+    from juliadb_jl_spark.functions import incremental as INC
+
+    docs = read_table(spark, SF_DIR, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    both = old.unionByName(new)
+
+    m = INC.merge_minhash_index(INC.minhash_index(old, "doc_id", num_hashes=16),
+                                INC.minhash_index(new, "doc_id", num_hashes=16))
+    one = INC.minhash_index(both, "doc_id", num_hashes=16)
+    assert (sorted(map(tuple, m.collect()))
+            == sorted(map(tuple, one.collect())))
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    eold = emb.filter(F.col("vec_id") % 2 == 0)
+    enew = emb.filter(F.col("vec_id") % 2 == 1)
+    em = INC.merge_embedding_index(
+        INC.embedding_index(eold, "vec_id", "embedding"),
+        INC.embedding_index(enew, "vec_id", "embedding"))
+    eone = INC.embedding_index(emb, "vec_id", "embedding")
+    key = lambda rows: sorted((r["id"], tuple(r["v"]), r["bucket"])  # noqa: E731
+                              for r in rows)
+    assert key(em.collect()) == key(eone.collect())
+
+    sidx = INC.substring_index(old, "doc_id", k=20)
+    delta = INC.merge_substring_index(sidx, INC.substring_index(new, "doc_id",
+                                                                k=20))
+    idx_fps = {r["fp"] for r in sidx.collect()}
+    delta_fps = {r["fp"] for r in delta.collect()}
+    one_fps = {r["fp"] for r in
+               INC.substring_index(both, "doc_id", k=20).collect()}
+    assert not (delta_fps & idx_fps) and (idx_fps | delta_fps) == one_fps
+
+    nidx = INC.novelty_index(old, n=5)
+    ndelta = INC.merge_novelty_index(nidx, INC.novelty_index(new, n=5))
+    idx_g = {r["gram"] for r in nidx.collect()}
+    d_g = {r["gram"] for r in ndelta.collect()}
+    one_g = {r["gram"] for r in INC.novelty_index(both, n=5).collect()}
+    assert not (d_g & idx_g) and (idx_g | d_g) == one_g
+    # and the merged index scores a later batch exactly like one-shot
+    probe = _docs(spark, NEW_ROWS)
+    a = sorted(map(tuple, INC.novelty_against(
+        probe, nidx.unionByName(ndelta), "doc_id", n=5).collect()))
+    b = sorted(map(tuple, INC.novelty_against(
+        probe, INC.novelty_index(both, n=5), "doc_id", n=5).collect()))
+    assert a == b
+
+
+def test_bucketed_index_skips_index_shuffle(spark):
+    """save_index_bucketed layout contract: with the index persisted
+    bucketed on its join key, every *_against plan scans the index
+    `Bucketed: true` with NO exchange above it (only the batch side
+    shuffles — strictly fewer exchanges than the unbucketed plan), and
+    results are identical to the unbucketed index."""
+    from juliadb_jl_spark.functions import incremental as INC
+
+    docs = read_table(spark, SF_DIR, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    emb = read_table(spark, SF_DIR, "embeddings")
+    eold = emb.filter(F.col("vec_id") % 2 == 0)
+    enew = emb.filter(F.col("vec_id") % 2 == 1)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def n_exch(p):
+        return p.count("Exchange hashpartitioning")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # minhash: pre-banded, bucketed on (band, bucket)
+        midx = INC.minhash_index(old, "doc_id", num_hashes=16)
+        INC.save_index_bucketed(
+            INC.minhash_index_banded(midx, num_hashes=16, bands=8),
+            "t_mh_idx_b", "minhash", buckets=8)
+        midx_b = INC.load_index("t_mh_idx_b", spark)
+        kw = dict(num_hashes=16, bands=8, verify=False, broadcast_new=False)
+        plain = INC.minhash_against(new, midx, "doc_id", **kw)
+        buck = INC.minhash_against(new, midx_b, "doc_id", **kw)
+        pp, pb = plan(plain), plan(buck)
+        assert "Bucketed: true" in pb and "Bucketed: true" not in pp
+        assert n_exch(pb) < n_exch(pp), pb
+        assert ({tuple(r) for r in plain.collect()}
+                == {tuple(r) for r in buck.collect()})
+
+        # embedding: bucketed on bucket
+        eidx = INC.embedding_index(eold, "vec_id", "embedding")
+        INC.save_index_bucketed(eidx, "t_emb_idx_b", "embedding", buckets=8)
+        eidx_b = INC.load_index("t_emb_idx_b", spark)
+        lp = INC.embedding_against(enew, eidx, "vec_id", "embedding",
+                                   threshold=0.35, broadcast_new=False)
+        lb = INC.embedding_against(enew, eidx_b, "vec_id", "embedding",
+                                   threshold=0.35, broadcast_new=False)
+        pp, pb = plan(lp), plan(lb)
+        assert "Bucketed: true" in pb and n_exch(pb) < n_exch(pp), pb
+        assert ({(r[0], r[1], round(r[2], 9)) for r in lp.collect()}
+                == {(r[0], r[1], round(r[2], 9)) for r in lb.collect()})
+
+        # exact: bucketed on fp (anti-join right side reads in place)
+        xidx = INC.dedup_index(old, "doc_id")
+        INC.save_index_bucketed(xidx, "t_ex_idx_b", "exact", buckets=8)
+        xidx_b = INC.load_index("t_ex_idx_b", spark)
+        kp = INC.dedup_exact_against(new, xidx, "doc_id")
+        kb = INC.dedup_exact_against(new, xidx_b, "doc_id")
+        pp, pb = plan(kp), plan(kb)
+        assert "Bucketed: true" in pb and n_exch(pb) < n_exch(pp), pb
+        assert (sorted(r["doc_id"] for r in kp.collect())
+                == sorted(r["doc_id"] for r in kb.collect()))
+
+        # substring: bucketed on fp (semi-join right side reads in place)
+        sidx = INC.substring_index(old, "doc_id", k=20)
+        INC.save_index_bucketed(sidx, "t_sub_idx_b", "substring", buckets=8)
+        sidx_b = INC.load_index("t_sub_idx_b", spark)
+        sp = INC.duplicate_spans_against(new, sidx, "doc_id", k=20)
+        sb = INC.duplicate_spans_against(new, sidx_b, "doc_id", k=20)
+        assert "Bucketed: true" in plan(sb)
+        assert ({tuple(r) for r in sp.collect()}
+                == {tuple(r) for r in sb.collect()})
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        for t in ("t_mh_idx_b", "t_emb_idx_b", "t_ex_idx_b", "t_sub_idx_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_clear_dup_stats(spark):
+    """clear_dup_stats drops the memoized duplicate-structure hints (the
+    session-lifetime guard for overwritten input paths)."""
+    import juliadb_jl_spark as jdb
+
+    docs = read_table(spark, SF_DIR, "documents")
+    DD._dup_stats(docs, "doc_id", "text")
+    assert len(DD._DUP_STATS_MEMO) >= 1
+    assert jdb.clear_dup_stats() >= 1
+    assert not DD._DUP_STATS_MEMO
+
+
 def test_minhash_signature_rowwise_identical(spark):
     """The stateless per-row signature form is bit-identical to the
     explode+groupBy aggregate form on the real documents table."""
