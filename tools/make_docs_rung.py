@@ -1,0 +1,88 @@
+"""Build a DOCUMENT-SCALE rung (default 5M docs) for the dedup +
+incremental-ingest family — the 100-TB claim is about documents, and
+`make_sf.py`'s plain replication cannot reach 5M docs with well-posed
+invariants: at factor 1000 every source doc would become a 1000-member
+exact clique (Σ C(1000,2) ≈ 2.5×10⁹ all-pairs — physically nonsensical
+to enumerate, the same reason sf10skew switched to star edges).
+
+Two-level replication instead: each source doc becomes
+``factor // clique`` DISTINCT text variants × ``clique``-member exact
+duplicate cliques.  A variant token is woven in after every second
+token (``'(\\S+ \\S+)' -> '\\1 vN'``), so EVERY 3-gram shingle window of
+a variant contains a variant token — cross-variant Jaccard is exactly 0
+and cross-variant MinHash/SimHash collisions are chance-level, while
+intra-variant members stay byte-identical.  Pair counts then stay at
+the proven sf10 magnitude (5k src × 100 variants × C(10,2) = 22.5M
+jaccard-1 pairs) while the corpus grows to 5M docs.
+
+Embeddings replicate plainly (identical-vector groups of
+``emb_factor``) — the embedding invariant needs identical groups, and
+its candidate count scales with group size squared, so it gets its own
+smaller factor.
+
+Usage: python tools/make_docs_rung.py [factor] [clique] [emb_factor]
+                                      [src_dir] [out_dir]
+Defaults: 1000 10 50 /root/testdata/sf0.1 /root/repo/.testdata/sfdocs
+→ 5,000,000 documents (500k variants × 10-cliques), 100,000 embeddings
+(2k groups of 50).  Gate: tools/check_invariants.py <out_dir>.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    clique = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    emb_factor = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+    src = sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.1"
+    out = sys.argv[5] if len(sys.argv) > 5 else "/root/repo/.testdata/sfdocs"
+    assert factor % clique == 0, "factor must be a multiple of clique"
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+
+    doc_unit = con.execute(
+        f"SELECT max(doc_id) + 1 FROM "
+        f"read_parquet('{src}/documents.parquet')").fetchone()[0]
+    # variant 0 keeps the original text so the rung contains the source
+    # corpus verbatim; n_chars recomputed to stay consistent with text
+    con.execute(f"""
+      COPY (
+        SELECT doc_id, text, lang, source, length(text) AS n_chars
+        FROM (
+          SELECT d.doc_id + r.r * {doc_unit} AS doc_id,
+                 CASE WHEN r.r // {clique} = 0 THEN d.text
+                      ELSE regexp_replace(d.text, '(\\S+ \\S+)',
+                           '\\1 v' || CAST(r.r // {clique} AS VARCHAR), 'g')
+                 END AS text,
+                 d.lang, d.source
+          FROM read_parquet('{src}/documents.parquet') d,
+               range({factor}) AS r(r))
+      ) TO '{out}/documents.parquet'
+        (FORMAT PARQUET, ROW_GROUP_SIZE 262144)""")
+    n = con.execute(f"SELECT count(*), count(DISTINCT text) FROM "
+                    f"read_parquet('{out}/documents.parquet')").fetchone()
+    print(f"documents: {n[0]} rows, {n[1]} distinct texts "
+          f"(cliques of {clique})")
+
+    emb_unit = con.execute(
+        f"SELECT max(vec_id) + 1 FROM "
+        f"read_parquet('{src}/embeddings.parquet')").fetchone()[0]
+    con.execute(f"""
+      COPY (
+        SELECT e.vec_id + r.r * {emb_unit} AS vec_id, e.embedding, e.label
+        FROM read_parquet('{src}/embeddings.parquet') e,
+             range({emb_factor}) AS r(r)
+      ) TO '{out}/embeddings.parquet'
+        (FORMAT PARQUET, ROW_GROUP_SIZE 262144)""")
+    n = con.execute(f"SELECT count(*) FROM "
+                    f"read_parquet('{out}/embeddings.parquet')").fetchone()[0]
+    print(f"embeddings: {n} rows (identical-vector groups of {emb_factor})")
+
+
+if __name__ == "__main__":
+    main()

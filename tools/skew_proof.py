@@ -90,8 +90,71 @@ def run(spark, label: str, name: str, thunk) -> dict:
     return rec
 
 
+def _hot_key_joins(spark, label, li, supp, recs, salted_join, Table):
+    """The hot-key join strategy table: supplier is broadcast-sized, so
+    the FIRST skew answer is "broadcast the dim" (measured for
+    reference); the salted and AQE comparisons force shuffle joins on
+    both sides to model the both-sides-too-big case where the engine
+    must pick between `salted_join` and Spark's built-in AQE skew-join
+    split — the comparison that documents when salting is actually
+    needed versus free."""
+    def agg_count(j):
+        return j.groupBy("s_nationkey").count().count()
+
+    st = Table(supp, ("s_suppkey",))
+    recs.append(run(
+        spark, label, "join_broadcast",
+        lambda: agg_count(li.join(F.broadcast(supp),
+                                  li.l_suppkey == supp.s_suppkey))))
+    recs.append(run(
+        spark, label, "join_shuffle_plain",
+        lambda: agg_count(li.hint("merge")
+                          .join(supp.hint("merge"),
+                                li.l_suppkey == supp.s_suppkey))))
+    recs.append(run(
+        spark, label, "join_salted",
+        lambda: agg_count(salted_join(
+            Table(li.withColumnRenamed("l_suppkey", "s_suppkey"),
+                  ("l_orderkey",)),
+            st, "s_suppkey").df)))
+
+    # AQE skew-join split on the same forced-shuffle plan.  The default
+    # 256 MB skewed-partition threshold never fires at this rung's
+    # sizes, so scale it down (8 MB advisory/threshold, factor 2) to
+    # make AQE split what it WOULD split on a 100-TB partition;
+    # forceOptimizeSkewedJoin lets it add the extra shuffle the
+    # downstream s_nationkey agg needs anyway.
+    aqe_keys = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {}
+    for k, v in aqe_keys.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        recs.append(run(
+            spark, label, "join_aqe_skew",
+            lambda: agg_count(li.hint("merge")
+                              .join(supp.hint("merge"),
+                                    li.l_suppkey == supp.s_suppkey))))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def main() -> None:
     boiler_only = "--boiler-only" in sys.argv  # just the hot-shingle section
+    joins_only = "--joins-only" in sys.argv    # just the hot-key join table
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     uniform = argv[0] if len(argv) > 0 else "/root/repo/.testdata/sf1"
     skewed = argv[1] if len(argv) > 1 else "/root/repo/.testdata/sf1skew"
@@ -106,11 +169,15 @@ def main() -> None:
     for label, sf_dir in ([] if boiler_only
                           else [("uniform", uniform), ("skewed", skewed)]):
         docs = read_table(spark, sf_dir, "documents").cache()
-        docs.count()
         li = read_table(spark, sf_dir, "lineitem").cache()
         li.count()
         supp = read_table(spark, sf_dir, "supplier").cache()
         supp.count()
+        if joins_only:
+            _hot_key_joins(spark, label, li, supp, recs, salted_join, Table)
+            li.unpersist(); supp.unpersist()
+            continue
+        docs.count()
 
         recs.append(run(spark, label, "dedup_exact",
                         lambda: DD.dedup_exact(docs, "doc_id").count()))
@@ -142,31 +209,18 @@ def main() -> None:
             spark, label, "dedup_substrings",
             lambda: DD.dedup_substrings(docs, "doc_id", k=20).count()))
 
-        # hot-key join: supplier is broadcast-sized, so the FIRST skew
-        # answer is "broadcast the dim" (measured for reference); the
-        # salted comparison forces shuffle joins on both sides to model
-        # the both-sides-too-big case where salting is the only tool
-        def agg_count(j):
-            return j.groupBy("s_nationkey").count().count()
-
-        lt, st = Table(li, ("l_orderkey",)), Table(supp, ("s_suppkey",))
-        recs.append(run(
-            spark, label, "join_broadcast",
-            lambda: agg_count(li.join(F.broadcast(supp),
-                                      li.l_suppkey == supp.s_suppkey))))
-        recs.append(run(
-            spark, label, "join_shuffle_plain",
-            lambda: agg_count(li.hint("merge")
-                              .join(supp.hint("merge"),
-                                    li.l_suppkey == supp.s_suppkey))))
-        recs.append(run(
-            spark, label, "join_salted",
-            lambda: agg_count(salted_join(
-                Table(li.withColumnRenamed("l_suppkey", "s_suppkey"),
-                      ("l_orderkey",)),
-                st, "s_suppkey").df)))
+        _hot_key_joins(spark, label, li, supp, recs, salted_join, Table)
 
         docs.unpersist(); li.unpersist(); supp.unpersist()
+
+    if joins_only:
+        by = {(r["dataset"], r["op"]): r for r in recs}
+        ok = (by[("skewed", "join_salted")]["result"]
+              == by[("skewed", "join_shuffle_plain")]["result"]
+              == by[("skewed", "join_broadcast")]["result"]
+              == by[("skewed", "join_aqe_skew")]["result"])
+        print(json.dumps({"all_ok": ok}), flush=True)
+        return
 
     # --- hot-SHINGLE skew (shared boilerplate, different texts): the
     # unique-text lift can't help (texts differ), so the guards are
@@ -266,11 +320,12 @@ def main() -> None:
             by[("skewed", "ngram_jaccard_pairs")]["result"] >= H * (H - 1) // 2,
         "minhash_pairs_cover_clique":
             by[("skewed", "minhash_lsh_pairs")]["result"] >= H * (H - 1) // 2,
-        # both join strategies agree on the result cardinality
+        # all four join strategies agree on the result cardinality
         "salted_join_matches_plain":
             by[("skewed", "join_salted")]["result"]
             == by[("skewed", "join_shuffle_plain")]["result"]
-            == by[("skewed", "join_broadcast")]["result"],
+            == by[("skewed", "join_broadcast")]["result"]
+            == by[("skewed", "join_aqe_skew")]["result"],
     }
     print(json.dumps({"hot_cluster": H, "checks": checks,
                       "all_ok": all(checks.values())
