@@ -7,13 +7,21 @@ to enumerate, the same reason sf10skew switched to star edges).
 
 Two-level replication instead: each source doc becomes
 ``factor // clique`` DISTINCT text variants × ``clique``-member exact
-duplicate cliques.  A variant token is woven in after every second
-token (``'(\\S+ \\S+)' -> '\\1 vN'``), so EVERY 3-gram shingle window of
-a variant contains a variant token — cross-variant Jaccard is exactly 0
-and cross-variant MinHash/SimHash collisions are chance-level, while
-intra-variant members stay byte-identical.  Pair counts then stay at
-the proven sf10 magnitude (5k src × 100 variants × C(10,2) = 22.5M
-jaccard-1 pairs) while the corpus grows to 5M docs.
+duplicate cliques.  A (variant × source-doc)-unique token is woven in
+after every second token (``'(\\S+ \\S+)' -> '\\1 vNxSRC'``), so EVERY
+3-gram shingle window of a variant copy contains a token no OTHER
+distinct text has — pairwise Jaccard between any two distinct texts is
+exactly 0, while clique members stay byte-identical.  The true-pair
+population is then exactly the exact-duplicate cliques (5k src × 100
+variants × C(10,2) = 22.5M jaccard-1 pairs — the proven sf10
+magnitude) and the candidate volume is bounded by the cliques too.
+(First cut used a per-variant-only token; source docs within a variant
+then still shared their natural phrase shingles, multiplying the
+sf0.1 corpus's dense candidate set ×100 — the verify join carries both
+shingle arrays per candidate and spilled >76 GB of shuffle before
+dying.  Distinct-text-disjoint shingle spaces are the well-posed way
+to grow DOC COUNT without growing the quadratic near-dup load that is
+a property of the data, not the engine.)
 
 Embeddings replicate plainly (identical-vector groups of
 ``emb_factor``) — the embedding invariant needs identical groups, and
@@ -45,9 +53,14 @@ def main() -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
 
+    # odd offsets: replica ids ALTERNATE parity within a clique, so the
+    # invariants' odd/even old-vs-new split sees real cross-clique links
+    # (an even offset would put every clique on one side and reduce the
+    # incremental checks to the handful of duplicate source texts)
     doc_unit = con.execute(
         f"SELECT max(doc_id) + 1 FROM "
         f"read_parquet('{src}/documents.parquet')").fetchone()[0]
+    doc_unit += 1 - doc_unit % 2
     # variant 0 keeps the original text so the rung contains the source
     # corpus verbatim; n_chars recomputed to stay consistent with text
     con.execute(f"""
@@ -57,7 +70,8 @@ def main() -> None:
           SELECT d.doc_id + r.r * {doc_unit} AS doc_id,
                  CASE WHEN r.r // {clique} = 0 THEN d.text
                       ELSE regexp_replace(d.text, '(\\S+ \\S+)',
-                           '\\1 v' || CAST(r.r // {clique} AS VARCHAR), 'g')
+                           '\\1 v' || CAST(r.r // {clique} AS VARCHAR) ||
+                           'x' || CAST(d.doc_id AS VARCHAR), 'g')
                  END AS text,
                  d.lang, d.source
           FROM read_parquet('{src}/documents.parquet') d,
@@ -72,6 +86,7 @@ def main() -> None:
     emb_unit = con.execute(
         f"SELECT max(vec_id) + 1 FROM "
         f"read_parquet('{src}/embeddings.parquet')").fetchone()[0]
+    emb_unit += 1 - emb_unit % 2
     con.execute(f"""
       COPY (
         SELECT e.vec_id + r.r * {emb_unit} AS vec_id, e.embedding, e.label
