@@ -36,8 +36,11 @@ def main() -> None:
     spark = get_spark("bucketed_index_bench")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     docs = read_table(spark, sf_dir, "documents")
+    # realistic ingest ratio: the index holds half the corpus, the batch
+    # is ~1% — batch-side work is then small and the measurement isolates
+    # the INDEX-side cost (in-flight banding + shuffle vs bucketed scan)
     old = docs.filter(F.col("doc_id") % 2 == 0)
-    new = docs.filter(F.col("doc_id") % 2 == 1)
+    new = docs.filter(F.col("doc_id") % 100 == 1)
     work = "/tmp/bucketed_index_bench"
 
     def timed(name, thunk):

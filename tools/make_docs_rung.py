@@ -29,10 +29,20 @@ its candidate count scales with group size squared, so it gets its own
 smaller factor.
 
 Usage: python tools/make_docs_rung.py [factor] [clique] [emb_factor]
-                                      [src_dir] [out_dir]
-Defaults: 1000 10 50 /root/testdata/sf0.1 /root/repo/.testdata/sfdocs
+                                      [src_dir] [out_dir] [offset_parity]
+Defaults: 1000 10 50 /root/testdata/sf0.1 /root/repo/.testdata/sfdocs odd
 → 5,000,000 documents (500k variants × 10-cliques), 100,000 embeddings
 (2k groups of 50).  Gate: tools/check_invariants.py <out_dir>.
+
+offset_parity picks which half of the invariants gate the rung
+stresses: ``odd`` offsets alternate clique-member id parity, so the
+odd/even incremental MinHash/embedding checks (#6/#7) see the full
+clique cross-link load (12.5M / 1.25M links) while incremental exact
+(#5) degenerates to 0 == 0 (every text exists on both sides); ``even``
+offsets put each clique on one side, making #5 the strong check
+(distinct-fp difference = 249,993) while #6/#7 see only the duplicate
+source texts.  Run both parities for full coverage (both recorded
+7/7-exact in round 5).
 """
 
 from __future__ import annotations
@@ -49,18 +59,20 @@ def main() -> None:
     emb_factor = int(sys.argv[3]) if len(sys.argv) > 3 else 50
     src = sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.1"
     out = sys.argv[5] if len(sys.argv) > 5 else "/root/repo/.testdata/sfdocs"
+    parity = sys.argv[6] if len(sys.argv) > 6 else "odd"
     assert factor % clique == 0, "factor must be a multiple of clique"
+    assert parity in ("odd", "even")
+    want = 1 if parity == "odd" else 0
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
 
-    # odd offsets: replica ids ALTERNATE parity within a clique, so the
-    # invariants' odd/even old-vs-new split sees real cross-clique links
-    # (an even offset would put every clique on one side and reduce the
-    # incremental checks to the handful of duplicate source texts)
+    # odd offsets: replica ids ALTERNATE parity within a clique (strong
+    # #6/#7); even offsets: each clique lands on one side (strong #5)
     doc_unit = con.execute(
         f"SELECT max(doc_id) + 1 FROM "
         f"read_parquet('{src}/documents.parquet')").fetchone()[0]
-    doc_unit += 1 - doc_unit % 2
+    if doc_unit % 2 != want:
+        doc_unit += 1
     # variant 0 keeps the original text so the rung contains the source
     # corpus verbatim; n_chars recomputed to stay consistent with text
     con.execute(f"""
@@ -86,7 +98,8 @@ def main() -> None:
     emb_unit = con.execute(
         f"SELECT max(vec_id) + 1 FROM "
         f"read_parquet('{src}/embeddings.parquet')").fetchone()[0]
-    emb_unit += 1 - emb_unit % 2
+    if emb_unit % 2 != want:
+        emb_unit += 1
     con.execute(f"""
       COPY (
         SELECT e.vec_id + r.r * {emb_unit} AS vec_id, e.embedding, e.label
