@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 import juliadb_jl_spark as jdb
 from juliadb_jl_spark.functions import curation as CU
 from juliadb_jl_spark.functions import dedup as DD
+from juliadb_jl_spark.functions import dsir as DS
 from juliadb_jl_spark.functions import incremental as INC
 from juliadb_jl_spark.functions import rollup as RU
 from juliadb_jl_spark.functions import sampling as SP
@@ -2775,6 +2776,191 @@ def q9d(spark, sf_dir):
 
 
 # ===========================================================================
+# DSIR importance resampling (functions/dsir.py — Xie et al. 2023)
+# ===========================================================================
+# Target = English documents, raw = the whole corpus: score every raw doc
+# by the hashed-bigram log-likelihood ratio, then resample top-k by
+# deterministic Gumbel keys. Both stages fully oracle-checked (portable
+# bucket hash + inlined permutation constants).
+
+_DSIR_NB = 256
+_DSIR_BA, _DSIR_BB = DS.bucket_constants(1)
+_DSIR_GA, _DSIR_GB = DS.gumbel_constants(1)
+
+# doc grams (unigrams + adjacent bigrams) -> hashed buckets, DuckDB side
+_DSIR_GB_CTE = rf"""
+t AS (SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM documents),
+g AS (SELECT doc_id, lang,
+             unnest(toks || [toks[i] || ' ' || toks[i+1]
+                             FOR i IN range(1, len(toks))]) AS gr
+      FROM t),
+gb AS (SELECT doc_id, lang,
+              (({_DSIR_BA} * {_charfold_sql('md5(gr)')} + {_DSIR_BB})
+               % 2147483647) % {_DSIR_NB} AS bucket
+       FROM g),
+tgt AS (SELECT bucket, count(*) AS c FROM gb WHERE lang = 'en' GROUP BY 1),
+raw AS (SELECT bucket, count(*) AS c FROM gb GROUP BY 1),
+ratio AS (SELECT b.range AS bucket,
+                 ln((coalesce(tgt.c, 0) + 1.0) /
+                    ((SELECT sum(c) FROM tgt) + {float(_DSIR_NB)}))
+               - ln((coalesce(raw.c, 0) + 1.0) /
+                    ((SELECT sum(c) FROM raw) + {float(_DSIR_NB)})) AS lr
+          FROM range(0, {_DSIR_NB}) b
+          LEFT JOIN tgt ON b.range = tgt.bucket
+          LEFT JOIN raw ON b.range = raw.bucket),
+sc AS (SELECT d.doc_id,
+              count(gb.bucket) AS n_grams,
+              coalesce(sum(r.lr), 0.0) AS logw
+       FROM documents d
+       LEFT JOIN gb ON d.doc_id = gb.doc_id
+       LEFT JOIN ratio r ON gb.bucket = r.bucket
+       GROUP BY d.doc_id)"""
+
+
+def _dsir_fit_score(spark, sf_dir):
+    # one-pass variant: target is a predicate over the corpus, so fit +
+    # score share a single explode (dsir_fit_and_score ≡ the generic
+    # dsir_logratios → dsir_scores path, differential-tested)
+    d = read_table(spark, sf_dir, "documents")
+    return DS.dsir_fit_and_score(d, "doc_id", F.col("lang") == "en",
+                                 n_buckets=_DSIR_NB, seed=1,
+                                 hash_family="portable")
+
+
+@_q("q9h_dsir_scores", f"""
+WITH {_DSIR_GB_CTE}
+SELECT doc_id, n_grams, logw FROM sc
+""")
+def q9h(spark, sf_dir):
+    """DSIR importance scores: hashed unigram+bigram bucket features
+    (B=256, portable family), add-1-smoothed target (lang='en') and raw
+    bucket distributions, per-doc log importance weight. Scale shape:
+    one corpus explode; both distributions are B-sized broadcasts; the
+    corpus crosses one shuffle (the per-doc aggregation). The fitted
+    log-ratio table is reusable across ingest batches (append-stable
+    scores)."""
+    return _dsir_fit_score(spark, sf_dir)
+
+
+@_q("q9i_dsir_select", f"""
+WITH {_DSIR_GB_CTE},
+keyed AS (SELECT doc_id, n_grams, logw,
+                 logw - ln(-ln(
+                   ((({_DSIR_GA} * {_charfold_sql("md5(CAST(doc_id AS VARCHAR))")}
+                      + {_DSIR_GB}) % 2147483647) + 0.5) / 2147483647.0))
+                 AS gumbel
+          FROM sc)
+SELECT doc_id, n_grams, logw, gumbel FROM keyed
+ORDER BY gumbel DESC, doc_id LIMIT 100
+""")
+def q9i(spark, sf_dir):
+    """DSIR resampling: top-100 documents by deterministic Gumbel key
+    (g = logw − ln(−ln(u)), u from the portable hash of the id) — a
+    weighted sample without replacement with P ∝ exp(logw), bit-
+    reproducible across engines and appends. sort().limit() runs as
+    TakeOrdered (per-partition heaps, no global sort)."""
+    sc = _dsir_fit_score(spark, sf_dir)
+    return DS.dsir_select(sc, 100, "doc_id", seed=1)
+
+
+# ===========================================================================
+# Paragraph-level dedup (functions/curation.py — MassiveText granularity)
+# ===========================================================================
+# The corpus is flat word-soup (no blank lines), so the queries re-wrap
+# each document into 10-token pseudo-paragraphs first — the operator
+# itself is general (splits on blank lines).
+
+_PW = 10  # wrap width (tokens per pseudo-paragraph)
+
+_PARA_CTE = rf"""
+t AS (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM documents),
+p AS (SELECT doc_id, i AS pos,
+             array_to_string(toks[i*{_PW}+1:i*{_PW}+{_PW}], ' ') AS para
+      FROM t, unnest(range(0, (len(toks)+{_PW}-1)//{_PW})) u(i))"""
+
+
+def _wrapped_docs(spark, sf_dir):
+    """documents with text re-wrapped at _PW tokens per paragraph."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n = F.size(toks)
+    nchunks = F.ceil(n / F.lit(_PW)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * _PW + 1, _PW), " "))
+    wrapped = F.when(n > 0, F.array_join(chunks, "\n\n")).otherwise(F.lit(""))
+    return d.select("doc_id", wrapped.alias("text"))
+
+
+@_q("q9j_paragraph_dedup", f"""
+WITH {_PARA_CTE},
+rk AS (SELECT doc_id, pos, para,
+              ROW_NUMBER() OVER (PARTITION BY para
+                                 ORDER BY doc_id, pos) AS rn
+       FROM p),
+agg AS (SELECT doc_id, count(*) AS n_paras,
+               sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+               md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                                       chr(10) || chr(10) ORDER BY pos),
+                            '')) AS text_md5
+        FROM rk GROUP BY doc_id)
+SELECT d.doc_id, coalesce(agg.n_paras, 0) AS n_paras,
+       coalesce(agg.n_kept, 0) AS n_kept,
+       coalesce(agg.text_md5, md5('')) AS text_md5
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+""")
+def q9j(spark, sf_dir):
+    """Global exact paragraph dedup with document reconstruction
+    (curation.paragraph_dedup): the first occurrence of each distinct
+    paragraph (min (doc_id, pos)) survives; every later occurrence is
+    removed and the document reassembled in original order. Keeper
+    election is a map-side-combinable min-aggregation (skew-safe for
+    million-doc boilerplate paragraphs); the kept-flag join is
+    AQE-skew-splittable; paragraph text crosses exactly two shuffles."""
+    w = _wrapped_docs(spark, sf_dir)
+    out = CU.paragraph_dedup(w, "doc_id", "text")
+    return out.select("doc_id", "n_paras", "n_kept",
+                      F.md5("text_dedup").alias("text_md5"))
+
+
+@_q("q9k_drop_boilerplate", f"""
+WITH {_PARA_CTE},
+bp AS (SELECT para FROM p GROUP BY para
+       HAVING count(DISTINCT doc_id) >= 2),
+fl AS (SELECT p.doc_id, p.pos, p.para,
+              (bp.para IS NOT NULL) AS is_bp
+       FROM p LEFT JOIN bp ON p.para = bp.para),
+agg AS (SELECT doc_id, count(*) AS n_paras,
+               sum(CASE WHEN NOT is_bp THEN 1 ELSE 0 END) AS n_kept,
+               md5(coalesce(string_agg(CASE WHEN NOT is_bp THEN para END,
+                                       chr(10) || chr(10) ORDER BY pos),
+                            '')) AS text_md5
+        FROM fl GROUP BY doc_id)
+SELECT d.doc_id, coalesce(agg.n_paras, 0) AS n_paras,
+       coalesce(agg.n_kept, 0) AS n_kept,
+       coalesce(agg.text_md5, md5('')) AS text_md5
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+""")
+def q9k(spark, sf_dir):
+    """Boilerplate-paragraph removal (curation.drop_boilerplate):
+    every occurrence of a paragraph appearing in ≥2 distinct documents
+    is dropped — unlike q9j, no canonical copy survives. The
+    boilerplate table is small by construction (it IS the repeated
+    material), so the flagging join broadcasts and the corpus text
+    crosses one shuffle (the reconstruction)."""
+    w = _wrapped_docs(spark, sf_dir)
+    out = CU.drop_boilerplate(w, "doc_id", "text", min_docs=2)
+    return out.select("doc_id", "n_paras", "n_kept",
+                      F.md5("text_clean").alias("text_md5"))
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 
@@ -2786,12 +2972,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver may record CORRECTNESS rows only for the first ~50
     # entries, so order by driver-verification recency (VERDICT r4 #6):
-    # q9g is new this round (never driver-verified) and leads; then
+    # q9g–q9k are new this round (never driver-verified) and lead; then
     # q11–q52 + q91–q98, whose newest driver rows are from r3 code;
     # then the round-4-verified incremental family q9b–q9f; then
     # q01–q10 + q99/q9a; q53–q90 (fresh r4 driver rows) go last.
     def _prio(k: str) -> int:
-        if k.startswith("q9g"):
+        if "q9g" <= k < "q9l":
             return 0
         if ("q11" <= k < "q53") or ("q91" <= k < "q99"):
             return 1

@@ -52,6 +52,8 @@ HEADLINE = [
     "q9a_regional_supplier_volume",  # TPC-H Q5 shape: 6-table join chain
     "q9g_market_share",  # TPC-H Q8 shape: 8 relations, CASE agg, 1 shuffle
     "q9b_dedup_incremental",  # batch anti-join vs corpus fingerprint index
+    "q9h_dsir_scores",        # DSIR hashed-ngram importance scoring
+    "q9j_paragraph_dedup",    # paragraph keeper election + reconstruction
 ]
 
 

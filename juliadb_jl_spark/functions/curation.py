@@ -320,3 +320,113 @@ def shuffle_rows(df: DataFrame, key: str, seed: int = 1,
                                  order=[F.col("__u"), F.col(key)])
         out = out.withColumn(pos_col, F.col(pos_col) - 1)
     return out.drop("__u")
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup (the MassiveText / RefinedWeb granularity)
+# ---------------------------------------------------------------------------
+# Whole-document exact dedup misses documents that share SOME paragraphs
+# (boilerplate headers, license blocks, templated sections); substring
+# dedup (fixed token windows) cuts inside natural units. Paragraph
+# granularity removes repeated blank-line-separated blocks and
+# reconstructs the surviving document — the standard middle layer of a
+# production curation stack.
+
+
+def exploded_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(id_col, pos, para, __fp): trimmed non-blank paragraphs with
+    their 0-based position; documents with no paragraphs keep one row
+    with NULL pos/para so downstream rollups still see every doc.
+    `__fp` is a 64-bit fingerprint used ONLY as a cheap equi-join/group
+    prefix — full-text equality always rides along, so collisions
+    cannot merge distinct paragraphs."""
+    p = df.select(F.col(id_col),
+                  F.posexplode_outer(paragraphs(F.col(text_col)))
+                  .alias("pos", "para"))
+    p = p.withColumn("para", F.trim(F.col("para")))
+    return p.withColumn("__fp", F.xxhash64(F.col("para")))
+
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    sep: str = "\n\n") -> DataFrame:
+    """Global exact paragraph dedup with document reconstruction: for
+    every distinct paragraph string, the occurrence with the smallest
+    (id, pos) survives; all later occurrences — in the same or other
+    documents — are removed, and each document is reassembled from its
+    surviving paragraphs in original order.
+
+    Returns (id_col, n_paras, n_kept, text_dedup) for EVERY input
+    document (fully-deduped docs get text_dedup = '').
+
+    Scale (100 TB): keeper election is a groupBy(min(struct(id,pos)))
+    on (fingerprint, paragraph) — partial aggregation combines map-side,
+    so a paragraph duplicated across millions of documents (the skew
+    case) reduces to one row per partition before the shuffle. The
+    kept-flag join back is equi-keyed on the same (fp, para) pair and
+    AQE's skew-join split handles the hot fan-out (SCALING.md ladder);
+    reconstruction is one groupBy on the doc id. The paragraph text
+    crosses exactly two shuffles — same shape as the substring-dedup
+    pass (dedup.substring_dedup)."""
+    paras = exploded_paragraphs(df, id_col, text_col)
+    first = (paras.filter(F.col("para").isNotNull())
+             .groupBy("__fp", "para")
+             .agg(F.min(F.struct(F.col(id_col).alias("kid"),
+                                 F.col("pos").alias("kpos")))
+                  .alias("__keep")))
+    joined = paras.join(first, ["__fp", "para"], "left")
+    kept = (F.col("para").isNotNull() &
+            (F.col("__keep.kid") == F.col(id_col)) &
+            (F.col("__keep.kpos") == F.col("pos")))
+    body = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(kept, F.struct(F.col("pos"), F.col("para"))))),
+            lambda s: s["para"]), sep)
+    return (joined.groupBy(id_col)
+            .agg(F.count("para").alias("n_paras"),
+                 F.sum(kept.cast("long")).alias("n_kept"),
+                 body.alias("text_dedup")))
+
+
+def boilerplate_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           min_docs: int = 2) -> DataFrame:
+    """The corpus's boilerplate table: paragraphs appearing in at least
+    `min_docs` DISTINCT documents, with (para, n_docs, n_occ). Output
+    is boilerplate-sized (small); the corpus crosses one map-side-
+    combinable aggregation keyed on the paragraph."""
+    paras = exploded_paragraphs(df, id_col, text_col) \
+        .filter(F.col("para").isNotNull())
+    return (paras.groupBy("para")
+            .agg(F.countDistinct(id_col).alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occ"))
+            .filter(F.col("n_docs") >= min_docs))
+
+
+def drop_boilerplate(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", min_docs: int = 2,
+                     sep: str = "\n\n") -> DataFrame:
+    """Remove EVERY occurrence of boilerplate paragraphs (those in
+    ≥ min_docs distinct documents) and reconstruct the documents —
+    unlike `paragraph_dedup`, which keeps one canonical occurrence.
+    Returns (id_col, n_paras, n_kept, text_clean).
+
+    Scale: the boilerplate table is small by construction (it is the
+    repeated material), so the anti-join broadcasts; the corpus text
+    crosses one shuffle (the reconstruction groupBy)."""
+    paras = exploded_paragraphs(df, id_col, text_col)
+    bp = boilerplate_paragraphs(df, id_col, text_col, min_docs) \
+        .select("para", F.lit(True).alias("__bp"))
+    flagged = paras.join(F.broadcast(bp), "para", "left")
+    kept = F.col("para").isNotNull() & F.col("__bp").isNull()
+    body = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(kept, F.struct(F.col("pos"), F.col("para"))))),
+            lambda s: s["para"]), sep)
+    return (flagged.groupBy(id_col)
+            .agg(F.count("para").alias("n_paras"),
+                 F.sum(kept.cast("long")).alias("n_kept"),
+                 body.alias("text_clean")))

@@ -422,3 +422,87 @@ def test_novelty_scores_golden(spark):
     assert (got[2]["n_grams"], got[2]["n_shared"], got[2]["novelty"]) == (1, 1, 0.0)
     assert (got[3]["n_grams"], got[3]["n_shared"], got[3]["novelty"]) == (1, 0, 1.0)
     assert (got[4]["n_grams"], got[4]["n_shared"], got[4]["novelty"]) == (0, 0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup
+# ---------------------------------------------------------------------------
+
+_PARA_DOCS = [
+    (1, "alpha beta\n\ncommon block\n\ngamma"),
+    (2, "common block\n\ndelta"),
+    (3, "common block"),
+    (4, ""),
+    (5, "alpha beta\n\nunique five"),
+]
+
+
+def test_paragraph_dedup_golden(spark):
+    df = spark.createDataFrame(_PARA_DOCS, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_dedup"])
+           for r in CU.paragraph_dedup(df).collect()}
+    assert got == {
+        1: (3, 3, "alpha beta\n\ncommon block\n\ngamma"),  # first wins all
+        2: (2, 1, "delta"),
+        3: (1, 0, ""),            # fully deduped doc still present
+        4: (0, 0, ""),            # empty doc still present
+        5: (2, 1, "unique five"),
+    }
+
+
+def test_paragraph_dedup_identity_on_unique_corpus(spark):
+    df = spark.createDataFrame(
+        [(1, "one two\n\nthree four"), (2, "five six")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in CU.paragraph_dedup(df).collect()}
+    for doc_id, text in [(1, "one two\n\nthree four"), (2, "five six")]:
+        assert got[doc_id]["text_dedup"] == text
+        assert got[doc_id]["n_kept"] == got[doc_id]["n_paras"]
+
+
+def test_boilerplate_paragraphs_golden(spark):
+    df = spark.createDataFrame(_PARA_DOCS, ["doc_id", "text"])
+    got = {r["para"]: (r["n_docs"], r["n_occ"])
+           for r in CU.boilerplate_paragraphs(df, min_docs=2).collect()}
+    assert got == {"common block": (3, 3), "alpha beta": (2, 2)}
+    # raising the bar prunes the 2-doc paragraph
+    got3 = {r["para"] for r in
+            CU.boilerplate_paragraphs(df, min_docs=3).collect()}
+    assert got3 == {"common block"}
+
+
+def test_drop_boilerplate_golden(spark):
+    df = spark.createDataFrame(_PARA_DOCS, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_clean"])
+           for r in CU.drop_boilerplate(df, min_docs=2).collect()}
+    assert got == {
+        1: (3, 1, "gamma"),       # no canonical copy survives
+        2: (2, 1, "delta"),
+        3: (1, 0, ""),
+        4: (0, 0, ""),
+        5: (2, 1, "unique five"),
+    }
+
+
+def test_paragraph_dedup_partition_invariant(spark):
+    df = spark.createDataFrame(_PARA_DOCS, ["doc_id", "text"])
+    ref = None
+    for nparts in (1, 2, 5):
+        got = sorted(
+            (r["doc_id"], r["n_paras"], r["n_kept"], r["text_dedup"])
+            for r in CU.paragraph_dedup(df.repartition(nparts)).collect())
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref
+
+
+def test_paragraph_dedup_keeper_is_global_min(spark):
+    """The keeper is min (doc_id, pos) across the WHOLE corpus — a
+    paragraph first seen late in a low-id doc beats an early position
+    in a high-id doc."""
+    df = spark.createDataFrame(
+        [(10, "x\n\nshared"), (20, "shared\n\ny")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["text_dedup"]
+           for r in CU.paragraph_dedup(df).collect()}
+    assert got == {10: "x\n\nshared", 20: "y"}
