@@ -2886,8 +2886,11 @@ p AS (SELECT doc_id, i AS pos,
 
 
 def _wrapped_docs(spark, sf_dir):
-    """documents with text re-wrapped at _PW tokens per paragraph."""
-    d = read_table(spark, sf_dir, "documents")
+    """documents with text re-wrapped at _PW tokens per paragraph.
+    Spread BEFORE the wrap projection: single-file inputs arrive as one
+    partition, and repartition() after the projection would leave the
+    tokenize+wrap compute serialized in that one task."""
+    d = DD._spread(read_table(spark, sf_dir, "documents"))
     toks = TX.tokens(F.col("text"))
     n = F.size(toks)
     nchunks = F.ceil(n / F.lit(_PW)).cast("int")

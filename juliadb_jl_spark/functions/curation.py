@@ -341,9 +341,10 @@ def exploded_paragraphs(df: DataFrame, id_col: str = "doc_id",
     `__fp` is a 64-bit fingerprint used ONLY as a cheap equi-join/group
     prefix — full-text equality always rides along, so collisions
     cannot merge distinct paragraphs."""
-    p = df.select(F.col(id_col),
-                  F.posexplode_outer(paragraphs(F.col(text_col)))
-                  .alias("pos", "para"))
+    from juliadb_jl_spark.functions.dedup import _spread
+    p = _spread(df).select(F.col(id_col),
+                           F.posexplode_outer(paragraphs(F.col(text_col)))
+                           .alias("pos", "para"))
     p = p.withColumn("para", F.trim(F.col("para")))
     return p.withColumn("__fp", F.xxhash64(F.col("para")))
 

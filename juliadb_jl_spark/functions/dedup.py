@@ -464,6 +464,33 @@ def portable_hash(col: Column) -> Column:
     return F.when(F.length(col) == 0, F.lit(0).cast("long")).otherwise(fold)
 
 
+# 31^k mod (2^31-1) for k = 31..0 — the per-position weights of the
+# 32-char polynomial below, precomputed as literals.
+_MD5_POWS = [pow(31, k, _P31) for k in range(31, -1, -1)]
+
+
+def portable_hash_md5(col: Column) -> Column:
+    """``portable_hash(md5(col))`` as one FLAT polynomial: md5 hex is
+    always exactly 32 chars, so the iterated fold
+    ``h = (h·31 + c_i) mod p`` equals ``(Σ c_i · 31^(32−i)) mod p`` with
+    the powers precomputed as literals (mod distributes over the sum;
+    each term < 102·2^31 and the 32-term sum < 2^44 — exact in int64).
+    The flat form stays inside whole-stage codegen and keeps the
+    analyzer's expression tree shallow, where the `aggregate`
+    higher-order fold in `portable_hash` is evaluated interpreted per
+    element (a measured 25× single-task cliff at the sf1 rung).
+    Bit-identical to `portable_hash(F.md5(col))` — equality is tested —
+    so every oracle that inlines the DuckDB `list_reduce` fold is
+    unaffected."""
+    hexd = F.md5(col)
+    terms = [F.ascii(F.substring(hexd, i + 1, 1)).cast("long") * F.lit(w)
+             for i, w in enumerate(_MD5_POWS)]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total % F.lit(_P31)
+
+
 def perm_constants(n: int, seed: int = 7) -> tuple[list[int], list[int]]:
     """Deterministic (a_i, b_i) for the linear permutation family
     hash_i(x) = (a_i*x + b_i) mod 2^31-1, from a Lehmer LCG (x*48271 mod p)

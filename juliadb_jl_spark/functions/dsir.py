@@ -33,7 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from juliadb_jl_spark.functions.dedup import _P31, perm_constants, portable_hash
+from juliadb_jl_spark.functions.dedup import (_P31, _spread, perm_constants,
+                                              portable_hash_md5)
 from juliadb_jl_spark.functions.text import tokens
 
 # Independent constant streams: bucketing and Gumbel noise use disjoint
@@ -86,7 +87,7 @@ def gram_bucket(col: Column, n_buckets: int, seed: int = 1,
     if hash_family == "xxhash64":
         return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(n_buckets))
     a, b = bucket_constants(seed)
-    h = portable_hash(F.md5(col))
+    h = portable_hash_md5(col)  # unrolled 32-step fold, stays in codegen
     return ((F.lit(a) * h + F.lit(b)) % F.lit(_P31)) % F.lit(n_buckets)
 
 
@@ -97,8 +98,9 @@ def doc_bucket_counts(df: DataFrame, id_col: str, text_col: str = "text",
     """Per-document hashed-gram bucket counts: (id_col, bucket, cnt).
     Documents with no grams produce no rows (callers re-attach them).
     One explode, one (id, bucket) aggregation — map-side combinable."""
-    g = df.select(F.col(id_col),
-                  F.explode(word_grams(F.col(text_col), bigrams)).alias("__g"))
+    g = _spread(df).select(
+        F.col(id_col),
+        F.explode(word_grams(F.col(text_col), bigrams)).alias("__g"))
     return (g.select(id_col,
                      gram_bucket(F.col("__g"), n_buckets, seed, hash_family)
                      .alias("bucket"))
@@ -117,8 +119,9 @@ def bucket_logp(df: DataFrame, text_col: str = "text",
     Scale: one explode + one B-sized aggregation; the total re-joins via
     a broadcast of a single row. Output is B rows — driver-safe."""
     spark = df.sparkSession
-    counts = (df.select(F.explode(word_grams(F.col(text_col), bigrams))
-                        .alias("__g"))
+    counts = (_spread(df)
+              .select(F.explode(word_grams(F.col(text_col), bigrams))
+                      .alias("__g"))
               .select(gram_bucket(F.col("__g"), n_buckets, seed, hash_family)
                       .alias("bucket"))
               .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")))
@@ -161,7 +164,7 @@ def dsir_scores(df: DataFrame, id_col: str, logratios: DataFrame,
     Scale: explode_outer keeps empty docs in-line (no second pass); the
     B-sized log-ratio table broadcasts; one per-doc aggregation — the
     corpus crosses exactly one shuffle, keyed on the id."""
-    g = df.select(
+    g = _spread(df).select(
         F.col(id_col),
         F.explode_outer(word_grams(F.col(text_col), bigrams)).alias("__g"))
     bucketed = g.select(
@@ -182,7 +185,7 @@ def gumbel_key(id_col: Column, logw: Column, seed: int = 1) -> Column:
     weighted sample without replacement with P(select) ∝ exp(logw)
     (Gumbel-top-k), reproducible everywhere the portable family is."""
     a, b = gumbel_constants(seed)
-    ph = (F.lit(a) * portable_hash(F.md5(id_col.cast("string"))) + F.lit(b)) \
+    ph = (F.lit(a) * portable_hash_md5(id_col.cast("string")) + F.lit(b)) \
         % F.lit(_P31)
     u = (ph + F.lit(0.5)) / F.lit(float(_P31))
     return logw - F.log(-F.log(u))
@@ -218,9 +221,10 @@ def dsir_fit_and_score(df: DataFrame, id_col: str, target: Column,
     Returns (id_col, n_grams, logw) for every input document."""
     from juliadb_jl_spark.functions import scratch
     spark = df.sparkSession
-    g = df.select(F.col(id_col), target.alias("__t"),
-                  F.explode_outer(word_grams(F.col(text_col), bigrams))
-                  .alias("__g"))
+    g = _spread(df).select(
+        F.col(id_col), target.alias("__t"),
+        F.explode_outer(word_grams(F.col(text_col), bigrams))
+        .alias("__g"))
     bc = scratch.register(
         g.select(id_col, "__t",
                  F.when(F.col("__g").isNotNull(),

@@ -23,7 +23,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from juliadb_jl_spark.functions.dedup import _P31, perm_constants, portable_hash
+from juliadb_jl_spark.functions.dedup import (_P31, perm_constants,
+                                              portable_hash_md5)
 from juliadb_jl_spark.operators.sort import with_global_cumsum
 
 
@@ -45,7 +46,7 @@ def hash_unit(col: Column, seed: int = 1) -> Column:
     alone is NOT uniform for sequential keys — the md5 round is what
     buys uniformity.)"""
     a, b = unit_constants(seed)
-    h = portable_hash(F.md5(col.cast("string")))
+    h = portable_hash_md5(col.cast("string"))  # unrolled fold: codegen-safe
     return ((F.lit(a) * h + F.lit(b)) % F.lit(_P31)) / F.lit(float(_P31))
 
 

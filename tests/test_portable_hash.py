@@ -40,6 +40,18 @@ def test_portable_hash_bit_parity_with_duckdb(spark):
     assert all(0 <= v < 2**31 - 1 for v in got.values())
 
 
+def test_portable_hash_md5_flat_fold_bit_identity(spark):
+    # portable_hash_md5 is the unrolled (codegen-safe) form of
+    # portable_hash(md5(col)) — must be bit-identical on every input,
+    # including empty string and unicode (md5 hex is ascii either way).
+    df = spark.createDataFrame([(s,) for s in SAMPLES], ["s"])
+    rows = df.select(
+        DD.portable_hash(F.md5(F.col("s"))).alias("fold"),
+        DD.portable_hash_md5(F.col("s")).alias("flat")).collect()
+    assert all(r["fold"] == r["flat"] for r in rows)
+    assert all(0 <= r["flat"] < 2**31 - 1 for r in rows)
+
+
 def test_perm_constants_deterministic_nonzero():
     a1, b1 = DD.perm_constants(32)
     a2, b2 = DD.perm_constants(32)
