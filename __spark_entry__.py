@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 import juliadb_jl_spark as jdb
+from juliadb_jl_spark.functions import clustering as KM
 from juliadb_jl_spark.functions import curation as CU
 from juliadb_jl_spark.functions import dedup as DD
 from juliadb_jl_spark.functions import dsir as DS
@@ -2964,6 +2965,105 @@ def q9k(spark, sf_dir):
 
 
 # ===========================================================================
+# k-means clustering + cluster-based curation (functions/clustering.py)
+# ===========================================================================
+# Lloyd's iterations are deterministic (min-id init), so the whole fit
+# unrolls into oracle SQL: c0 = init, then [assign → recompute] CTE pairs,
+# then a final assignment. Tie-breaks match (first/lowest cell index).
+
+_KM_K = 4
+_KM_ITERS = 2
+
+
+def _km_cte() -> str:
+    parts = [f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_KM_K}))"""]
+    for it in range(1, _KM_ITERS + 1):
+        pv = f"c{it - 1}"
+        parts.append(f"""a{it} AS (SELECT vec_id, v, cell FROM (
+  SELECT e.vec_id, e.v, {pv}.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.v, {pv}.c), {pv}.cell)
+           AS rn
+  FROM e CROSS JOIN {pv}) WHERE rn = 1),
+m{it} AS (SELECT cell, i, avg(v[i]) AS m FROM (
+  SELECT cell, v, unnest(range(1, len(v)+1)) AS i FROM a{it})
+  GROUP BY cell, i),
+c{it} AS (SELECT {pv}.cell,
+               CASE WHEN count(m{it}.m) = 0 THEN any_value({pv}.c)
+                    ELSE list(m{it}.m ORDER BY m{it}.i) END AS c
+        FROM {pv} LEFT JOIN m{it} ON {pv}.cell = m{it}.cell
+        GROUP BY {pv}.cell)""")
+    last = f"c{_KM_ITERS}"
+    parts.append(f"""af AS (SELECT vec_id, v, cell, dist FROM (
+  SELECT e.vec_id, e.v, {last}.cell,
+         list_distance(e.v, {last}.c) AS dist,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.v, {last}.c),
+                                     {last}.cell) AS rn
+  FROM e CROSS JOIN {last}) WHERE rn = 1)""")
+    return ",\n".join(parts)
+
+
+def _km_fitted(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    return e, KM.kmeans_fit(e, k=_KM_K, iters=_KM_ITERS)
+
+
+@_q("q9l_kmeans_assign", f"""
+WITH {_km_cte()}
+SELECT vec_id, cell, dist FROM af
+""")
+def q9l(spark, sf_dir):
+    """Distributed k-means (Lloyd, deterministic min-id init, k=4,
+    2 iterations) + final assignment. Scale shape: per iteration one
+    pass over the cached vector frame + a (k·dim)-row avg aggregation;
+    centroids are driver-resident literals; the final assignment is a
+    shuffle-free native expression per centroid (plan-asserted in
+    tests). The corpus is never shuffled."""
+    e, cents = _km_fitted(spark, sf_dir)
+    return KM.kmeans_assign(e, cents).select("vec_id", "cell", "dist")
+
+
+@_q("q9m_cluster_sample", f"""
+WITH {_km_cte()},
+n AS (SELECT cell, count(*) AS n FROM af GROUP BY cell)
+SELECT af.vec_id, af.cell FROM af JOIN n USING (cell)
+WHERE {_unit_sql('af.vec_id', 5)} < least(1.0, 50.0 / n.n)
+""")
+def q9m(spark, sf_dir):
+    """Cluster-balanced subsample (~50 per cell): per-cell keep-rate
+    min(1, n/|cell|) applied through the deterministic hash_unit —
+    membership is row-local (append-stable, no per-cell sort; a rank
+    window over a 100-TB cell would be a global sort). One k-row count
+    aggregate broadcasts back over the assignment."""
+    e, cents = _km_fitted(spark, sf_dir)
+    return KM.cluster_sample(e, cents, 50, seed=5).select("vec_id", "cell")
+
+
+@_q("q9n_prototype_prune", f"""
+WITH {_km_cte()},
+sc AS (SELECT af.vec_id, af.cell,
+              list_cosine_similarity(af.v, c{_KM_ITERS}.c) AS proto
+       FROM af JOIN c{_KM_ITERS} USING (cell)),
+t AS (SELECT cell, quantile_cont(proto, 0.75) AS thr FROM sc GROUP BY cell)
+SELECT sc.vec_id, sc.cell, sc.proto FROM sc JOIN t USING (cell)
+WHERE sc.proto <= t.thr
+""")
+def q9n(spark, sf_dir):
+    """Prototypicality pruning (Sorscher et al. 2022 / D4): drop the 25%
+    of each cluster nearest its centroid (the most redundant examples),
+    keeping the diverse tail. Threshold = exact per-cell 0.75-quantile
+    of cosine-to-centroid (k rows, broadcast back; approx_percentile is
+    the same-shape 100-TB swap). Scoring is one native pass."""
+    e, cents = _km_fitted(spark, sf_dir)
+    return KM.prototype_prune(e, cents, frac=0.25, keep="far") \
+        .select("vec_id", "cell", "proto")
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 
@@ -2980,7 +3080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the round-4-verified incremental family q9b–q9f; then
     # q01–q10 + q99/q9a; q53–q90 (fresh r4 driver rows) go last.
     def _prio(k: str) -> int:
-        if "q9g" <= k < "q9l":
+        if "q9g" <= k < "q9o":
             return 0
         if ("q11" <= k < "q53") or ("q91" <= k < "q99"):
             return 1

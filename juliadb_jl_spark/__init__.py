@@ -49,8 +49,8 @@ from juliadb_jl_spark.functions import stats
 from juliadb_jl_spark.functions.stats import partitionplot
 # LLM-training-pipeline layers (SURVEY.md §2.12): one namespace each
 from juliadb_jl_spark.functions import (
-    bpe, classifier, curation, dedup, dsir, incremental, multimodal,
-    rollup, sampling, search, similarity, text,
+    bpe, classifier, clustering, curation, dedup, dsir, incremental,
+    multimodal, rollup, sampling, search, similarity, text,
 )
 from juliadb_jl_spark.functions.dedup import clear_dup_stats
 from juliadb_jl_spark.functions.scratch import release_scratch

@@ -1,0 +1,182 @@
+"""Distributed k-means document clustering + cluster-based curation.
+
+The cluster-then-curate stage of a training-data pipeline: partition the
+corpus by embedding similarity (Lloyd's algorithm), then act per cluster —
+balanced sampling for diversity-preserving subsets, prototypicality
+pruning (drop the most/least typical members of each cluster). Public
+references: SemDeDup (Abbas et al. 2023) clusters before pruning;
+Sorscher et al. 2022 prune by distance-to-prototype; D4 (Tirumala et al.
+2023) composes both.
+
+Scale shape:
+- `kmeans_fit`: per iteration ONE pass over the cached vector frame plus
+  a (k·dim)-row aggregation — the corpus is never shuffled; centroids are
+  k·dim floats on the driver (8 MB at k=1024, dim=1024).
+- Assignment is an unrolled native expression per centroid (one
+  zip_with/aggregate fold each — whole-stage codegen, no Python), the
+  same shape as `similarity.cosine_expr`. Appropriate for k up to a few
+  hundred; for thousands of cells use `similarity.ivf_build`'s
+  Arrow-batched numpy path (same semantics, vectorized argmin).
+- `cluster_sample` / `prototype_prune` add one k-row aggregate broadcast
+  back over the assignment — no extra corpus shuffle.
+
+Determinism: init is the vectors of the k smallest ids (a distributed
+TakeOrdered), so fit/assign/sample/prune are reproducible across
+partition layouts and engines — the driver queries (q9l–q9n) oracle-check
+the whole pipeline against DuckDB with the Lloyd iterations unrolled as
+SQL CTEs.
+
+Reference parity note: the reference engine (JuliaDB) has no clustering
+surface; this extends it the same way the dedup/similarity family does
+(SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from juliadb_jl_spark.functions.similarity import dot_expr, norm_expr
+
+
+def sq_dist_expr(vec: Column, centroid: list[float]) -> Column:
+    """Squared Euclidean distance from `vec` (array<double>) to a literal
+    centroid — a single sequential left-to-right fold, matching the
+    ordinal-ordered SQL sum for oracle comparison."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cast_vec(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn("__v", F.col(vec_col).cast("array<double>"))
+
+
+def kmeans_init(df: DataFrame, k: int, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic init: the vectors of the k smallest ids (distributed
+    TakeOrdered — stable across partition layouts, unlike `limit`)."""
+    rows = (_cast_vec(df, vec_col).select(id_col, "__v")
+            .orderBy(id_col).limit(k).collect())
+    if len(rows) < k:
+        raise ValueError(f"k={k} but only {len(rows)} rows")
+    return [list(r["__v"]) for r in rows]
+
+
+def assign_expr(vec: Column, centroids: list[list[float]]) -> tuple[Column, Column]:
+    """(cell, sq_dist) columns for the nearest centroid. Ties break to the
+    lowest cell index (array_position finds the first minimum)."""
+    darr = F.array(*[sq_dist_expr(vec, c) for c in centroids])
+    cell = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    return cell, F.array_min(darr)
+
+
+def kmeans_assign(df: DataFrame, centroids: list[list[float]],
+                  vec_col: str = "embedding") -> DataFrame:
+    """Tag each row with its nearest centroid: + `cell` (int), + `dist`
+    (Euclidean). One corpus pass, no shuffle, no Python."""
+    out = _cast_vec(df, vec_col)
+    cell, sq = assign_expr(F.col("__v"), centroids)
+    return (out.withColumn("cell", cell)
+            .withColumn("dist", F.sqrt(sq)).drop("__v"))
+
+
+def kmeans_fit(df: DataFrame, k: int, iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               init: list[list[float]] | None = None) -> list[list[float]]:
+    """Lloyd's algorithm: `iters` rounds of (assign to nearest centroid,
+    recompute centroids as per-cell coordinate means). A cell that loses
+    all members keeps its previous centroid.
+
+    Scale: the id-free vector frame is cached once; each iteration is one
+    scan + a (k·dim)-row avg aggregation (map-side combinable) collected
+    to the driver. Iteration count is the caller's trade — 2 is usually
+    enough ahead of cluster-RELATIVE operations (sampling, pruning)."""
+    cents = [list(map(float, c)) for c in init] if init is not None \
+        else kmeans_init(df, k, id_col, vec_col)
+    if len(cents) != k:
+        raise ValueError(f"init has {len(cents)} centroids, expected {k}")
+    dim = len(cents[0])
+    # actions complete in-function → persist/unpersist inline (no scratch);
+    # spread first: single-file inputs arrive as ONE partition and would
+    # serialize every per-iteration distance fold in one task
+    from juliadb_jl_spark.functions.dedup import _spread
+    v = _spread(_cast_vec(df, vec_col).select("__v")).persist()
+    try:
+        for _ in range(iters):
+            cell, _sq = assign_expr(F.col("__v"), cents)
+            means = (v.select(cell.alias("cell"),
+                              F.posexplode(F.col("__v")).alias("idx", "x"))
+                     .groupBy("cell", "idx").agg(F.avg("x").alias("m"))
+                     .collect())
+            nxt = [list(c) for c in cents]  # empty cells keep old centroid
+            seen: dict[int, list[float | None]] = {}
+            for r in means:
+                seen.setdefault(r["cell"], [None] * dim)[r["idx"]] = r["m"]
+            for c, vals in seen.items():
+                nxt[c] = [float(x) for x in vals]
+            cents = nxt
+        return cents
+    finally:
+        v.unpersist()
+
+
+def cluster_sample(df: DataFrame, centroids: list[list[float]],
+                   n_per_cell: int, id_col: str = "vec_id",
+                   vec_col: str = "embedding", seed: int = 5) -> DataFrame:
+    """Cluster-balanced subsample: target ~`n_per_cell` rows per cell via
+    a per-cell rate filter on the deterministic `hash_unit` (rate =
+    min(1, n_per_cell / |cell|)). Rate-based rather than rank-based on
+    purpose: membership is decided row-locally (append-stable, no
+    per-cell global sort — a rank window over a 100-TB cell is a sort;
+    this is a k-row aggregate + broadcast + filter). Output size is
+    n_per_cell in expectation per cell, exact only when a cell is kept
+    whole."""
+    from juliadb_jl_spark.functions.sampling import hash_unit
+    a = kmeans_assign(df, centroids, vec_col)
+    cnt = a.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
+    rate = F.least(F.lit(1.0), F.lit(float(n_per_cell)) / F.col("__n"))
+    return (a.join(F.broadcast(cnt.select("cell", rate.alias("__rate"))),
+                   "cell")
+            .filter(hash_unit(F.col(id_col), seed) < F.col("__rate"))
+            .drop("__rate"))
+
+
+def prototype_scores(df: DataFrame, centroids: list[list[float]],
+                     vec_col: str = "embedding") -> DataFrame:
+    """+ `cell`, + `proto` = cosine(vec, centroid(cell)) — how typical
+    the row is of its own cluster (1 = sits on the prototype)."""
+    a = _cast_vec(kmeans_assign(df, centroids, vec_col), vec_col)
+    cos = [dot_expr(F.col("__v"), F.array(*[F.lit(float(x)) for x in c]))
+           / (norm_expr(F.col("__v"))
+              * F.lit(float(sum(x * x for x in c) ** 0.5)))
+           for c in centroids]
+    proto = F.array(*cos)[F.col("cell")]
+    return a.withColumn("proto", proto).drop("__v")
+
+
+def prototype_prune(df: DataFrame, centroids: list[list[float]],
+                    frac: float = 0.25, keep: str = "far",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster prototypicality pruning: drop the fraction `frac` of
+    each cell nearest its centroid (`keep="far"` — Sorscher-style: the
+    most prototypical examples are the most redundant) or farthest
+    (`keep="near"` — outlier/noise removal).
+
+    The threshold is the exact per-cell `frac`-quantile of the cosine
+    score (k rows, broadcast back). Exact percentile aggregates the
+    cell's score list — the oracle-checkable path; at 100 TB swap
+    `F.percentile` for `F.approx_percentile` (same plan shape, sketched
+    state). Rows exactly AT the threshold are kept."""
+    if keep not in ("far", "near"):
+        raise ValueError("keep must be 'far' or 'near'")
+    s = prototype_scores(df, centroids, vec_col)
+    # drop the top `frac` by proto ("far": redundancy pruning) → keep
+    # everything at or below the (1-frac)-quantile; "near" is the mirror.
+    q = 1.0 - frac if keep == "far" else frac
+    thr = s.groupBy("cell").agg(
+        F.percentile(F.col("proto"), F.lit(q)).alias("__thr"))
+    out = s.join(F.broadcast(thr), "cell")
+    cond = (F.col("proto") <= F.col("__thr")) if keep == "far" \
+        else (F.col("proto") >= F.col("__thr"))
+    return out.filter(cond).drop("__thr")

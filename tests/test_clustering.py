@@ -1,0 +1,143 @@
+"""k-means clustering + cluster-based curation (functions/clustering.py):
+distributed Lloyd ≡ a local numpy reference under identical deterministic
+init; partition invariance; empty-cell semantics; sampling and pruning
+against local recomputation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from juliadb_jl_spark.functions import clustering as KM
+from juliadb_jl_spark.functions.sampling import hash_unit
+
+
+def _mk(spark, n=60, dim=8, seed=3):
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, dim).astype("float64")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return (spark.createDataFrame(rows, ["vec_id", "embedding"]), vecs)
+
+
+def _lloyd_local(vecs: np.ndarray, k: int, iters: int):
+    """Textbook Lloyd with min-id init and keep-old-on-empty — the
+    contract kmeans_fit implements."""
+    cents = vecs[:k].copy()
+    for _ in range(iters):
+        d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cell = d.argmin(axis=1)
+        for c in range(k):
+            m = vecs[cell == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+    return cents
+
+
+def _assign_local(vecs: np.ndarray, cents: np.ndarray):
+    d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1), np.sqrt(d.min(axis=1))
+
+
+def test_fit_matches_local_lloyd(spark):
+    df, vecs = _mk(spark)
+    got = np.array(KM.kmeans_fit(df, k=4, iters=3))
+    want = _lloyd_local(vecs, 4, 3)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_assign_matches_local(spark):
+    df, vecs = _mk(spark)
+    cents = KM.kmeans_fit(df, k=4, iters=2)
+    rows = KM.kmeans_assign(df, cents).select("vec_id", "cell", "dist") \
+        .collect()
+    cell, dist = _assign_local(vecs, np.array(cents))
+    for r in rows:
+        assert r["cell"] == cell[r["vec_id"]]
+        assert abs(r["dist"] - dist[r["vec_id"]]) < 1e-9
+
+
+def test_fit_partition_invariant(spark):
+    df, _ = _mk(spark)
+    c1 = KM.kmeans_fit(df.coalesce(1), k=3, iters=2)
+    c8 = KM.kmeans_fit(df.repartition(8), k=3, iters=2)
+    # avg partial-sum order differs across layouts → tiny fp drift only
+    assert np.allclose(np.array(c1), np.array(c8), atol=1e-9)
+
+
+def test_empty_cell_keeps_previous_centroid(spark):
+    # two tight blobs, k=3: min-id init puts centroids 0,1 in blob A and
+    # centroid 2 in blob B; after one step a centroid loses all members
+    # and must keep its previous position (numpy ref encodes the same).
+    pts = np.array([[0.0, 0.0], [0.1, 0.0], [0.05, 0.05],
+                    [10.0, 10.0], [10.1, 10.0], [10.0, 10.1]])
+    rows = [(i, [float(x) for x in p]) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = np.array(KM.kmeans_fit(df, k=3, iters=2))
+    want = _lloyd_local(pts, 3, 2)
+    assert np.allclose(got, want, atol=1e-12)
+
+
+def test_cluster_sample_matches_local_rule(spark):
+    df, vecs = _mk(spark, n=80)
+    cents = KM.kmeans_fit(df, k=3, iters=2)
+    kept = sorted(r["vec_id"] for r in
+                  KM.cluster_sample(df, cents, 10, seed=5).collect())
+    # local recompute: same assignment, same counts, same hash rule
+    cell, _ = _assign_local(vecs, np.array(cents))
+    cnt = np.bincount(cell, minlength=3)
+    u = {r["vec_id"]: r["u"] for r in
+         df.select("vec_id", hash_unit(F.col("vec_id"), 5).alias("u"))
+         .collect()}
+    want = sorted(i for i in range(80)
+                  if u[i] < min(1.0, 10 / cnt[cell[i]]))
+    assert kept == want
+
+
+def test_cluster_sample_keeps_small_cells_whole(spark):
+    df, vecs = _mk(spark, n=30)
+    cents = KM.kmeans_fit(df, k=3, iters=1)
+    kept = KM.cluster_sample(df, cents, 1000).count()
+    assert kept == 30  # rate clamps at 1 → everything survives
+
+
+def test_prototype_prune_drops_top_frac(spark):
+    df, vecs = _mk(spark, n=100)
+    cents = KM.kmeans_fit(df, k=4, iters=2)
+    scores = {(r["vec_id"]): (r["cell"], r["proto"]) for r in
+              KM.prototype_scores(df, cents).select(
+                  "vec_id", "cell", "proto").collect()}
+    kept = {r["vec_id"] for r in
+            KM.prototype_prune(df, cents, frac=0.25, keep="far").collect()}
+    # per-cell: kept = proto <= exact linear-interpolated 0.75-quantile
+    for c in range(4):
+        vals = sorted(p for (cc, p) in scores.values() if cc == c)
+        thr = float(np.percentile(vals, 75, method="linear"))
+        want = {i for i, (cc, p) in scores.items()
+                if cc == c and p <= thr + 1e-12}
+        got = {i for i in kept if scores[i][0] == c}
+        assert got == want
+    # roughly 75% survives overall
+    assert 60 <= len(kept) <= 85
+
+
+def test_prototype_prune_near_mode_is_mirror(spark):
+    df, _ = _mk(spark, n=50)
+    cents = KM.kmeans_fit(df, k=2, iters=1)
+    far = {r["vec_id"] for r in
+           KM.prototype_prune(df, cents, 0.2, keep="far").collect()}
+    near = {r["vec_id"] for r in
+            KM.prototype_prune(df, cents, 0.2, keep="near").collect()}
+    # "far" keeps the low-proto end, "near" keeps the high-proto end;
+    # together they cover everything (thresholds overlap at the boundary)
+    assert len(far | near) == 50
+    assert pytest.raises(ValueError, KM.prototype_prune, df, cents, 0.2,
+                         "sideways")
+
+
+def test_assignment_plan_is_shuffle_free(spark):
+    df, _ = _mk(spark)
+    cents = KM.kmeans_fit(df, k=3, iters=1)
+    plan = KM.kmeans_assign(df, cents)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
