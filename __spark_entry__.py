@@ -3043,6 +3043,43 @@ def q9m(spark, sf_dir):
     return KM.cluster_sample(e, cents, 50, seed=5).select("vec_id", "cell")
 
 
+@_q("q9o_cluster_semdedup", f"""
+WITH RECURSIVE
+{_km_cte()},
+grp AS (SELECT vec_id, min(vec_id) OVER (PARTITION BY CAST(v AS VARCHAR))
+          AS rep
+        FROM e),
+rv AS (SELECT af.vec_id, af.v, af.cell FROM af
+       JOIN (SELECT DISTINCT rep FROM grp) r ON af.vec_id = r.rep),
+prs AS (SELECT a.vec_id AS pu, b.vec_id AS pv FROM rv a, rv b
+        WHERE a.cell = b.cell AND a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.v, b.v) >= 0.35),
+und AS (SELECT pu AS u, pv AS v FROM prs UNION SELECT pv, pu FROM prs),
+reach(u, v) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN und e2 ON r.v = e2.u
+  WHERE e2.v <> r.u),
+comp AS (SELECT u AS node, least(u, min(v)) AS component
+         FROM reach GROUP BY u)
+SELECT g.vec_id FROM grp g LEFT JOIN comp c ON g.rep = c.node
+WHERE g.vec_id = coalesce(c.component, g.rep)
+""")
+def q9o(spark, sf_dir):
+    """SemDeDup as published (clustering.cluster_semantic_dedup):
+    k-means first, then cosine-≥-threshold pairs WITHIN each cluster
+    only — pair generation is O(Σ|cell|²) (row-blocked per-cell matmul)
+    instead of O(n²) — then connected components + one anti-join keep
+    the smallest-id representative. Cross-cluster near-dups are
+    invisible by design (SemDeDup's recall trade). The oracle collapses
+    identical-vector groups to reps (cells are value-determined, so the
+    collapse preserves same-cell pair structure), then unrolls the same
+    closure recursively."""
+    e, cents = _km_fitted(spark, sf_dir)
+    return KM.cluster_semantic_dedup(e, cents, threshold=0.35) \
+        .select("vec_id")
+
+
 @_q("q9n_prototype_prune", f"""
 WITH {_km_cte()},
 sc AS (SELECT af.vec_id, af.cell,
@@ -3080,7 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the round-4-verified incremental family q9b–q9f; then
     # q01–q10 + q99/q9a; q53–q90 (fresh r4 driver rows) go last.
     def _prio(k: str) -> int:
-        if "q9g" <= k < "q9o":
+        if "q9g" <= k < "q9p":
             return 0
         if ("q11" <= k < "q53") or ("q91" <= k < "q99"):
             return 1

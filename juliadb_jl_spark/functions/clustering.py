@@ -142,6 +142,78 @@ def cluster_sample(df: DataFrame, centroids: list[list[float]],
             .drop("__rate"))
 
 
+def cluster_pairs_exact(df: DataFrame, centroids: list[list[float]],
+                        threshold: float = 0.95, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        margin: float = 1e-6) -> DataFrame:
+    """All SAME-CELL cosine-≥-threshold pairs, exactly: assign cells,
+    then one Arrow-batched numpy matmul per cell group — candidate
+    generation is O(Σ|cell|²) instead of O(n²), which is the whole
+    point of clustering first (SemDeDup runs k in the thousands so
+    cells stay small). Candidates use a margin-padded threshold, then
+    the survivors — O(matching pairs) — are re-scored with the native
+    sequential-fold cosine (bit-identical to the SQL oracle), with the
+    vector lookup pruned to matched ids via broadcast semi-joins: the
+    corpus itself is never shuffled.
+
+    Memory: the per-cell similarity is row-blocked (1024-row strips ×
+    cell matrix), so a task holds one cell's vectors + one strip of
+    scores — a 50k-vector cell at dim 64 is ~25 MB + 400 MB strip."""
+    import numpy as np
+    import pandas as pd
+    from juliadb_jl_spark.functions.similarity import cosine_expr
+
+    keyed = _cast_vec(df, vec_col).select(F.col(id_col).alias("id"),
+                                          F.col("__v").alias("v"))
+    cell, _sq = assign_expr(F.col("v"), centroids)
+    tagged = keyed.withColumn("__cell", cell)
+    id_t = df.schema[id_col].dataType.simpleString()
+    thr = threshold - margin
+
+    def gen(_key, p: pd.DataFrame):
+        M = np.array([np.asarray(v, dtype="float64") for v in p["v"]])
+        Mn = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-300)
+        ids = p["id"].to_numpy()
+        out = []
+        for lo in range(0, len(ids), 1024):
+            strip = Mn[lo:lo + 1024]
+            mask = (strip @ Mn.T >= thr) & \
+                (ids[lo:lo + 1024, None] < ids[None, :])
+            r, c = np.nonzero(mask)
+            out.append(pd.DataFrame({"id_a": ids[lo + r], "id_b": ids[c]}))
+        return pd.concat(out) if out else \
+            pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    cand = (tagged.repartition(par, "__cell").groupBy("__cell")
+            .applyInPandas(gen, f"id_a {id_t}, id_b {id_t}"))
+    m_ids = (cand.select(F.col("id_a").alias("id"))
+             .union(cand.select(F.col("id_b").alias("id"))).distinct())
+    mv = keyed.join(F.broadcast(m_ids), "id", "left_semi")
+    va = mv.select(F.col("id").alias("id_a"), F.col("v").alias("__va"))
+    vb = mv.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"))
+    return (cand.join(F.broadcast(va), "id_a").join(F.broadcast(vb), "id_b")
+            .withColumn("cosine", cosine_expr(F.col("__va"), F.col("__vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def cluster_semantic_dedup(df: DataFrame, centroids: list[list[float]],
+                           threshold: float = 0.95, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup as published (Abbas et al. 2023): k-means the corpus,
+    find cosine-≥-threshold pairs WITHIN each cluster only, resolve
+    transitive duplicate groups, keep the smallest-id representative.
+    Cross-cluster near-dups are invisible by design — that recall loss
+    (small for large k) is the price of O(Σ|cell|²) pair generation.
+    With k=1 this is exactly `dedup.semantic_dedup(exact=True)`
+    (property-tested). Composition: `cluster_pairs_exact` →
+    `dedup.dedup_by_clusters` (CC + one anti-join)."""
+    from juliadb_jl_spark.functions.dedup import dedup_by_clusters
+    pairs = cluster_pairs_exact(df, centroids, threshold, id_col, vec_col)
+    return dedup_by_clusters(df, pairs, id_col)
+
+
 def prototype_scores(df: DataFrame, centroids: list[list[float]],
                      vec_col: str = "embedding") -> DataFrame:
     """+ `cell`, + `proto` = cosine(vec, centroid(cell)) — how typical

@@ -141,3 +141,47 @@ def test_assignment_plan_is_shuffle_free(spark):
     plan = KM.kmeans_assign(df, cents)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_cluster_pairs_match_local(spark):
+    df, vecs = _mk(spark, n=70, dim=6, seed=9)
+    cents = KM.kmeans_fit(df, k=3, iters=2)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           KM.cluster_pairs_exact(df, cents, threshold=0.5).collect()}
+    cell, _ = _assign_local(vecs, np.array(cents))
+    Vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    want = {(i, j) for i in range(70) for j in range(i + 1, 70)
+            if cell[i] == cell[j] and S[i, j] >= 0.5 - 1e-9}
+    assert set(got) == want
+    for (i, j), c in got.items():
+        assert abs(c - S[i, j]) < 1e-9
+
+
+def test_cluster_semantic_dedup_k1_equals_exact_semantic_dedup(spark):
+    from juliadb_jl_spark.functions import dedup as DD
+    df, vecs = _mk(spark, n=50, dim=6, seed=11)
+    # k=1: every row in one cell -> identical to the unclustered exact op
+    cents = KM.kmeans_fit(df, k=1, iters=1)
+    got = sorted(r["vec_id"] for r in
+                 KM.cluster_semantic_dedup(df, cents, 0.6).collect())
+    want = sorted(r["vec_id"] for r in
+                  DD.semantic_dedup(df, "vec_id", "embedding", 0.6,
+                                    exact=True).collect())
+    assert got == want
+
+
+def test_cluster_semantic_dedup_identical_vector_clique(spark):
+    # a 10-member identical-embedding clique collapses to its min id;
+    # unique vectors far from everything pass through untouched
+    base = np.eye(4)[0]
+    rows = [(i, [float(x) for x in base]) for i in range(10)]
+    # three mutually-orthogonal singletons (cos=0 pairwise and vs clique)
+    rows += [(100 + i, [float(x) for x in np.eye(4)[i + 1]])
+             for i in range(3)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = KM.kmeans_fit(df, k=2, iters=2)
+    kept = sorted(r["vec_id"] for r in
+                  KM.cluster_semantic_dedup(df, cents, 0.99).collect())
+    assert 0 in kept and all(i not in kept for i in range(1, 10))
+    assert {100, 101, 102} <= set(kept)
