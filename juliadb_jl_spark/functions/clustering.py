@@ -103,18 +103,16 @@ def kmeans_fit(df: DataFrame, k: int, iters: int = 2,
     from juliadb_jl_spark.functions.dedup import _spread
     v = _spread(_cast_vec(df, vec_col).select("__v")).persist()
     try:
+        # recompute = one avg aggregate PER DIMENSION (wide, native,
+        # map-side combinable) — a posexplode to (cell, idx, x) rows was
+        # 25× slower at the sf10 rung (12.8M generated rows vs zero)
+        aggs = [F.avg(F.col("__v")[i]).alias(f"m{i}") for i in range(dim)]
         for _ in range(iters):
             cell, _sq = assign_expr(F.col("__v"), cents)
-            means = (v.select(cell.alias("cell"),
-                              F.posexplode(F.col("__v")).alias("idx", "x"))
-                     .groupBy("cell", "idx").agg(F.avg("x").alias("m"))
-                     .collect())
+            means = v.groupBy(cell.alias("cell")).agg(*aggs).collect()
             nxt = [list(c) for c in cents]  # empty cells keep old centroid
-            seen: dict[int, list[float | None]] = {}
             for r in means:
-                seen.setdefault(r["cell"], [None] * dim)[r["idx"]] = r["m"]
-            for c, vals in seen.items():
-                nxt[c] = [float(x) for x in vals]
+                nxt[r["cell"]] = [float(r[f"m{i}"]) for i in range(dim)]
             cents = nxt
         return cents
     finally:
@@ -140,6 +138,22 @@ def cluster_sample(df: DataFrame, centroids: list[list[float]],
                    "cell")
             .filter(hash_unit(F.col(id_col), seed) < F.col("__rate"))
             .drop("__rate"))
+
+
+def centroids_save(spark, centroids: list[list[float]], path: str) -> None:
+    """Persist fitted centroids as parquet (one row per cell) — the
+    fit-once / assign-forever artifact: tomorrow's ingest batches score
+    against today's centroids without re-fitting (same shape as
+    bpe_save / classifier.model_save)."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "cell int, centroid array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def centroids_load(spark, path: str) -> list[list[float]]:
+    rows = spark.read.parquet(path).collect()
+    by_cell = {r["cell"]: list(r["centroid"]) for r in rows}
+    return [by_cell[i] for i in range(len(by_cell))]
 
 
 def cluster_pairs_exact(df: DataFrame, centroids: list[list[float]],
@@ -170,7 +184,7 @@ def cluster_pairs_exact(df: DataFrame, centroids: list[list[float]],
     id_t = df.schema[id_col].dataType.simpleString()
     thr = threshold - margin
 
-    def gen(_key, p: pd.DataFrame):
+    def gen(_key, p):
         M = np.array([np.asarray(v, dtype="float64") for v in p["v"]])
         Mn = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-300)
         ids = p["id"].to_numpy()
@@ -207,11 +221,34 @@ def cluster_semantic_dedup(df: DataFrame, centroids: list[list[float]],
     Cross-cluster near-dups are invisible by design — that recall loss
     (small for large k) is the price of O(Σ|cell|²) pair generation.
     With k=1 this is exactly `dedup.semantic_dedup(exact=True)`
-    (property-tested). Composition: `cluster_pairs_exact` →
-    `dedup.dedup_by_clusters` (CC + one anti-join)."""
+    (property-tested). Composition: unique-vector lift →
+    `cluster_pairs_exact` on reps → `dedup.dedup_by_clusters`.
+
+    Unique-vector lift: identical vectors are cosine-1 duplicates by
+    definition (threshold ≤ 1) and share a cell (assignment is value-
+    determined), so each identical group collapses to its min-id rep
+    before pair generation and lifts back as rep→member star edges —
+    component-equivalent, O(members) instead of O(members²). Without it
+    a 100-member replicated clique contributes C(100,2) intra pairs
+    (measured: the sf10 rung's 2000×100-member cliques pushed the
+    un-lifted form past 10 minutes; lifted it is seconds). Cost when
+    the corpus is unique: one extra (id, vec) shuffle — linear, and the
+    same observed-blowup trade as the jaccard/minhash lifts."""
+    from pyspark.sql import Window as W
     from juliadb_jl_spark.functions.dedup import dedup_by_clusters
-    pairs = cluster_pairs_exact(df, centroids, threshold, id_col, vec_col)
-    return dedup_by_clusters(df, pairs, id_col)
+    keyed = _cast_vec(df, vec_col).select(F.col(id_col).alias("id"),
+                                          F.col("__v").alias("v"))
+    # xxhash prefix keeps the shuffle key narrow; full vector equality
+    # rides along so collisions cannot merge distinct vectors
+    w = W.partitionBy(F.xxhash64("v"), "v")
+    tagged = keyed.withColumn("__rep", F.min("id").over(w))
+    star = (tagged.filter(F.col("id") != F.col("__rep"))
+            .select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b")))
+    reps = (tagged.filter(F.col("id") == F.col("__rep"))
+            .select(F.col("id").alias(id_col), F.col("v").alias(vec_col)))
+    pairs = cluster_pairs_exact(reps, centroids, threshold, id_col, vec_col)
+    edges = pairs.select("id_a", "id_b").union(star)
+    return dedup_by_clusters(df, edges, id_col)
 
 
 def prototype_scores(df: DataFrame, centroids: list[list[float]],

@@ -185,3 +185,40 @@ def test_cluster_semantic_dedup_identical_vector_clique(spark):
                   KM.cluster_semantic_dedup(df, cents, 0.99).collect())
     assert 0 in kept and all(i not in kept for i in range(1, 10))
     assert {100, 101, 102} <= set(kept)
+
+
+def test_cluster_scoring_runs_on_streams(spark, tmp_path):
+    """Assignment and prototype scoring against FITTED centroids are
+    stateless Column maps — the same code runs under Structured
+    Streaming (score each arriving batch against yesterday's fit)."""
+    import pandas as pd
+    from juliadb_jl_spark.streaming.aggregate import (run_to_memory,
+                                                      stream_from_parquet)
+    df, _ = _mk(spark, n=40)
+    cents = KM.kmeans_fit(df, k=3, iters=2)
+    src = str(tmp_path / "vec_src")
+    df.write.parquet(src)
+
+    def score(d):
+        return KM.prototype_scores(d, cents).select(
+            "vec_id", "cell", "proto")
+
+    batch = score(spark.read.parquet(src)).toPandas() \
+        .sort_values("vec_id", ignore_index=True)
+    streamed = run_to_memory(score(stream_from_parquet(spark, src)),
+                             "km_stream", mode="append").toPandas() \
+        .sort_values("vec_id", ignore_index=True)
+    pd.testing.assert_frame_equal(batch, streamed)
+
+
+def test_centroids_roundtrip(spark, tmp_path):
+    df, _ = _mk(spark, n=30)
+    cents = KM.kmeans_fit(df, k=3, iters=2)
+    path = str(tmp_path / "centroids")
+    KM.centroids_save(spark, cents, path)
+    loaded = KM.centroids_load(spark, path)
+    assert np.array_equal(np.array(loaded), np.array(cents))
+    # loaded artifact drives assignment identically
+    a = KM.kmeans_assign(df, loaded).select("vec_id", "cell").collect()
+    b = KM.kmeans_assign(df, cents).select("vec_id", "cell").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
