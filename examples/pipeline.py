@@ -4,7 +4,8 @@
   ingest → C4 line cleaning → text features + repetition signals → PII
   scrub → quality filter → quality classifier (distributed logreg) →
   exact dedup → near-dup dedup (MinHash-LSH + cluster resolution) →
-  semantic dedup (embeddings) → contamination check → temperature
+  semantic dedup (embeddings) → cluster curation (k-means fit +
+  prototype prune + balanced sample) → contamination check → temperature
   mixture rebalance → deterministic train/val/test split →
   context-window packing → bigram-LM perplexity filter → deterministic
   shuffle → BPE tokenizer training + encoding → token-id encoding →
@@ -23,6 +24,7 @@ from pyspark.sql import functions as F
 import juliadb_jl_spark as jdb
 from juliadb_jl_spark.functions import bpe as BPE
 from juliadb_jl_spark.functions import classifier as CL
+from juliadb_jl_spark.functions import clustering as KM
 from juliadb_jl_spark.functions import curation as CU
 from juliadb_jl_spark.functions import dedup as DD
 from juliadb_jl_spark.functions import incremental as INC
@@ -104,6 +106,20 @@ def main():
         emb = read_table(spark, sf_dir, "embeddings")
         epairs = DD.embedding_neardup_pairs(emb, "vec_id", "embedding",
                                             threshold=0.95)
+
+    with jdb.tracktime("cluster-curate", spark):
+        # SemDeDup/D4-shaped cluster stage: fit k-means once (artifact
+        # persisted — later ingest batches score against it without
+        # re-fitting), drop the most prototypical quarter of each
+        # cluster (redundancy), then keep a balanced per-cell sample
+        # for diversity; all decisions deterministic and append-stable
+        cents = KM.kmeans_fit(emb, k=8, iters=2)
+        KM.centroids_save(spark, cents, f"{out_dir}/centroids")
+        diverse = KM.prototype_prune(emb, cents, frac=0.25, keep="far")
+        n_cell_target = max(1, diverse.count() // 16)
+        balanced = KM.cluster_sample(diverse, cents, n_cell_target, seed=5)
+        n_emb, n_diverse, n_bal = emb.count(), diverse.count(), \
+            balanced.count()
 
     with jdb.tracktime("contamination", spark):
         # guard against eval-set leakage: here the 'benchmark' is a tiny
@@ -191,6 +207,8 @@ def main():
           f"({n_in - n_out} dropped by quality/dedup); "
           f"splits {splits}; train packed into {(n_bins or 0) + 1} bins; "
           f"{epairs.count()} embedding near-dup pairs flagged; "
+          f"cluster curation: {n_emb} vectors -> {n_diverse} after "
+          f"prototype prune -> {n_bal} balanced; "
           f"BPE: {len(merges)} merges, {n_pieces} train pieces; "
           f"day-2 ingest: {n_batch} batch docs -> {n_fresh} fresh "
           f"({n_links} near-dup links vs corpus index, "
