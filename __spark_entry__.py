@@ -3100,6 +3100,55 @@ def q9n(spark, sf_dir):
         .select("vec_id", "cell", "proto")
 
 
+_NT_SQL = (r"CASE WHEN length(trim(text)) = 0 THEN 0 "
+           r"ELSE len(regexp_split_to_array(trim(text), '\s+')) END")
+
+
+@_q("q9p_corpus_report", f"""
+WITH t AS (SELECT doc_id, {_NT_SQL} AS nt,
+                  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                    AS fp
+           FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       avg(nt) AS mean_tokens,
+       quantile_cont(nt, 0.5) AS p50_tokens,
+       quantile_cont(nt, 0.95) AS p95_tokens,
+       CAST(count(DISTINCT fp) AS BIGINT) AS distinct_texts,
+       1.0 - (CAST(count(DISTINCT fp) AS DOUBLE) / count(*)) AS dup_ratio
+FROM t
+""")
+def q9p(spark, sf_dir):
+    """Corpus data card (curation.corpus_report): one row of release
+    statistics — doc/token totals, exact token-length percentiles,
+    exact-duplicate rate via the md5 content fingerprint. Exact
+    countDistinct/percentile are the oracle path; approx_count_distinct
+    / approx_percentile are the documented same-plan sketched swaps at
+    100 TB."""
+    d = read_table(spark, sf_dir, "documents")
+    return CU.corpus_report(d)
+
+
+@_q("q9q_corpus_breakdown", f"""
+WITH t AS (SELECT source, {_NT_SQL} AS nt FROM documents),
+g AS (SELECT source AS key, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS total_tokens
+      FROM t GROUP BY source)
+SELECT key, n_docs, total_tokens,
+       CAST(n_docs AS DOUBLE) / (SELECT sum(n_docs) FROM g) AS doc_share,
+       CAST(total_tokens AS DOUBLE) / (SELECT sum(total_tokens) FROM g)
+         AS token_share
+FROM g
+""")
+def q9q(spark, sf_dir):
+    """Per-source mixture table (curation.corpus_breakdown): the slice
+    a sampling policy consumes (temperature_rates / downsample_sources
+    read exactly these shares). One map-side-combinable groupBy; grand
+    totals ride a broadcast single-row cross-join."""
+    d = read_table(spark, sf_dir, "documents")
+    return CU.corpus_breakdown(d, "source")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -3117,7 +3166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the round-4-verified incremental family q9b–q9f; then
     # q01–q10 + q99/q9a; q53–q90 (fresh r4 driver rows) go last.
     def _prio(k: str) -> int:
-        if "q9g" <= k < "q9p":
+        if "q9g" <= k < "q9r":
             return 0
         if ("q11" <= k < "q53") or ("q91" <= k < "q99"):
             return 1

@@ -431,3 +431,56 @@ def drop_boilerplate(df: DataFrame, id_col: str = "doc_id",
             .agg(F.count("para").alias("n_paras"),
                  F.sum(kept.cast("long")).alias("n_kept"),
                  body.alias("text_clean")))
+
+
+def corpus_report(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """One-row corpus data card: document/token totals, token-length
+    spread, and the exact-duplicate rate — the numbers a dataset release
+    publishes (datasheet/data-card practice).
+
+    Returns (n_docs, total_tokens, mean_tokens, p50_tokens, p95_tokens,
+    distinct_texts, dup_ratio).
+
+    Scale: one pass for the token stats; `distinct_texts` is an exact
+    count distinct over the md5 content fingerprint (its own shuffle —
+    swap `F.approx_count_distinct` for the sketched one-pass form at
+    100 TB; exact is the oracle path). The percentiles are exact
+    (`F.percentile`) for the same reason — `approx_percentile` is the
+    same-plan sketched swap."""
+    from juliadb_jl_spark.functions.text import fingerprint, token_count
+    nt = token_count(F.col(text_col))
+    fp = fingerprint(F.col(text_col))
+    return (df.select(F.col(id_col), nt.alias("__nt"), fp.alias("__fp"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__nt").alias("total_tokens"),
+                 F.avg("__nt").alias("mean_tokens"),
+                 F.percentile(F.col("__nt"), F.lit(0.5)).alias("p50_tokens"),
+                 F.percentile(F.col("__nt"), F.lit(0.95)).alias("p95_tokens"),
+                 F.countDistinct("__fp").alias("distinct_texts"))
+            .withColumn("dup_ratio",
+                        1.0 - F.col("distinct_texts") / F.col("n_docs")))
+
+
+def corpus_breakdown(df: DataFrame, key_col: str, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-group slice of the data card: (key, n_docs, total_tokens,
+    doc_share, token_share) — the mixture table a sampling policy
+    (temperature_rates, downsample_sources) consumes.
+
+    Scale: one groupBy on the key (map-side combinable); the grand
+    totals ride a broadcast single-row cross-join, so nothing but the
+    group table moves."""
+    from juliadb_jl_spark.functions.text import token_count
+    g = (df.select(F.col(key_col).alias("key"),
+                   token_count(F.col(text_col)).alias("__nt"))
+         .groupBy("key")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("__nt").alias("total_tokens")))
+    tot = g.agg(F.sum("n_docs").alias("__d"),
+                F.sum("total_tokens").alias("__t"))
+    return (g.crossJoin(F.broadcast(tot))
+            .select("key", "n_docs", "total_tokens",
+                    (F.col("n_docs") / F.col("__d")).alias("doc_share"),
+                    (F.col("total_tokens") / F.col("__t"))
+                    .alias("token_share")))

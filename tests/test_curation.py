@@ -506,3 +506,29 @@ def test_paragraph_dedup_keeper_is_global_min(spark):
     got = {r["doc_id"]: r["text_dedup"]
            for r in CU.paragraph_dedup(df).collect()}
     assert got == {10: "x\n\nshared", 20: "y"}
+
+
+def test_corpus_report_golden(spark):
+    import pandas as pd
+    rows = [(0, "a b c"), (1, "a b c"), (2, "d e f g h i j k l m"),
+            (3, ""), (4, "x")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = CU.corpus_report(df).collect()[0]
+    assert r["n_docs"] == 5 and r["total_tokens"] == 3 + 3 + 10 + 0 + 1
+    assert r["distinct_texts"] == 4  # docs 0 and 1 share a fingerprint
+    assert abs(r["dup_ratio"] - 0.2) < 1e-12
+    # exact linear-interpolated percentiles over [3,3,10,0,1]
+    import numpy as np
+    nts = [3, 3, 10, 0, 1]
+    assert abs(r["p50_tokens"] - np.percentile(nts, 50)) < 1e-12
+    assert abs(r["p95_tokens"] - np.percentile(nts, 95)) < 1e-12
+    assert abs(r["mean_tokens"] - np.mean(nts)) < 1e-12
+
+
+def test_corpus_breakdown_shares_sum_to_one(spark):
+    rows = [(0, "a b", "web"), (1, "c", "web"), (2, "d e f", "books")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["key"]: r for r in CU.corpus_breakdown(df, "source").collect()}
+    assert out["web"]["n_docs"] == 2 and out["books"]["n_docs"] == 1
+    assert abs(out["web"]["token_share"] - 3 / 6) < 1e-12
+    assert abs(sum(r["doc_share"] for r in out.values()) - 1.0) < 1e-12
