@@ -30,6 +30,13 @@ oracle side is a cheap aggregation:
    collisions are filtered by the ≥1−1e−9 cosine verify), exact-count
    equality reported.
 
+8. Cluster-scoped SemDeDup at threshold 1−1e−9 keeps exactly
+   count(DISTINCT embedding) rows: identical vectors share a k-means
+   cell (assignment is value-determined) and the unique-vector lift +
+   star edges collapse each identical group to its min-id rep. A
+   genuine near-identical pair of DISTINCT vectors would legitimately
+   reduce the count (≤ asserted, exactness reported).
+
 Usage: python tools/check_invariants.py [sf_dir ...]
 """
 
@@ -160,6 +167,17 @@ def check(sf_dir: str, spark) -> bool:
         "vec_id", "embedding", threshold=1 - 1e-9, n_planes=20).count()
     rec("incremental_embedding_ones_eq_cross_dup_pairs", e_links >= exp_e,
         f"links={e_links} expected={exp_e} exact={e_links == exp_e} "
+        f"({time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    from juliadb_jl_spark.functions import clustering as KM
+    n_dvec = con.execute(
+        f"SELECT count(DISTINCT embedding) FROM {ep}").fetchone()[0]
+    cents = KM.kmeans_fit(emb, k=4, iters=2)
+    k_kept = KM.cluster_semantic_dedup(emb, cents,
+                                       threshold=1 - 1e-9).count()
+    rec("cluster_semdedup_keeps_distinct_vectors", k_kept <= n_dvec,
+        f"kept={k_kept} distinct={n_dvec} exact={k_kept == n_dvec} "
         f"({time.time()-t0:.1f}s)")
 
     docs.unpersist()
