@@ -2886,8 +2886,9 @@ p AS (SELECT doc_id, i AS pos,
       FROM t, unnest(range(0, (len(toks)+{_PW}-1)//{_PW})) u(i))"""
 
 
-def _wrapped_docs(spark, sf_dir):
-    """documents with text re-wrapped at _PW tokens per paragraph.
+def _wrapped_docs(spark, sf_dir, sep="\n\n"):
+    """documents with text re-wrapped at _PW tokens per paragraph
+    (sep="\\n" produces line-granularity units instead).
     Spread BEFORE the wrap projection: single-file inputs arrive as one
     partition, and repartition() after the projection would leave the
     tokenize+wrap compute serialized in that one task."""
@@ -2898,7 +2899,7 @@ def _wrapped_docs(spark, sf_dir):
     chunks = F.transform(
         F.sequence(F.lit(0), nchunks - 1),
         lambda i: F.array_join(F.slice(toks, i * _PW + 1, _PW), " "))
-    wrapped = F.when(n > 0, F.array_join(chunks, "\n\n")).otherwise(F.lit(""))
+    wrapped = F.when(n > 0, F.array_join(chunks, sep)).otherwise(F.lit(""))
     return d.select("doc_id", wrapped.alias("text"))
 
 
@@ -3100,6 +3101,36 @@ def q9n(spark, sf_dir):
         .select("vec_id", "cell", "proto")
 
 
+@_q("q9r_line_dedup", f"""
+WITH {_PARA_CTE},
+rk AS (SELECT doc_id, pos, para,
+              ROW_NUMBER() OVER (PARTITION BY para
+                                 ORDER BY doc_id, pos) AS rn
+       FROM p),
+agg AS (SELECT doc_id, count(*) AS n_paras,
+               sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+               md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                                       chr(10) ORDER BY pos),
+                            '')) AS text_md5
+        FROM rk GROUP BY doc_id)
+SELECT d.doc_id, coalesce(agg.n_paras, 0) AS n_paras,
+       coalesce(agg.n_kept, 0) AS n_kept,
+       coalesce(agg.text_md5, md5('')) AS text_md5
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+""")
+def q9r(spark, sf_dir):
+    """LINE-granularity global dedup (C4's dedup unit: exact duplicate
+    lines removed corpus-wide, keep-first) — the same skew-safe
+    keeper-election plan as q9j but with the newline splitter
+    (curation.paragraph_dedup(granularity="line")). The input is
+    wrapped at single-\\n so the line units are non-trivial; the oracle
+    is the token-chunk CTE with a chr(10) reconstruction separator."""
+    w = _wrapped_docs(spark, sf_dir, sep="\n")
+    out = CU.paragraph_dedup(w, "doc_id", "text", granularity="line")
+    return out.select("doc_id", "n_paras", "n_kept",
+                      F.md5("text_dedup").alias("text_md5"))
+
+
 _NT_SQL = (r"CASE WHEN length(trim(text)) = 0 THEN 0 "
            r"ELSE len(regexp_split_to_array(trim(text), '\s+')) END")
 
@@ -3166,7 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the round-4-verified incremental family q9b–q9f; then
     # q01–q10 + q99/q9a; q53–q90 (fresh r4 driver rows) go last.
     def _prio(k: str) -> int:
-        if "q9g" <= k < "q9r":
+        if "q9g" <= k < "q9s":
             return 0
         if ("q11" <= k < "q53") or ("q91" <= k < "q99"):
             return 1

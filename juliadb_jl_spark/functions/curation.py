@@ -48,6 +48,15 @@ def paragraphs(col: Column) -> Column:
     return F.filter(parts, lambda x: F.length(F.trim(x)) > 0)
 
 
+def text_lines(col: Column) -> Column:
+    """Non-blank lines as array<string> — the C4 dedup granularity."""
+    parts = F.split(F.coalesce(col, F.lit("")), r"\n")
+    return F.filter(parts, lambda x: F.length(F.trim(x)) > 0)
+
+
+_SPLITTERS = {"paragraph": (paragraphs, "\n\n"), "line": (text_lines, "\n")}
+
+
 def dup_fraction(arr: Column) -> Column:
     """Fraction of array elements that are repeats of an earlier element:
     1 - distinct/total (0 for empty arrays). Native, per-row."""
@@ -334,29 +343,35 @@ def shuffle_rows(df: DataFrame, key: str, seed: int = 1,
 
 
 def exploded_paragraphs(df: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
-    """(id_col, pos, para, __fp): trimmed non-blank paragraphs with
-    their 0-based position; documents with no paragraphs keep one row
-    with NULL pos/para so downstream rollups still see every doc.
+                        text_col: str = "text",
+                        granularity: str = "paragraph") -> DataFrame:
+    """(id_col, pos, para, __fp): trimmed non-blank units with their
+    0-based position; documents with no units keep one row with NULL
+    pos/para so downstream rollups still see every doc. `granularity`
+    picks the unit: "paragraph" (blank-line separated, MassiveText) or
+    "line" (newline separated, the C4 dedup granularity).
     `__fp` is a 64-bit fingerprint used ONLY as a cheap equi-join/group
     prefix — full-text equality always rides along, so collisions
     cannot merge distinct paragraphs."""
     from juliadb_jl_spark.functions.dedup import _spread
+    splitter, _ = _SPLITTERS[granularity]
     p = _spread(df).select(F.col(id_col),
-                           F.posexplode_outer(paragraphs(F.col(text_col)))
+                           F.posexplode_outer(splitter(F.col(text_col)))
                            .alias("pos", "para"))
     p = p.withColumn("para", F.trim(F.col("para")))
     return p.withColumn("__fp", F.xxhash64(F.col("para")))
 
 
 def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text",
-                    sep: str = "\n\n") -> DataFrame:
+                    text_col: str = "text", sep: str | None = None,
+                    granularity: str = "paragraph") -> DataFrame:
     """Global exact paragraph dedup with document reconstruction: for
     every distinct paragraph string, the occurrence with the smallest
     (id, pos) survives; all later occurrences — in the same or other
     documents — are removed, and each document is reassembled from its
-    surviving paragraphs in original order.
+    surviving paragraphs in original order. `granularity="line"` is the
+    C4 shape (dedup exact lines corpus-wide); `sep` defaults to the
+    granularity's natural separator.
 
     Returns (id_col, n_paras, n_kept, text_dedup) for EVERY input
     document (fully-deduped docs get text_dedup = '').
@@ -370,7 +385,8 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     reconstruction is one groupBy on the doc id. The paragraph text
     crosses exactly two shuffles — same shape as the substring-dedup
     pass (dedup.substring_dedup)."""
-    paras = exploded_paragraphs(df, id_col, text_col)
+    sep = _SPLITTERS[granularity][1] if sep is None else sep
+    paras = exploded_paragraphs(df, id_col, text_col, granularity)
     first = (paras.filter(F.col("para").isNotNull())
              .groupBy("__fp", "para")
              .agg(F.min(F.struct(F.col(id_col).alias("kid"),
@@ -392,13 +408,13 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
 
 
 def boilerplate_paragraphs(df: DataFrame, id_col: str = "doc_id",
-                           text_col: str = "text",
-                           min_docs: int = 2) -> DataFrame:
+                           text_col: str = "text", min_docs: int = 2,
+                           granularity: str = "paragraph") -> DataFrame:
     """The corpus's boilerplate table: paragraphs appearing in at least
     `min_docs` DISTINCT documents, with (para, n_docs, n_occ). Output
     is boilerplate-sized (small); the corpus crosses one map-side-
     combinable aggregation keyed on the paragraph."""
-    paras = exploded_paragraphs(df, id_col, text_col) \
+    paras = exploded_paragraphs(df, id_col, text_col, granularity) \
         .filter(F.col("para").isNotNull())
     return (paras.groupBy("para")
             .agg(F.countDistinct(id_col).alias("n_docs"),
@@ -408,7 +424,8 @@ def boilerplate_paragraphs(df: DataFrame, id_col: str = "doc_id",
 
 def drop_boilerplate(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", min_docs: int = 2,
-                     sep: str = "\n\n") -> DataFrame:
+                     sep: str | None = None,
+                     granularity: str = "paragraph") -> DataFrame:
     """Remove EVERY occurrence of boilerplate paragraphs (those in
     ≥ min_docs distinct documents) and reconstruct the documents —
     unlike `paragraph_dedup`, which keeps one canonical occurrence.
@@ -417,8 +434,10 @@ def drop_boilerplate(df: DataFrame, id_col: str = "doc_id",
     Scale: the boilerplate table is small by construction (it is the
     repeated material), so the anti-join broadcasts; the corpus text
     crosses one shuffle (the reconstruction groupBy)."""
-    paras = exploded_paragraphs(df, id_col, text_col)
-    bp = boilerplate_paragraphs(df, id_col, text_col, min_docs) \
+    sep = _SPLITTERS[granularity][1] if sep is None else sep
+    paras = exploded_paragraphs(df, id_col, text_col, granularity)
+    bp = boilerplate_paragraphs(df, id_col, text_col, min_docs,
+                                granularity) \
         .select("para", F.lit(True).alias("__bp"))
     flagged = paras.join(F.broadcast(bp), "para", "left")
     kept = F.col("para").isNotNull() & F.col("__bp").isNull()

@@ -532,3 +532,20 @@ def test_corpus_breakdown_shares_sum_to_one(spark):
     assert out["web"]["n_docs"] == 2 and out["books"]["n_docs"] == 1
     assert abs(out["web"]["token_share"] - 3 / 6) < 1e-12
     assert abs(sum(r["doc_share"] for r in out.values()) - 1.0) < 1e-12
+
+
+def test_line_granularity_dedup_golden(spark):
+    rows = [(0, "alpha beta\nshared line\ngamma"),
+            (1, "shared line\ndelta"),
+            (2, "alpha beta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           CU.paragraph_dedup(df, granularity="line").collect()}
+    # keep-first: doc 0 keeps everything; doc 1 loses 'shared line';
+    # doc 2 loses 'alpha beta' (first seen in doc 0)
+    assert out[0]["text_dedup"] == "alpha beta\nshared line\ngamma"
+    assert out[1]["text_dedup"] == "delta" and out[1]["n_kept"] == 1
+    assert out[2]["text_dedup"] == "" and out[2]["n_kept"] == 0
+    # paragraph granularity sees each full text as ONE unit -> no dups
+    pout = {r["doc_id"]: r for r in CU.paragraph_dedup(df).collect()}
+    assert all(pout[i]["n_kept"] == pout[i]["n_paras"] for i in range(3))
