@@ -3101,6 +3101,43 @@ def q9n(spark, sf_dir):
         .select("vec_id", "cell", "proto")
 
 
+@_q("q9s_pack_manifest", """
+WITH b AS (SELECT doc_id, n_chars,
+             CAST(floor(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 5000.0) AS BIGINT) AS bin
+           FROM documents),
+o AS (SELECT bin, doc_id, n_chars,
+             COALESCE(SUM(n_chars) OVER (PARTITION BY bin ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+      FROM b)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS bin_tokens,
+       md5(string_agg(doc_id || ':' || off, ',' ORDER BY doc_id))
+         AS manifest_md5
+FROM o GROUP BY bin
+""")
+def q9s(spark, sf_dir):
+    """Loader manifest for packed context windows
+    (sampling.pack_manifest): one row per bin with the ordered
+    (id, n_tokens, offset) document list a training reader consumes.
+    Offsets ride a window partitioned by bin — frames are budget-sized
+    regardless of corpus size; the packing itself is the scale-safe
+    two-pass cumsum (q72). The docs array is digested to md5 for the
+    oracle (complex-typed columns don't hash portably)."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    packed = SP.pack_tokens(d, "n_chars", budget=5000, order=["doc_id"])
+    man = SP.pack_manifest(packed, "n_chars", order=["doc_id"])
+    digest = F.md5(F.array_join(
+        F.transform(F.col("docs"),
+                    lambda s: F.concat_ws(":", s["id"].cast("string"),
+                                          s["offset"].cast("string"))),
+        ","))
+    return man.select("bin", "n_docs", "bin_tokens",
+                      digest.alias("manifest_md5"))
+
+
 @_q("q9r_line_dedup", f"""
 WITH {_PARA_CTE},
 rk AS (SELECT doc_id, pos, para,
@@ -3197,7 +3234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the round-4-verified incremental family q9b–q9f; then
     # q01–q10 + q99/q9a; q53–q90 (fresh r4 driver rows) go last.
     def _prio(k: str) -> int:
-        if "q9g" <= k < "q9s":
+        if "q9g" <= k < "q9t":
             return 0
         if ("q11" <= k < "q53") or ("q91" <= k < "q99"):
             return 1

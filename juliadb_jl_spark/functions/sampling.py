@@ -207,3 +207,34 @@ def pack_tokens_exact(df: DataFrame, token_col: str, budget: int,
         return pdf
 
     return df.groupBy(by).applyInPandas(_pack, schema=out_schema)
+
+
+def pack_manifest(packed: DataFrame, token_col: str, order: Sequence[str],
+                  bin_col: str = "bin",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-bin loader manifest over a `pack_tokens` result: one row per
+    bin with the ordered document list a training data loader consumes
+    to assemble each context window without re-scanning the corpus —
+    (bin, n_docs, bin_tokens, docs) where `docs` is the `order`-sorted
+    array of (id, n_tokens, offset) structs and `offset` is the token
+    position of the document inside its bin.
+
+    Scale: offsets come from a window PARTITIONED BY bin — a bin holds
+    ~budget tokens (a handful of documents), so every window frame is
+    tiny regardless of corpus size; the manifest is one groupBy(bin).
+    Bin order inside `docs` is made deterministic by array_sort on the
+    leading order columns (not collect order, which is partition-
+    dependent)."""
+    from pyspark.sql import Window as WW
+    w = (WW.partitionBy(bin_col).orderBy(*[F.col(c) for c in order])
+         .rowsBetween(WW.unboundedPreceding, -1))
+    off = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    m = packed.withColumn("__off", off)
+    entry = F.struct(*[F.col(c) for c in order],
+                     F.col(id_col).alias("id"),
+                     F.col(token_col).cast("long").alias("n_tokens"),
+                     F.col("__off").alias("offset"))
+    return (m.groupBy(bin_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col(token_col).cast("long")).alias("bin_tokens"),
+                 F.array_sort(F.collect_list(entry)).alias("docs")))

@@ -241,3 +241,23 @@ def test_temperature_rates_alpha_one_is_identity(spark):
     assert all(abs(r - 1.0) < 1e-15 for r in rates.values())
     assert SP.temperature_rates(
         df.filter(F.lit(False)), "src") == {}
+
+
+def test_pack_manifest_offsets_and_coverage(spark):
+    from juliadb_jl_spark.functions import sampling as SP
+    rows = [(i, 10 * (i % 3 + 1)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "nt"])
+    packed = SP.pack_tokens(df, "nt", budget=50, order=["doc_id"])
+    man = SP.pack_manifest(packed, "nt", order=["doc_id"])
+    got = {r["bin"]: r for r in man.collect()}
+    # every doc appears exactly once, offsets are the within-bin
+    # exclusive running sum in doc order, totals match
+    seen = []
+    for b, r in got.items():
+        off = 0
+        for d in r["docs"]:
+            assert d["offset"] == off
+            off += d["n_tokens"]
+            seen.append(d["id"])
+        assert r["bin_tokens"] == off and r["n_docs"] == len(r["docs"])
+    assert sorted(seen) == list(range(20))
