@@ -3217,6 +3217,116 @@ def q9q(spark, sf_dir):
     return CU.corpus_breakdown(d, "source")
 
 
+@_q("q9t_chunk_documents", r"""
+WITH t AS (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+           FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+c AS (SELECT doc_id, toks, n, CAST(u.st AS BIGINT) AS tok_start
+      FROM s, unnest(range(0, CAST(n AS BIGINT), 24)) AS u(st))
+SELECT doc_id, CAST(tok_start / 24 AS BIGINT) AS chunk_id,
+       CAST(ceil(CAST(n AS DOUBLE) / 24) AS BIGINT) AS n_chunks,
+       tok_start, CAST(least(32, n - tok_start) AS BIGINT) AS tok_len,
+       array_to_string(list_slice(toks, tok_start + 1, tok_start + 32), ' ')
+         AS chunk_text
+FROM c
+""")
+def q9t(spark, sf_dir):
+    """Token-window chunking (curation.chunk_documents) — the RAG /
+    eval / serving handoff unit: 32-token windows advancing by 24
+    (overlap 8). Pure per-row native transform (tokenize → sequence of
+    starts → posexplode → slice), zero shuffles, spread-before-explode
+    so single-file inputs parallelize."""
+    d = read_table(spark, sf_dir, "documents")
+    return CU.chunk_documents(d, size=32, overlap=8)
+
+
+@_q("q9u_cap_per_source", f"""
+WITH h AS (SELECT doc_id, source, {_unit_sql('doc_id', 5)} AS u
+           FROM documents),
+r AS (SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, doc_id)
+               AS rn
+      FROM h)
+SELECT doc_id, source FROM r WHERE rn <= 15
+""")
+def q9u(spark, sf_dir):
+    """Deterministic per-source document cap (sampling.cap_per_key,
+    the CommonCrawl per-domain cap): at most 15 docs per source, chosen
+    as the 15 smallest seeded-hash values — a uniform per-key sample.
+    The corpus is never globally windowed: one map-side-combinable agg
+    finds the over-cap keys, under-cap rows bypass via a broadcast
+    anti-join, and only the hot slice crosses the window shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    return SP.cap_per_key(d, "source", 15, key="doc_id", seed=5) \
+        .select("doc_id", "source")
+
+
+@_q("q9v_dedup_keep_best", """
+WITH c AS (
+  SELECT doc_id, text, (doc_id * 37) % 101 AS score FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, upper(text), ((doc_id + 10000) * 37) % 101
+  FROM documents WHERE doc_id % 2 = 0),
+r AS (SELECT doc_id, ROW_NUMBER() OVER (
+        PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+        ORDER BY score DESC, doc_id) AS rn
+      FROM c)
+SELECT doc_id FROM r WHERE rn = 1
+""")
+def q9v(spark, sf_dir):
+    """Quality-aware dedup keeper election (dedup_exact score_col /
+    keep="max"): among exact duplicates the HIGHEST-score copy
+    survives (ties → lowest id) — the production rule when duplicate
+    crawl snapshots differ in quality. The corpus is documents plus a
+    case-folded duplicate of every even doc under a different id and
+    score; the election rides the same one-shuffle min-struct
+    aggregate as plain dedup_exact (map-side combinable, skew-safe)."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    score = lambda c: F.pmod(c * 37, F.lit(101))  # noqa: E731
+    base = d.withColumn("score", score(F.col("doc_id")))
+    copies = (d.filter(F.col("doc_id") % 2 == 0)
+              .select((F.col("doc_id") + 10000).alias("doc_id"),
+                      F.upper("text").alias("text"))
+              .withColumn("score", score(F.col("doc_id"))))
+    corpus = base.unionByName(copies)
+    return DD.dedup_exact(corpus, "doc_id", score_col="score",
+                          keep="max").select("doc_id")
+
+
+@_q("q9w_vocab_coverage", r"""
+WITH voc AS (SELECT DISTINCT lower(unnest(regexp_split_to_array(
+                 trim(text), '\s+'))) AS word
+             FROM documents WHERE length(trim(text)) > 0),
+aug AS (SELECT source,
+               concat(text, ' nov', CAST(doc_id % 7 AS VARCHAR)) AS text
+        FROM documents),
+tok AS (SELECT source, lower(unnest(regexp_split_to_array(trim(text),
+                 '\s+'))) AS w
+        FROM aug WHERE length(trim(text)) > 0),
+j AS (SELECT source, CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok LEFT JOIN voc v ON tok.w = v.word)
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       CAST(sum(oov) AS DOUBLE) / count(*) AS oov_rate
+FROM j GROUP BY source
+""")
+def q9w(spark, sf_dir):
+    """Vocabulary-coverage / OOV-rate report (text.vocab_coverage) —
+    the tokenizer-evaluation slice of a data card: coverage of an
+    incoming batch (here the corpus augmented with one novel token per
+    doc) under the corpus vocabulary, per source. One explode + one
+    broadcast vocab join + one group agg; exploded rows stay in their
+    input partition so partial aggregation collapses them map-side."""
+    d = read_table(spark, sf_dir, "documents")
+    vocab = TX.build_vocab(d)
+    batch = d.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" nov"),
+                         F.pmod(F.col("doc_id"), F.lit(7)).cast("string")))
+    return TX.vocab_coverage(batch, vocab, by="source")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -3229,12 +3339,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver may record CORRECTNESS rows only for the first ~50
     # entries, so order by driver-verification recency (VERDICT r4 #6):
-    # q9g–q9k are new this round (never driver-verified) and lead; then
+    # q9g–q9w are new this round (never driver-verified) and lead; then
     # q11–q52 + q91–q98, whose newest driver rows are from r3 code;
     # then the round-4-verified incremental family q9b–q9f; then
     # q01–q10 + q99/q9a; q53–q90 (fresh r4 driver rows) go last.
     def _prio(k: str) -> int:
-        if "q9g" <= k < "q9t":
+        if "q9g" <= k:
             return 0
         if ("q11" <= k < "q53") or ("q91" <= k < "q99"):
             return 1

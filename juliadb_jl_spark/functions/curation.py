@@ -452,6 +452,47 @@ def drop_boilerplate(df: DataFrame, id_col: str = "doc_id",
                  body.alias("text_clean")))
 
 
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", size: int = 64,
+                    overlap: int = 0) -> DataFrame:
+    """Token-window chunking — the RAG / eval / serving handoff unit:
+    each document becomes windows of `size` whitespace tokens whose
+    starts advance by stride = size - overlap (the standard
+    sliding-window retrieval chunking; overlap keeps boundary context).
+
+    Returns (id_col, chunk_id, n_chunks, tok_start, tok_len,
+    chunk_text); documents with zero tokens produce zero chunks.
+
+    Scale (100 TB): a pure per-row native transform — tokenize, a
+    `sequence` of window starts, posexplode, `slice`+`array_join` per
+    chunk.  Zero shuffles, fully codegen'd; `_spread` first so
+    single-file inputs don't serialize the per-doc work in one task
+    (the q9h/q9j lesson)."""
+    if not (0 <= overlap < size):
+        raise ValueError(f"need 0 <= overlap < size (got {overlap}, {size})")
+    from juliadb_jl_spark.functions.dedup import _spread
+    from juliadb_jl_spark.functions.text import tokens
+    stride = size - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))) \
+        .otherwise(F.array().cast("array<int>"))
+    t = _spread(df).select(F.col(id_col), toks.alias("__toks"),
+                           n.alias("__n"), starts.alias("__starts"))
+    c = t.select(F.col(id_col), "__toks", "__n",
+                 F.size("__starts").cast("long").alias("n_chunks"),
+                 F.posexplode("__starts").alias("chunk_id", "tok_start"))
+    return c.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_chunks",
+        F.col("tok_start").cast("long").alias("tok_start"),
+        F.least(F.lit(size), F.col("__n") - F.col("tok_start"))
+        .cast("long").alias("tok_len"),
+        F.array_join(F.slice("__toks", F.col("tok_start") + 1, F.lit(size)),
+                     " ").alias("chunk_text"))
+
+
 def corpus_report(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """One-row corpus data card: document/token totals, token-length

@@ -28,14 +28,34 @@ from juliadb_jl_spark.functions.text import fingerprint, shingles, tokens
 # ---------------------------------------------------------------------------
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text",
-                normalized: bool = True) -> DataFrame:
-    """Keep one row (lowest id) per distinct text. hash-groupBy: one shuffle
-    on the fingerprint, then a semi-join back to recover full rows."""
+                normalized: bool = True, score_col: str | None = None,
+                keep: str = "max") -> DataFrame:
+    """Keep one row per distinct text. hash-groupBy: one shuffle on the
+    fingerprint, then a semi-join back to recover full rows.
+
+    Keeper election: lowest id by default; with `score_col` set, the
+    duplicate with the max (``keep="max"``, e.g. longest / highest
+    quality — the production rule: dedup should discard the WORSE copy)
+    or min (``keep="min"``) numeric score survives, ties broken by
+    lowest id.  Same plan either way — the score rides the min-struct
+    aggregate (negated for max: exact for ints and IEEE doubles), so
+    the election stays one map-side-combinable agg even when one text
+    is duplicated across millions of rows."""
     key = fingerprint(F.col(text_col)) if normalized else F.col(text_col)
-    keep = (df.select(F.col(id_col), key.alias("__k"))
-            .groupBy("__k").agg(F.min(id_col).alias(id_col))
+    if score_col is None:
+        keep_id = F.min(id_col)
+    else:
+        if keep not in ("max", "min"):
+            raise ValueError(f"keep must be 'max' or 'min' (got {keep!r})")
+        s = F.col(score_col)
+        ordered = (-s) if keep == "max" else s
+        keep_id = F.min(F.struct(ordered.alias("s"),
+                                 F.col(id_col).alias("i")))["i"]
+    kept = (df.select(F.col(id_col), *([score_col] if score_col else []),
+                      key.alias("__k"))
+            .groupBy("__k").agg(keep_id.alias(id_col))
             .select(id_col))
-    return df.join(keep, on=id_col, how="left_semi")
+    return df.join(kept, on=id_col, how="left_semi")
 
 
 # ---------------------------------------------------------------------------

@@ -98,6 +98,35 @@ def stratified_sample(df: DataFrame, by: str | Sequence[str], n: int,
             .filter(F.col("__r") <= n).drop("__r"))
 
 
+def cap_per_key(df: DataFrame, key_col: str, n: int, key: str,
+                seed: int = 5) -> DataFrame:
+    """Deterministic per-key row cap (the CommonCrawl-style per-domain
+    cap): keep at most `n` rows per `key_col` value, chosen as the `n`
+    smallest seeded-hash values of `key` (a uniform SAMPLE of each
+    over-cap key's rows, not a prefix; ties broken by `key`).
+    Membership is a pure function of the data, so re-runs reproduce it
+    exactly — though unlike the rate filters, appending rows to an
+    over-cap key CAN rotate which ones survive (a cap is a competition,
+    not a threshold; use `downsample_sources` for append-stability).
+
+    Scale (100 TB): the corpus is NEVER globally sorted or windowed.
+    One map-side-combinable agg finds the (tiny) set of over-cap keys;
+    under-cap rows pass through a broadcast anti-join untouched, and
+    only the over-cap slice — the few hot domains — crosses a shuffle
+    into the per-key row_number window. The two scans of `df` are
+    columnar reads, cheaper than the full-corpus shuffle+sort a naive
+    single window would pay."""
+    over = (df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > n).select(key_col))
+    under = df.join(F.broadcast(over), key_col, "left_anti")
+    hot = df.join(F.broadcast(over), key_col, "left_semi")
+    u = hash_unit(F.col(key), seed)
+    w = W.partitionBy(key_col).orderBy(u.asc(), F.col(key).asc())
+    capped = (hot.withColumn("__r", F.row_number().over(w))
+              .filter(F.col("__r") <= n).drop("__r"))
+    return under.unionByName(capped)
+
+
 def downsample_sources(df: DataFrame, source_col: str,
                        rates: dict[str, float], key: str,
                        seed: int = 1) -> DataFrame:

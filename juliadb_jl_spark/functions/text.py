@@ -360,6 +360,41 @@ def encode_tokens(df: DataFrame, id_col: str, vocab: DataFrame,
                     .alias(out_col)))
 
 
+def vocab_coverage(df: DataFrame, vocab: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   by: str | None = None) -> DataFrame:
+    """Vocabulary coverage / OOV-rate report — the tokenizer-evaluation
+    number a release publishes: per document (default) or per group
+    (``by=``, e.g. per source), how many lower-cased whitespace tokens
+    fall outside the vocabulary.
+
+    Returns (group, n_tokens, n_oov, oov_rate); documents with zero
+    tokens report 0/0/0.0.
+
+    Scale (100 TB): one corpus explode, one broadcast join against the
+    vocabulary-sized table, one group agg — the exploded rows of a
+    document stay in its input partition, so partial aggregation
+    collapses them map-side and the shuffle carries ~one row per
+    group."""
+    group = by if by is not None else id_col
+    low = F.lower(F.trim(F.col(text_col)))
+    toks = F.when(F.length(low) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(low, r"\s+"))
+    pairs = df.select(F.col(group), F.explode_outer(toks).alias("__w"))
+    hit = pairs.join(F.broadcast(vocab.select(F.col("word").alias("__w"),
+                                              "token_id")),
+                     "__w", "left")
+    return (hit.groupBy(group)
+            .agg(F.count("__w").alias("n_tokens"),
+                 F.sum((F.col("__w").isNotNull() &
+                        F.col("token_id").isNull()).cast("long"))
+                 .alias("n_oov"))
+            .withColumn("oov_rate",
+                        F.when(F.col("n_tokens") > 0,
+                               F.col("n_oov") / F.col("n_tokens"))
+                        .otherwise(F.lit(0.0))))
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the standard text-analysis columns."""
     c = F.col(text_col)
