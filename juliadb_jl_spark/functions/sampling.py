@@ -113,9 +113,13 @@ def cap_per_key(df: DataFrame, key_col: str, n: int, key: str,
     One map-side-combinable agg finds the (tiny) set of over-cap keys;
     under-cap rows pass through a broadcast anti-join untouched, and
     only the over-cap slice — the few hot domains — crosses a shuffle
-    into the per-key row_number window. The two scans of `df` are
-    columnar reads, cheaper than the full-corpus shuffle+sort a naive
-    single window would pay."""
+    into the per-key row_number window, where Spark's WindowGroupLimit
+    rewrite (rank-limit pushdown, plan-asserted in tests) keeps at most
+    n rows per key per map partition BEFORE the exchange — so even a
+    single domain holding 10% of the corpus ships only n rows per map
+    task, never its full row set. The two scans of `df` are columnar
+    reads, cheaper than the full-corpus shuffle+sort a naive single
+    window would pay."""
     over = (df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__c"))
             .filter(F.col("__c") > n).select(key_col))
     under = df.join(F.broadcast(over), key_col, "left_anti")

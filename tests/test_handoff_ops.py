@@ -109,6 +109,23 @@ def test_cap_per_key_counts_and_membership(spark):
     assert a == b
 
 
+def test_cap_per_key_plan_shapes(tables):
+    """Plan audit: chunking is shuffle-free past the spread; the cap's
+    hot-slice window gets Spark's rank-limit pushdown (WindowGroupLimit
+    Partial) so at most n rows per key per map task reach the exchange,
+    and both key-set joins broadcast."""
+    docs = tables["documents"].df
+    ch = CU.chunk_documents(docs, size=32, overlap=8)
+    chp = ch._jdf.queryExecution().executedPlan().toString()
+    # exactly the one intentional _spread round-robin repartition
+    assert chp.count("Exchange") == 1, chp
+    cap = SP.cap_per_key(docs.select("doc_id", "source"), "source", 15,
+                         key="doc_id")
+    cp = cap._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in cp, cp
+    assert cp.count("BroadcastHashJoin") == 2, cp
+
+
 # ---------------------------------------------------------------------------
 # dedup_exact keeper election
 # ---------------------------------------------------------------------------
