@@ -3327,6 +3327,32 @@ def q9w(spark, sf_dir):
     return TX.vocab_coverage(batch, vocab, by="source")
 
 
+@_q("q9x_cluster_keep_best", f"""
+WITH RECURSIVE {_CLUSTER_CTE_SQL},
+sc AS (SELECT c.node, c.component, d.n_chars
+       FROM comp c JOIN documents d ON c.node = d.doc_id),
+r AS (SELECT node, ROW_NUMBER() OVER (PARTITION BY component
+        ORDER BY n_chars DESC, node) AS rn
+      FROM sc)
+SELECT d.doc_id, md5(d.text) AS text_md5 FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM r WHERE rn > 1)
+""")
+def q9x(spark, sf_dir):
+    """Quality-aware near-dup cluster resolution (dedup_by_clusters
+    score_col/keep="max"): each transitive Jaccard-duplicate cluster
+    keeps its LONGEST member (ties → lowest id) instead of the min-id
+    one — the production keeper rule applied to near-dup clusters. The
+    election joins the pair-population-sized component table to the
+    corpus (id, score) projection and reduces with the same min-struct
+    aggregate as q9v; corpus text never shuffles."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, "doc_id", k=3, threshold=0.5,
+                                   star_intra=True)  # CC-equivalent edges
+    return DD.dedup_by_clusters(d, pairs, "doc_id", score_col="n_chars",
+                                keep="max") \
+        .select("doc_id", F.md5("text").alias("text_md5"))
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================

@@ -1146,12 +1146,37 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
 
 
 def dedup_by_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
-                      a: str = "id_a", b: str = "id_b") -> DataFrame:
+                      a: str = "id_a", b: str = "id_b",
+                      score_col: str | None = None,
+                      keep: str = "max") -> DataFrame:
     """Full-pipeline dedup: collapse transitive duplicate clusters, keeping
     the smallest-id member of each cluster; rows in no pair pass through.
     One anti-join against the (tiny relative to the corpus) non-canonical
-    member set — the corpus itself is never shuffled."""
+    member set — the corpus itself is never shuffled.
+
+    With `score_col` set, each cluster keeps its max- (``keep="max"``)
+    or min-score member instead (ties → lowest id) — the production
+    rule for near-dup clusters: keep the best crawl snapshot, not the
+    accidental min-id one. The election is one join of the
+    (pair-population-sized) component table against the corpus's
+    (id, score) projection plus one map-side-combinable min-struct agg
+    per component — the corpus text still never shuffles."""
     comp = connected_components(pairs, a, b)
-    losers = comp.filter(F.col("node") != F.col("component")) \
-        .select(F.col("node").alias(id_col))
+    if score_col is None:
+        losers = comp.filter(F.col("node") != F.col("component")) \
+            .select(F.col("node").alias(id_col))
+    else:
+        if keep not in ("max", "min"):
+            raise ValueError(f"keep must be 'max' or 'min' (got {keep!r})")
+        s = F.col(score_col)
+        ordered = (-s) if keep == "max" else s
+        scores = df.select(F.col(id_col).alias("node"), s)
+        reps = (comp.join(scores, "node")
+                .groupBy("component")
+                .agg(F.min(F.struct(ordered.alias("s"),
+                                    F.col("node").alias("i")))["i"]
+                     .alias("__rep")))
+        losers = (comp.join(reps, "component")
+                  .filter(F.col("node") != F.col("__rep"))
+                  .select(F.col("node").alias(id_col)))
     return df.join(losers, id_col, "left_anti")

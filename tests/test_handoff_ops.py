@@ -147,6 +147,27 @@ def test_dedup_exact_keep_best(spark):
         DD.dedup_exact(df, "doc_id", score_col="q", keep="longest")
 
 
+def test_dedup_by_clusters_keep_best(spark):
+    """Cluster rep election: transitive cluster {1,2,3} keeps its
+    max-score member; unpaired rows pass through untouched."""
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (4, 1.0), (5, 2.0)],
+        "doc_id long, q double")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = DD.dedup_by_clusters(df, pairs, "doc_id", score_col="q",
+                               keep="max")
+    # 2 and 3 tie at 9.0 → lower id 2 wins; 4 and 5 unpaired
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 4, 5]
+    low = DD.dedup_by_clusters(df, pairs, "doc_id", score_col="q",
+                               keep="min")
+    assert sorted(r["doc_id"] for r in low.collect()) == [1, 4, 5]
+    default = DD.dedup_by_clusters(df, pairs, "doc_id")
+    assert sorted(r["doc_id"] for r in default.collect()) == [1, 4, 5]
+    with pytest.raises(ValueError):
+        DD.dedup_by_clusters(df, pairs, "doc_id", score_col="q",
+                             keep="best")
+
+
 def test_dedup_exact_keeper_integer_scores(spark):
     """Negation trick must be exact for integral scores too."""
     df = spark.createDataFrame(
