@@ -2588,6 +2588,67 @@ def q9g(spark, sf_dir):
     return g.df.orderBy("o_year")
 
 
+@_q("q9y_waiting_suppliers", """
+WITH lo AS (SELECT l_orderkey, l_suppkey,
+                   l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_orderstatus = 'F'),
+w AS (SELECT l1.l_orderkey, l1.l_suppkey FROM lo l1
+      WHERE l1.late
+        AND EXISTS (SELECT 1 FROM lo l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lo l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey AND l3.late))
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM w JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_3'
+GROUP BY s_name
+""")
+def q9y(spark, sf_dir):
+    """TPC-H Q21-shaped waiting-suppliers query (EXISTS + NOT EXISTS
+    double self-correlation on the fact table), rewritten Spark-first:
+    instead of two lineitem self-joins, the per-order supplier counts
+    ride an unbounded window over the orderkey — n_supp =
+    size(collect_set(supplier)), n_late_supp = size(collect_set(late
+    supplier)) — and the predicate becomes (late AND n_supp > 1 AND
+    n_late_supp = 1). lineitem is scanned ONCE and crosses exactly ONE
+    orderkey exchange (plan-audited; the per-order sets are bounded by
+    suppliers-per-order, ≤7 in TPC-H); the nation-filtered supplier dim
+    broadcasts. Lateness = shipped >60 days after order date (testdata
+    lineitem has no commit/receipt dates)."""
+    from pyspark.sql import Window as W
+    li = read_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = (read_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    lo = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .withColumn("late", F.col("l_shipdate") >
+                      F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+          .select("l_orderkey", "l_suppkey", "late"))
+    w = W.partitionBy("l_orderkey")
+    cand = (lo.withColumn("__ns",
+                          F.size(F.collect_set("l_suppkey").over(w)))
+            .withColumn("__nls",
+                        F.size(F.collect_set(
+                            F.when(F.col("late"), F.col("l_suppkey")))
+                            .over(w)))
+            .filter(F.col("late") & (F.col("__ns") > 1) &
+                    (F.col("__nls") == 1)))
+    sup = (read_table(spark, sf_dir, "supplier")
+           .join(F.broadcast(read_table(spark, sf_dir, "nation")
+                             .filter(F.col("n_name") == "NATION_3")),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", "s_name"))
+    return (cand.join(F.broadcast(sup),
+                      cand.l_suppkey == sup.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
+
+
 # ===========================================================================
 # Incremental (append-only) ingest dedup (functions/incremental.py)
 # ===========================================================================
