@@ -3414,6 +3414,54 @@ def q9x(spark, sf_dir):
         .select("doc_id", F.md5("text").alias("text_md5"))
 
 
+@_q("qa0_quantile_filter", """
+WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS qlo,
+                  quantile_cont(n_chars, 0.95) AS qhi
+           FROM documents)
+SELECT doc_id, n_chars FROM documents, b
+WHERE n_chars >= qlo AND n_chars <= qhi
+""")
+def qa0(spark, sf_dir):
+    """Data-driven quantile gate (curation.filter_by_quantile): keep
+    documents inside the corpus's [P05, P95] by length — the standard
+    outlier cut where thresholds come from the data. One exact
+    two-percentile aggregation (approx_percentile = the documented
+    100-TB sketched swap) broadcast onto a pure filter; the corpus
+    never shuffles."""
+    d = read_table(spark, sf_dir, "documents")
+    return CU.filter_by_quantile(d, "n_chars", 0.05, 0.95) \
+        .select("doc_id", "n_chars")
+
+
+@_q("qa1_quantize_embeddings", """
+WITH m AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS ma
+           FROM embeddings)
+SELECT vec_id, ma / 127.0 AS q_scale,
+       md5(array_to_string(
+         CASE WHEN ma > 0
+           THEN list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) / (ma / 127.0) + 0.5)
+                          AS INT))
+           ELSE list_transform(embedding, x -> 0) END, ',')) AS codes_md5
+FROM m
+""")
+def qa1(spark, sf_dir):
+    """int8 embedding quantization (similarity.quantize_embeddings):
+    symmetric per-vector max-abs codes — the 4×-smaller storage form an
+    ANN index ships at 100 TB. Pure per-row native transform, zero
+    shuffle; floor(x/scale + 0.5) instead of round() so tie handling
+    is the same IEEE double in every engine. Codes digested to md5
+    (complex-typed columns don't hash portably in the driver)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = SIM.quantize_embeddings(e, "embedding", bits=8)
+    return q.select(
+        "vec_id", "q_scale",
+        F.md5(F.concat_ws(",", F.transform(
+            "q_codes", lambda c: c.cast("string")))).alias("codes_md5"))
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================

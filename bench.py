@@ -54,6 +54,8 @@ HEADLINE = [
     "q9b_dedup_incremental",  # batch anti-join vs corpus fingerprint index
     "q9h_dsir_scores",        # DSIR hashed-ngram importance scoring
     "q9j_paragraph_dedup",    # paragraph keeper election + reconstruction
+    "q9t_chunk_documents",    # token-window chunking (serving handoff)
+    "q9y_waiting_suppliers",  # TPC-H Q21 shape: window-rewritten EXISTS
 ]
 
 

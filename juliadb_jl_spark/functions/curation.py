@@ -493,6 +493,28 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
                      " ").alias("chunk_text"))
 
 
+def filter_by_quantile(df: DataFrame, col: str, lo: float = 0.0,
+                       hi: float = 1.0) -> DataFrame:
+    """Quantile gate — keep rows whose `col` lies within the corpus's
+    [P_lo, P_hi] interpolated percentiles (inclusive): the standard
+    curation cut for length / perplexity / quality outliers where the
+    thresholds must come from the DATA, not a hand-picked constant.
+
+    Scale (100 TB): one aggregation computes both thresholds
+    (`F.percentile` exact — the oracle path; `approx_percentile` is
+    the documented same-plan sketched swap), then a broadcast 1-row
+    cross-join feeds a pure filter — the corpus itself never
+    shuffles."""
+    if not (0.0 <= lo <= hi <= 1.0):
+        raise ValueError(f"need 0 <= lo <= hi <= 1 (got {lo}, {hi})")
+    b = df.agg(F.percentile(F.col(col), F.lit(lo)).alias("__qlo"),
+               F.percentile(F.col(col), F.lit(hi)).alias("__qhi"))
+    return (df.crossJoin(F.broadcast(b))
+            .filter((F.col(col) >= F.col("__qlo")) &
+                    (F.col(col) <= F.col("__qhi")))
+            .drop("__qlo", "__qhi"))
+
+
 def corpus_report(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """One-row corpus data card: document/token totals, token-length

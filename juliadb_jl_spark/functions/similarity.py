@@ -29,6 +29,40 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        bits: int = 8,
+                        out_col: str = "q_codes",
+                        scale_col: str = "q_scale") -> DataFrame:
+    """Symmetric per-vector max-abs integer quantization — the storage
+    form ANN indexes ship at scale (int8 codes are 4× smaller than
+    float32 and dot products stay SIMD-friendly): code_i =
+    floor(x_i / scale + 0.5) with scale = max|x| / (2^(bits-1) - 1),
+    dequant x̂_i = code_i * scale.  `floor(x + 0.5)` instead of
+    round() — the two engines' round() disagree on tie handling, the
+    floor form is the same IEEE double everywhere.  All-zero vectors
+    get scale 0 and all-zero codes.
+
+    Scale (100 TB): a pure per-row native transform, zero shuffle,
+    no UDF."""
+    if not (2 <= bits <= 16):
+        raise ValueError(f"bits must be in [2, 16] (got {bits})")
+    levels = float(2 ** (bits - 1) - 1)
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = maxabs / F.lit(levels)
+    codes = F.when(
+        maxabs > 0,
+        F.transform(v, lambda x: F.floor(x.cast("double") / scale + 0.5)
+                    .cast("int"))) \
+        .otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.withColumn(scale_col, scale).withColumn(out_col, codes)
+
+
+def dequantize_expr(codes: Column, scale: Column) -> Column:
+    """Reconstruct the (lossy) float vector from quantized codes."""
+    return F.transform(codes, lambda c: c.cast("double") * scale)
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 q_id_col: str | None = None, q_vec_col: str | None = None) -> DataFrame:

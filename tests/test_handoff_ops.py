@@ -182,6 +182,53 @@ def test_dedup_exact_keeper_integer_scores(spark):
 # vocab_coverage
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# filter_by_quantile / quantize_embeddings
+# ---------------------------------------------------------------------------
+
+def test_filter_by_quantile_golden(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 11)],
+                               "id long, v double")
+    # P(0.25)=3.25, P(0.75)=7.75 (interpolated) → keep 4..7
+    out = CU.filter_by_quantile(df, "v", 0.25, 0.75)
+    assert sorted(r["id"] for r in out.collect()) == [4, 5, 6, 7]
+    # identity bounds keep everything
+    assert CU.filter_by_quantile(df, "v").count() == 10
+    with pytest.raises(ValueError):
+        CU.filter_by_quantile(df, "v", 0.9, 0.1)
+
+
+def test_quantize_embeddings_roundtrip(tables):
+    """Dequantized vectors are within scale/2 per coordinate; codes fit
+    the signed bit budget; zero vectors quantize to zero codes."""
+    from juliadb_jl_spark.functions import similarity as SIM
+    e = tables["embeddings"].df.limit(200)
+    q = SIM.quantize_embeddings(e, "embedding", bits=8)
+    err = q.select(
+        F.array_max(F.zip_with(
+            "embedding", SIM.dequantize_expr(F.col("q_codes"),
+                                             F.col("q_scale")),
+            lambda x, y: F.abs(x.cast("double") - y))).alias("e"),
+        (F.col("q_scale") / 2).alias("half"),
+        F.array_max(F.transform("q_codes", lambda c: F.abs(c))).alias("m"))
+    bad = err.filter((F.col("e") > F.col("half") * 1.0000001) |
+                     (F.col("m") > 127)).count()
+    assert bad == 0
+
+
+def test_quantize_embeddings_zero_vector(spark):
+    from juliadb_jl_spark.functions import similarity as SIM
+    df = spark.createDataFrame([(1, [0.0, 0.0]), (2, [1.0, -2.0])],
+                               "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: (r["q_scale"], r["q_codes"])
+           for r in SIM.quantize_embeddings(df).collect()}
+    assert out[1] == (0.0, [0, 0])
+    s, codes = out[2]
+    assert codes == [64, -127] and abs(s - 2.0 / 127) < 1e-12
+    with pytest.raises(ValueError):
+        SIM.quantize_embeddings(df, bits=1)
+
+
 def test_vocab_coverage_golden(spark):
     vocab = spark.createDataFrame(
         [("<unk>", 0), ("the", 1), ("cat", 2)], "word string, token_id int")
