@@ -172,6 +172,19 @@ def main():
         n_pieces = bpe_encoded.agg(
             F.sum(F.size("pieces")).alias("n")).head()["n"]
 
+    with jdb.tracktime("serving-handoff", spark):
+        # retrieval/eval handoff: outlier-gate by data-driven length
+        # percentiles, cap any runaway source, chunk to overlapping
+        # token windows (the RAG unit), and quantize the embedding
+        # store to int8 codes for the ANN index (4x smaller)
+        gated = CU.filter_by_quantile(kept, "n_tokens", 0.02, 0.98)
+        capped = SP.cap_per_key(gated, "source", 200, key="doc_id")
+        chunks = CU.chunk_documents(capped, size=64, overlap=8)
+        q8 = SIM.quantize_embeddings(emb)
+        n_gated, n_capped = gated.count(), capped.count()
+        n_chunks = chunks.count()
+        n_q8 = q8.filter(F.size("q_codes") > 0).count()
+
     with jdb.tracktime("save+index", spark):
         jdb.save(jdb.table(kept.drop("split"), pkey="doc_id"),
                  f"{out_dir}/documents")
@@ -212,7 +225,10 @@ def main():
           f"BPE: {len(merges)} merges, {n_pieces} train pieces; "
           f"day-2 ingest: {n_batch} batch docs -> {n_fresh} fresh "
           f"({n_links} near-dup links vs corpus index, "
-          f"mean novelty {mean_novelty:.3f})")
+          f"mean novelty {mean_novelty:.3f}); "
+          f"serving handoff: {n_out} -> {n_gated} length-gated -> "
+          f"{n_capped} capped -> {n_chunks} chunks; "
+          f"{n_q8} embeddings quantized to int8")
     print("\nstage timings:")
     print(jdb.timings().drop(columns=["ts"]).to_string(index=False))
     print(f"\ncurated corpus + IVF index at {out_dir}")

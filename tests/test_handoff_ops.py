@@ -247,6 +247,51 @@ def test_vocab_coverage_golden(spark):
     assert per_src == {"s1": (5, 1), "s2": (4, 4)}
 
 
+def test_handoff_ops_run_on_streams(spark, tmp_path):
+    """Chunking and quantization are stateless per-row transforms — the
+    same code runs under Structured Streaming (chunk/quantize each
+    arriving batch at ingest)."""
+    import pandas as pd
+    from juliadb_jl_spark.functions import similarity as SIM
+    from juliadb_jl_spark.streaming.aggregate import (run_to_memory,
+                                                      stream_from_parquet)
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(12))) for i in range(30)],
+        "doc_id long, text string")
+    src = str(tmp_path / "doc_src")
+    docs.write.parquet(src)
+
+    def chunk(d):
+        return CU.chunk_documents(d, size=5, overlap=1)
+
+    batch = chunk(spark.read.parquet(src)).toPandas() \
+        .sort_values(["doc_id", "chunk_id"], ignore_index=True)
+    streamed = run_to_memory(chunk(stream_from_parquet(spark, src)),
+                             "chunk_stream", mode="append").toPandas() \
+        .sort_values(["doc_id", "chunk_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(batch, streamed)
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), float(-i), 0.5]) for i in range(20)],
+        "vec_id long, embedding array<float>")
+    vsrc = str(tmp_path / "vec_src")
+    vecs.write.parquet(vsrc)
+
+    def quant(d):
+        q = SIM.quantize_embeddings(d)
+        return q.select("vec_id", "q_scale",
+                        F.concat_ws(",", F.transform(
+                            "q_codes", lambda c: c.cast("string")))
+                        .alias("codes"))
+
+    qb = quant(spark.read.parquet(vsrc)).toPandas() \
+        .sort_values("vec_id", ignore_index=True)
+    qs = run_to_memory(quant(stream_from_parquet(spark, vsrc)),
+                       "quant_stream", mode="append").toPandas() \
+        .sort_values("vec_id", ignore_index=True)
+    pd.testing.assert_frame_equal(qb, qs)
+
+
 def test_vocab_coverage_full_vocab_zero_oov(tables):
     """A min_freq=1 vocab built from the corpus covers it exactly."""
     docs = tables["documents"].df.limit(200)
