@@ -3462,6 +3462,162 @@ def qa1(spark, sf_dir):
             "q_codes", lambda c: c.cast("string")))).alias("codes_md5"))
 
 
+@_q("qa2_corpus_diff", """
+WITH old AS (SELECT doc_id, md5(coalesce(text, '')) AS fp
+             FROM documents WHERE doc_id % 10 < 8),
+new AS (SELECT doc_id,
+          md5(coalesce(CASE WHEN doc_id % 7 = 0
+                THEN text || ' [rev 2]' ELSE text END, '')) AS fp
+        FROM documents WHERE doc_id % 10 >= 1)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.fp IS NULL THEN 'added'
+            WHEN n.fp IS NULL THEN 'removed'
+            WHEN o.fp = n.fp THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+""")
+def qa2(spark, sf_dir):
+    """Snapshot diff between two dataset versions
+    (curation.corpus_diff): every id classified added / removed /
+    changed / unchanged — the changelog a versioned release publishes
+    between crawls. Old = 80% slice, new = 90% slice with a simulated
+    edit on every 7th doc. Both sides reduce to (id, md5) BEFORE the
+    full-outer join, so text never crosses the exchange; id-bucketed
+    snapshots would join with no exchange at all."""
+    d = read_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 10 < 8)
+    new = d.filter(F.col("doc_id") % 10 >= 1).withColumn(
+        "text", F.when(F.col("doc_id") % 7 == 0,
+                       F.concat(F.col("text"), F.lit(" [rev 2]")))
+        .otherwise(F.col("text")))
+    return CU.corpus_diff(old, new)
+
+
+_FUNNEL_SQL_PREDS = [
+    ("min_len", "n_chars >= 100"),
+    ("max_len", "n_chars <= 20000"),
+    ("min_words", "nw >= 20"),
+    ("lang", "lang IN ('en', 'de', 'fr')"),
+]
+_FUNNEL_CUMS = []
+for _i in range(len(_FUNNEL_SQL_PREDS)):
+    _FUNNEL_CUMS.append(" AND ".join(
+        f"coalesce(({p}), FALSE)" for _, p in _FUNNEL_SQL_PREDS[:_i + 1]))
+_FUNNEL_STAGE_ROWS = "\nUNION ALL ".join(
+    f"SELECT {i + 1} AS stage_idx, '{name}' AS stage, "
+    f"{'n0' if i == 0 else f'k{i}'} AS docs_in, k{i + 1} AS docs_kept, "
+    f"{'n0' if i == 0 else f'k{i}'} - k{i + 1} AS docs_dropped, "
+    f"t{i + 1} AS tokens_kept FROM a"
+    for i, (name, _) in enumerate(_FUNNEL_SQL_PREDS))
+
+
+@_q("qa3_curation_funnel", f"""
+WITH t AS (SELECT n_chars, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS nw
+           FROM documents),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(nw) AS BIGINT) AS t_in,
+  {', '.join(
+    f'CAST(sum(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS k{i + 1}, '
+    f'CAST(sum(CASE WHEN {c} THEN nw ELSE 0 END) AS BIGINT) AS t{i + 1}'
+    for i, c in enumerate(_FUNNEL_CUMS))}
+  FROM t)
+SELECT 0 AS stage_idx, 'ingest' AS stage, n0 AS docs_in, n0 AS docs_kept,
+       0 AS docs_dropped, t_in AS tokens_kept FROM a
+UNION ALL {_FUNNEL_STAGE_ROWS}
+""")
+def qa3(spark, sf_dir):
+    """Staged-filter attrition report (curation.curation_funnel): the
+    per-release audit table of a filter cascade — docs/tokens entering,
+    surviving, and dropped per stage, cumulatively. ONE corpus pass:
+    all 2n conditional sums ride a single map-side-combined global
+    aggregation; the stage rows are inlined from that one row."""
+    d = read_table(spark, sf_dir, "documents")
+    nw = F.size(F.split(F.trim("text"), r"\s+"))
+    stages = [("min_len", F.col("n_chars") >= 100),
+              ("max_len", F.col("n_chars") <= 20000),
+              ("min_words", nw >= 20),
+              ("lang", F.col("lang").isin("en", "de", "fr"))]
+    return CU.curation_funnel(d, stages, token_col=nw)
+
+
+@_q("qa4_split_leakage", rf"""
+WITH h AS (SELECT doc_id, text,
+             CASE WHEN {_unit_sql('doc_id', 11)} < 0.9
+               THEN 'train' ELSE 'eval' END AS split
+           FROM documents),
+t AS (SELECT doc_id, split,
+        regexp_split_to_array(trim(text), '\s+') AS toks FROM h),
+g AS (SELECT doc_id, split, unnest(list_distinct(
+        CASE WHEN len(toks) >= 5
+          THEN [array_to_string(toks[i:i+4], ' ')
+                FOR i IN range(1, len(toks) - 3)]
+          ELSE [] END)) AS s
+      FROM t),
+tr AS (SELECT DISTINCT s FROM g WHERE split = 'train'),
+ev AS (SELECT doc_id, s FROM g WHERE split = 'eval')
+SELECT d.doc_id, d.split,
+       CAST(count(e.s) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       round(CASE WHEN count(e.s) > 0
+         THEN CAST(sum(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(e.s) ELSE 0.0 END, 6) AS leak_r6
+FROM (SELECT doc_id, split FROM h WHERE split = 'eval') d
+LEFT JOIN ev e ON d.doc_id = e.doc_id
+LEFT JOIN tr ON e.s = tr.s
+GROUP BY d.doc_id, d.split
+""")
+def qa4(spark, sf_dir):
+    """Train→eval leakage report (curation.split_leakage): fraction of
+    each eval doc's distinct word 5-grams that also occur in the train
+    split — run before publishing a split. Unlike benchmark
+    decontamination, the train gram set is corpus-sized and can NOT
+    broadcast: both sides hash-partition on the gram key (the
+    contamination_report(broadcast_benchmark=False) join shape)."""
+    d = read_table(spark, sf_dir, "documents")
+    s = SP.split_by_hash(d, "doc_id", {"train": 0.9, "eval": 0.1},
+                         seed=11)
+    rep = CU.split_leakage(s, n=5)
+    return rep.select("doc_id", "split", "n_grams", "n_hits",
+                      F.round("contamination", 6).alias("leak_r6"))
+
+
+@_q("qa5_leakage_attribution", r"""
+WITH t AS (SELECT doc_id, doc_id % 11 = 0 AS is_eval,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id, is_eval, unnest(list_distinct(
+        CASE WHEN len(toks) >= 5
+          THEN [array_to_string(toks[i:i+4], ' ')
+                FOR i IN range(1, len(toks) - 3)]
+          ELSE [] END)) AS s
+      FROM t),
+hot AS (SELECT s FROM g WHERE NOT is_eval
+        GROUP BY s HAVING count(*) > 1000),
+tg AS (SELECT doc_id AS train_id, s FROM g
+       WHERE NOT is_eval AND s NOT IN (SELECT s FROM hot)),
+eg AS (SELECT doc_id AS eval_id, s FROM g WHERE is_eval),
+pairs AS (SELECT eval_id, train_id, CAST(count(*) AS BIGINT) AS shared_grams
+          FROM eg JOIN tg USING (s) GROUP BY eval_id, train_id)
+SELECT eval_id, train_id, shared_grams FROM pairs
+QUALIFY row_number() OVER (PARTITION BY eval_id
+                           ORDER BY shared_grams DESC, train_id ASC) = 1
+""")
+def qa5(spark, sf_dir):
+    """Leakage attribution (curation.leakage_attribution): for each
+    leaking eval doc (here every 11th doc), the top train culprit by
+    shared distinct-5-gram count (ties → min train id) — distinguishes
+    one near-duplicate from diffuse boilerplate. Gram-key equi-join of
+    two distinct-gram tables + a pair count + a max-struct argmax; no
+    doc×doc comparison; grams in >1000 train docs are excluded (the
+    hot-key guard, one vocabulary-sized pass)."""
+    d = read_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 11 == 0)
+    tr = d.filter(F.col("doc_id") % 11 != 0)
+    return CU.leakage_attribution(tr, ev, n=5, df_cap=1000)
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================

@@ -566,3 +566,188 @@ def corpus_breakdown(df: DataFrame, key_col: str, id_col: str = "doc_id",
                     (F.col("n_docs") / F.col("__d")).alias("doc_share"),
                     (F.col("total_tokens") / F.col("__t"))
                     .alias("token_share")))
+
+
+# ---------------------------------------------------------------------------
+# Release engineering: snapshot diff, funnel audit, split-leakage
+# ---------------------------------------------------------------------------
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Diff two corpus snapshots (dataset versions) by document id:
+    every id present in either snapshot is classified as
+    `added` (only in new), `removed` (only in old), `changed` (both,
+    content fingerprint differs) or `unchanged` — the audit a versioned
+    dataset release publishes between crawls.
+
+    Returns (id_col, status) with status in
+    {added, removed, changed, unchanged}.
+
+    Scale (100 TB): both sides project to (id, md5-of-raw-text) BEFORE
+    the join, so document text never crosses an exchange — only ids
+    plus 32-hex fingerprints move. The full-outer join hash-partitions
+    both snapshots on the id; snapshots persisted bucketed on the id
+    (`sources.parquet.save_bucketed`) join with no exchange at all."""
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    o = old.select(F.col(id_col), fp.alias("__fp_old"))
+    n = new.select(F.col(id_col), fp.alias("__fp_new"))
+    j = o.join(n, id_col, "full_outer")
+    status = (F.when(F.col("__fp_old").isNull(), F.lit("added"))
+              .when(F.col("__fp_new").isNull(), F.lit("removed"))
+              .when(F.col("__fp_old") == F.col("__fp_new"),
+                    F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select(F.col(id_col), status.alias("status"))
+
+
+def corpus_diff_report(old: DataFrame, new: DataFrame,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """One-row rollup of `corpus_diff`: (n_added, n_removed, n_changed,
+    n_unchanged, n_old, n_new) — the headline numbers of a release
+    changelog. Same plan as `corpus_diff` plus one count aggregation."""
+    d = corpus_diff(old, new, id_col, text_col)
+    c = lambda s: F.sum((F.col("status") == s).cast("long")).alias(f"n_{s}")
+    return (d.agg(c("added"), c("removed"), c("changed"), c("unchanged"))
+            .withColumn("n_old", F.col("n_removed") + F.col("n_changed")
+                        + F.col("n_unchanged"))
+            .withColumn("n_new", F.col("n_added") + F.col("n_changed")
+                        + F.col("n_unchanged")))
+
+
+def curation_funnel(df: DataFrame, stages: list[tuple[str, Column]],
+                    token_col: Column | None = None) -> DataFrame:
+    """Staged-filter attrition report: `stages` is the ORDERED list of
+    (name, keep-predicate) a curation pipeline applies; the funnel
+    reports, per stage, how many documents (and optionally tokens)
+    enter, survive, and drop — cumulative, i.e. stage i counts only
+    rows that passed stages 0..i-1. This is the per-release audit
+    table every pipeline publishes (what C4/Gopher/RefinedWeb report
+    as their filter cascades).
+
+    Returns one row per stage plus a leading `ingest` row:
+    (stage_idx, stage, docs_in, docs_kept, docs_dropped[, tokens_kept]).
+
+    Scale (100 TB): ONE corpus pass — every cumulative predicate is a
+    native boolean column and all 2·n_stages conditional sums ride a
+    single global aggregation (map-side combined, one-row result); the
+    per-stage rows are inlined from that row with no further job.
+    NULL predicate values count as drops (a row that can't be judged
+    doesn't survive)."""
+    if not stages:
+        raise ValueError("need at least one (name, predicate) stage")
+    cums, cum = [], F.lit(True)
+    for _, pred in stages:
+        cum = cum & F.coalesce(pred, F.lit(False))
+        cums.append(cum)
+    aggs = [F.count(F.lit(1)).alias("__n0")]
+    for i, c in enumerate(cums):
+        aggs.append(F.sum(c.cast("long")).alias(f"__k{i}"))
+        if token_col is not None:
+            aggs.append(F.sum(F.when(c, token_col).otherwise(F.lit(0)))
+                        .alias(f"__t{i}"))
+    if token_col is not None:
+        aggs.append(F.sum(token_col).alias("__t_in"))
+    row = df.agg(*aggs)
+
+    def stage_struct(i: int, name: str):
+        docs_in = F.col("__n0") if i == 0 else F.col(f"__k{i - 1}")
+        kept = F.col(f"__k{i}")
+        fields = [F.lit(i + 1).cast("long").alias("stage_idx"),
+                  F.lit(name).alias("stage"),
+                  docs_in.alias("docs_in"), kept.alias("docs_kept"),
+                  (docs_in - kept).alias("docs_dropped")]
+        if token_col is not None:
+            fields.append(F.col(f"__t{i}").cast("long")
+                          .alias("tokens_kept"))
+        return F.struct(*fields)
+
+    ingest_fields = [F.lit(0).cast("long").alias("stage_idx"),
+                     F.lit("ingest").alias("stage"),
+                     F.col("__n0").alias("docs_in"),
+                     F.col("__n0").alias("docs_kept"),
+                     F.lit(0).cast("long").alias("docs_dropped")]
+    if token_col is not None:
+        ingest_fields.append(F.col("__t_in").cast("long")
+                             .alias("tokens_kept"))
+    rows = [F.struct(*ingest_fields)]
+    rows += [stage_struct(i, name) for i, (name, _) in enumerate(stages)]
+    return row.select(F.inline(F.array(*rows)))
+
+
+def apply_funnel(df: DataFrame,
+                 stages: list[tuple[str, Column]]) -> DataFrame:
+    """Apply the same ordered stage predicates `curation_funnel`
+    audits: rows surviving EVERY stage (NULLs drop, matching the
+    funnel's accounting). Pure conjunctive filter — zero shuffle."""
+    cum = F.lit(True)
+    for _, pred in stages:
+        cum = cum & F.coalesce(pred, F.lit(False))
+    return df.filter(cum)
+
+
+def split_leakage(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", split_col: str = "split",
+                  train: str = "train", n: int = 5) -> DataFrame:
+    """Train→eval leakage report for an already-split corpus: for every
+    NON-train document, the fraction of its distinct word n-grams that
+    also occur in the train split (the within-release version of
+    benchmark decontamination — run it before publishing a split).
+
+    Returns (id_col, split_col, n_grams, n_hits, contamination).
+
+    Scale (100 TB): unlike `contamination_report`'s broadcast-benchmark
+    default, the train side here is corpus-sized, so its distinct-gram
+    set CANNOT broadcast — both sides hash-partition on the gram key
+    (one shuffle each) and the hits roll up per eval doc. The eval
+    split is the small factor (typically ≤1%), bounding the join
+    output."""
+    is_train = F.col(split_col) == train
+    ev = df.filter(~is_train)
+    rep = contamination_report(
+        ev, df.filter(is_train), id_col=id_col, text_col=text_col,
+        n=n, broadcast_benchmark=False)
+    return rep.join(ev.select(id_col, split_col), id_col, "inner") \
+        .select(id_col, split_col, "n_grams", "n_hits", "contamination")
+
+
+def leakage_attribution(train: DataFrame, eval_df: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 5, df_cap: int = 1000) -> DataFrame:
+    """For each eval document that leaks, WHICH train document leaked:
+    the top train culprit by shared distinct-n-gram count (ties → min
+    train id). The debugging step after `split_leakage` flags a split:
+    attribution tells you whether the leak is one near-duplicate
+    (drop it) or diffuse boilerplate (fix the filters).
+
+    Returns (eval_id, train_id, shared_grams) — one row per eval doc
+    that shares ≥1 counted gram.
+
+    Scale (100 TB): gram-key equi-join between the two distinct-gram
+    tables, then a count per (eval_id, train_id) pair and a max-struct
+    argmax per eval doc — no doc×doc comparison. Grams occurring in
+    more than `df_cap` TRAIN documents are excluded from attribution
+    (one vocabulary-sized frequency pass): a boilerplate gram shared by
+    millions of train docs would otherwise blow the pair count out
+    quadratically while carrying no attribution signal — the same
+    hot-key guard as the shingle `df_cap` in near-dup detection."""
+    tg = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n)))
+        .alias("__g"))
+    eg = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n)))
+        .alias("__g"))
+    hot = (tg.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+           .filter(F.col("__df") > df_cap).select("__g"))
+    tg = tg.join(F.broadcast(hot), "__g", "left_anti")
+    pairs = (eg.join(tg, "__g")
+             .groupBy("eval_id", "train_id")
+             .agg(F.count(F.lit(1)).alias("shared_grams")))
+    best = F.max(F.struct(F.col("shared_grams"),
+                          (-F.col("train_id")).alias("__nti"))).alias("__b")
+    return (pairs.groupBy("eval_id").agg(best)
+            .select("eval_id", (-F.col("__b.__nti")).alias("train_id"),
+                    F.col("__b.shared_grams").alias("shared_grams")))

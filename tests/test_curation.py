@@ -549,3 +549,146 @@ def test_line_granularity_dedup_golden(spark):
     # paragraph granularity sees each full text as ONE unit -> no dups
     pout = {r["doc_id"]: r for r in CU.paragraph_dedup(df).collect()}
     assert all(pout[i]["n_kept"] == pout[i]["n_paras"] for i in range(3))
+
+
+# ---------------------------------------------------------------------------
+# Release engineering: corpus_diff / curation_funnel / leakage
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    old = spark.createDataFrame(
+        [(0, "alpha"), (1, "bravo"), (2, "charlie"), (3, "delta")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(1, "bravo"), (2, "charlie EDITED"), (3, "delta"), (4, "echo")],
+        ["doc_id", "text"])
+    return old, new
+
+
+def test_corpus_diff_golden(snapshots):
+    old, new = snapshots
+    out = {r["doc_id"]: r["status"]
+           for r in CU.corpus_diff(old, new).collect()}
+    assert out == {0: "removed", 1: "unchanged", 2: "changed",
+                   3: "unchanged", 4: "added"}
+
+
+def test_corpus_diff_report_counts(snapshots):
+    old, new = snapshots
+    r = CU.corpus_diff_report(old, new).collect()[0]
+    assert (r["n_added"], r["n_removed"], r["n_changed"],
+            r["n_unchanged"]) == (1, 1, 1, 2)
+    assert r["n_old"] == 4 and r["n_new"] == 4
+
+
+def test_corpus_diff_text_never_shuffles(snapshots):
+    # Only (id, fp) projections may cross the exchange: the full plan
+    # must not carry the raw text column through any Exchange input.
+    old, new = snapshots
+    plan = CU.corpus_diff(old, new)._jdf.queryExecution() \
+        .executedPlan().toString()
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
+
+
+def test_curation_funnel_golden(spark):
+    df = spark.createDataFrame(
+        [(0, "good doc", 10), (1, "short", 2), (2, "bad lang", 10),
+         (3, None, 10), (4, "also good", 10)],
+        ["doc_id", "text", "n"])
+    stages = [("min_n", F.col("n") >= 5),
+              ("has_text", F.col("text").isNotNull())]
+    rows = {r["stage"]: r for r in
+            CU.curation_funnel(df, stages, token_col=F.col("n"))
+            .collect()}
+    assert rows["ingest"]["docs_in"] == 5
+    assert rows["ingest"]["tokens_kept"] == 42
+    # stage 1 drops doc 1 (n=2)
+    assert (rows["min_n"]["docs_in"], rows["min_n"]["docs_kept"],
+            rows["min_n"]["docs_dropped"]) == (5, 4, 1)
+    assert rows["min_n"]["tokens_kept"] == 40
+    # stage 2 is cumulative: of the 4 survivors, doc 3 has NULL text
+    assert (rows["has_text"]["docs_in"], rows["has_text"]["docs_kept"],
+            rows["has_text"]["docs_dropped"]) == (4, 3, 1)
+    assert rows["has_text"]["tokens_kept"] == 30
+    # apply_funnel keeps exactly the final survivors
+    kept = {r["doc_id"] for r in CU.apply_funnel(df, stages).collect()}
+    assert kept == {0, 2, 4}
+
+
+def test_curation_funnel_null_predicate_drops(spark):
+    # A NULL predicate value must count as a drop, not propagate NULL
+    # into the conjunction (SQL three-valued logic would).
+    df = spark.createDataFrame([(0, None), (1, 5)], ["id", "v"])
+    rows = CU.curation_funnel(df, [("v_pos", F.col("v") > 0)]).collect()
+    s = {r["stage"]: r for r in rows}
+    assert s["v_pos"]["docs_kept"] == 1 and s["v_pos"]["docs_dropped"] == 1
+
+
+def test_curation_funnel_single_job_single_agg(spark):
+    # The whole funnel must ride ONE aggregation pass over the corpus:
+    # exactly 2 HashAggregate nodes (partial + final) in the plan.
+    df = spark.createDataFrame([(i, i % 7) for i in range(100)],
+                               ["id", "v"])
+    stages = [("a", F.col("v") > 0), ("b", F.col("v") > 2),
+              ("c", F.col("v") > 4)]
+    plan = CU.curation_funnel(df, stages)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("HashAggregate") <= 2
+
+
+def test_split_leakage_brute_force(spark):
+    rows = [
+        (0, "train", "one two three four five six seven"),
+        (1, "train", "completely different training content here now"),
+        (2, "eval", "one two three four five six seven"),   # full dup
+        (3, "eval", "nothing in common with any training doc at all"),
+        (4, "eval", "xx"),                                   # < n tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "split", "text"])
+    out = {r["doc_id"]: r for r in CU.split_leakage(df, n=5).collect()}
+    assert set(out) == {2, 3, 4}
+    assert out[2]["contamination"] == pytest.approx(1.0)
+    assert out[3]["n_hits"] == 0 and out[3]["contamination"] == 0.0
+    assert out[4]["n_grams"] == 0 and out[4]["contamination"] == 0.0
+
+
+def test_leakage_attribution_golden(spark):
+    train = spark.createDataFrame(
+        [(10, "a b c d e f g h"),           # shares 4 5-grams with eval 0
+         (11, "a b c d e zz"),              # shares 1
+         (12, "totally unrelated training doc text here")],
+        ["doc_id", "text"])
+    ev = spark.createDataFrame(
+        [(0, "a b c d e f g h"), (1, "no overlap at all here friend")],
+        ["doc_id", "text"])
+    out = {r["eval_id"]: r for r in
+           CU.leakage_attribution(train, ev, n=5).collect()}
+    assert set(out) == {0}
+    assert out[0]["train_id"] == 10 and out[0]["shared_grams"] == 4
+
+
+def test_leakage_attribution_tie_breaks_min_train_id(spark):
+    train = spark.createDataFrame(
+        [(7, "a b c d e"), (3, "a b c d e")], ["doc_id", "text"])
+    ev = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    out = CU.leakage_attribution(train, ev, n=5).collect()
+    assert out[0]["train_id"] == 3 and out[0]["shared_grams"] == 1
+
+
+def test_leakage_attribution_df_cap_excludes_hot_grams(spark):
+    # A gram present in > df_cap train docs carries no attribution
+    # signal and must be excluded from the pair count.
+    train = spark.createDataFrame(
+        [(i, "hot hot hot hot hot") for i in range(5)]
+        + [(99, "rare unique gram only here x")], ["doc_id", "text"])
+    ev = spark.createDataFrame(
+        [(0, "hot hot hot hot hot rare unique gram only here x")],
+        ["doc_id", "text"])
+    out = CU.leakage_attribution(train, ev, n=5, df_cap=3).collect()
+    # the 'hot...' gram (df=5 > 3) is dropped; only doc 99's grams count
+    assert len(out) == 1
+    assert out[0]["train_id"] == 99
