@@ -3618,6 +3618,121 @@ def qa5(spark, sf_dir):
     return CU.leakage_attribution(tr, ev, n=5, df_cap=1000)
 
 
+_CAL_TS = [0.3, 0.4, 0.5, 0.6, 0.7]
+_CAL_AGG = ", ".join(
+    f"CAST(sum(CASE WHEN q >= {t!r} THEN 1 ELSE 0 END) AS BIGINT) AS p{i}, "
+    f"CAST(sum(CASE WHEN q >= {t!r} AND y THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS tp{i}"
+    for i, t in enumerate(_CAL_TS))
+_CAL_ROWS = "\nUNION ALL ".join(f"""
+SELECT {t!r} AS threshold, p{i} AS n_pred_pos, tp{i} AS tp,
+  p{i} - tp{i} AS fp, pos - tp{i} AS fn,
+  round(prec{i}, 6) AS precision_r6, round(rec{i}, 6) AS recall_r6,
+  round(CASE WHEN prec{i} + rec{i} > 0
+    THEN 2 * prec{i} * rec{i} / (prec{i} + rec{i}) ELSE 0.0 END, 6) AS f1_r6
+FROM b""" for i, t in enumerate(_CAL_TS))
+
+
+@_q("qa6_calibration_report", f"""
+WITH c AS (
+  SELECT lang = 'en' AS y,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+    CASE WHEN length(text) > 0 THEN
+      CAST(length(regexp_replace(text, '{_SQL_PUNCT}', '', 'g')) AS DOUBLE)
+        / length(text) ELSE 0.0 END AS punct,
+    CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+      CAST({_SQL_STOP_HITS} AS DOUBLE)
+      / len(regexp_split_to_array(trim(text), '\\s+')) END AS stop,
+    CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+      CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+      / len(regexp_split_to_array(trim(text), '\\s+')) END AS mtl
+  FROM documents),
+s AS (SELECT y,
+  least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.4 +
+  greatest(0.0, 1.0 - punct * 4) * 0.2 +
+  least(stop * 5, 1.0) * 0.2 +
+  (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 AS q
+  FROM c),
+a AS (SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+  {_CAL_AGG} FROM s),
+b AS (SELECT *,
+  {', '.join(f'''CASE WHEN p{i} > 0
+    THEN CAST(tp{i} AS DOUBLE) / p{i} ELSE 0.0 END AS prec{i},
+  CASE WHEN pos > 0 THEN CAST(tp{i} AS DOUBLE) / pos ELSE 0.0 END AS rec{i}'''
+             for i in range(len(_CAL_TS)))}
+  FROM a)
+{_CAL_ROWS}
+""")
+def qa6(spark, sf_dir):
+    """Classifier calibration sweep (classifier.calibration_report):
+    per candidate threshold, the confusion counts and
+    precision/recall/F1 of gating on the composite quality score
+    against an `lang = en` reference label — the cutoff-picking table
+    between training a quality classifier and letting it gate a 100-TB
+    corpus. ONE corpus pass: all 2n+1 conditional sums on a single
+    map-side-combined aggregation, threshold rows inlined."""
+    d = read_table(spark, sf_dir, "documents")
+    from juliadb_jl_spark.functions import classifier as CL
+    scored = d.select(
+        TX.quality_score(F.col("text")).cast("double").alias("q"),
+        (F.col("lang") == "en").alias("y"))
+    rep = CL.calibration_report(scored, "q", "y", _CAL_TS)
+    return rep.select(
+        "threshold", "n_pred_pos", "tp", "fp", "fn",
+        F.round("precision", 6).alias("precision_r6"),
+        F.round("recall", 6).alias("recall_r6"),
+        F.round("f1", 6).alias("f1_r6"))
+
+
+_CURVE_TS = [0.2, 0.35, 0.5, 0.65, 0.8, 0.95]
+_CURVE_P = ", ".join(
+    f"CAST(COALESCE(sum(CASE WHEN jaccard >= {t!r} THEN 1 ELSE 0 END), 0)"
+    f" AS BIGINT) AS np{i}" for i, t in enumerate(_CURVE_TS))
+_CURVE_D = ", ".join(
+    f"CAST(COALESCE(sum(CASE WHEN ms >= {t!r} THEN 1 ELSE 0 END), 0)"
+    f" AS BIGINT) AS nd{i}" for i, t in enumerate(_CURVE_TS))
+_CURVE_ROWS = "\nUNION ALL ".join(
+    f"SELECT {t!r} AS threshold, np{i} AS n_pairs, nd{i} AS n_docs_flagged"
+    f" FROM p, d" for i, t in enumerate(_CURVE_TS))
+
+
+@_q("qa7_dedup_rate_curve", f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, s FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+             THEN [array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+2], ' ')
+                   FOR i IN range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1)]
+             ELSE [] END) AS s
+    FROM documents)),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+          GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+  FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2),
+p AS (SELECT {_CURVE_P} FROM pairs),
+docs AS (SELECT id, max(jaccard) AS ms FROM (
+  SELECT id_a AS id, jaccard FROM pairs
+  UNION ALL SELECT id_b AS id, jaccard FROM pairs) GROUP BY id),
+d AS (SELECT {_CURVE_D} FROM docs)
+{_CURVE_ROWS}
+""")
+def qa7(spark, sf_dir):
+    """Dedup-rate-vs-threshold curve (dedup.dedup_rate_curve): from ONE
+    permissive-threshold pair table, how many pairs and distinct docs
+    each candidate threshold would flag — the knob-setting table before
+    committing a near-dup threshold to a 100-TB run (the alternative is
+    re-running detection per candidate). Pair-table-sized aggregations
+    only; the corpus is touched once by the detector."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, "doc_id", k=3, threshold=0.2)
+    return DD.dedup_rate_curve(pairs, _CURVE_TS)
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================

@@ -27,6 +27,7 @@ GPT-3 / CCNet data pipelines (public papers).
 from __future__ import annotations
 
 import math
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -196,3 +197,47 @@ def local_reference_train(rows, dim, iters=5, lr=1.0, l2=0.0):
         bias -= lr * (bias_grad / n_docs)
         losses.append(loss / n_docs)
     return {"weights": weights, "bias": bias, "loss": losses}
+
+
+def calibration_report(df: DataFrame, score_col: str, label_col: str,
+                       thresholds: Sequence[float]) -> DataFrame:
+    """Threshold sweep for a scored corpus against binary labels: per
+    threshold t, the confusion counts and precision/recall/F1 of the
+    gate `score >= t` — the table that picks a quality-classifier
+    cutoff before it gates a 100-TB corpus (the step between q95-style
+    training and the actual filter).
+
+    Returns one row per threshold:
+    (threshold, n_pred_pos, tp, fp, fn, precision, recall, f1);
+    empty denominators report 0.0, NULL labels/scores count negative.
+
+    Scale (100 TB): ONE corpus pass — every threshold's two conditional
+    sums plus the shared positive count ride a single
+    map-side-combined global aggregation (the `curation_funnel`
+    shape); the per-threshold rows are inlined from that one row."""
+    if not thresholds:
+        raise ValueError("need at least one threshold")
+    s = F.col(score_col)
+    y = F.coalesce(F.col(label_col).cast("boolean"), F.lit(False))
+    aggs = [F.sum(y.cast("long")).alias("__pos")]
+    for i, t in enumerate(thresholds):
+        pred = F.coalesce(s >= F.lit(float(t)), F.lit(False))
+        aggs.append(F.sum(pred.cast("long")).alias(f"__p{i}"))
+        aggs.append(F.sum((pred & y).cast("long")).alias(f"__tp{i}"))
+    row = df.agg(*aggs)
+
+    def struct_for(i: int, t: float):
+        pred, tp = F.col(f"__p{i}"), F.col(f"__tp{i}")
+        prec = F.when(pred > 0, tp / pred).otherwise(F.lit(0.0))
+        rec = F.when(F.col("__pos") > 0,
+                     tp / F.col("__pos")).otherwise(F.lit(0.0))
+        f1 = F.when(prec + rec > 0,
+                    2 * prec * rec / (prec + rec)).otherwise(F.lit(0.0))
+        return F.struct(
+            F.lit(float(t)).alias("threshold"),
+            pred.alias("n_pred_pos"), tp.alias("tp"),
+            (pred - tp).alias("fp"), (F.col("__pos") - tp).alias("fn"),
+            prec.alias("precision"), rec.alias("recall"), f1.alias("f1"))
+
+    return row.select(F.inline(F.array(
+        *[struct_for(i, t) for i, t in enumerate(thresholds)])))

@@ -16,6 +16,8 @@ Everything is DataFrame-native; no Python UDFs in any hot path.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1180,3 +1182,43 @@ def dedup_by_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
                   .filter(F.col("node") != F.col("__rep"))
                   .select(F.col("node").alias(id_col)))
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_rate_curve(pairs: DataFrame, thresholds: Sequence[float],
+                     id_a: str = "id_a", id_b: str = "id_b",
+                     sim_col: str = "jaccard") -> DataFrame:
+    """Dedup-rate-vs-threshold tuning table: given ONE similarity pair
+    table computed at a permissive threshold, report for each candidate
+    threshold t how many pairs and how many distinct documents the gate
+    `sim >= t` would flag — the knob-setting step before committing a
+    near-dup threshold to a 100-TB run (re-running detection per
+    candidate t is the expensive alternative this op replaces).
+
+    Returns one row per threshold: (threshold, n_pairs, n_docs_flagged).
+
+    Scale: the pair table is the (already-reduced) detector output, ≪
+    corpus. One conditional-sum aggregation over pairs + one per-doc
+    max-similarity aggregation (explode both endpoints, groupBy id)
+    feeding a second conditional sum; the two one-row results cross a
+    broadcast join and the threshold rows are inlined."""
+    if not thresholds:
+        raise ValueError("need at least one threshold")
+    sim = F.col(sim_col)
+    p_aggs = [F.sum((sim >= F.lit(float(t))).cast("long")).alias(f"__np{i}")
+              for i, t in enumerate(thresholds)]
+    p_row = pairs.agg(*p_aggs)
+    per_doc = (pairs.select(F.explode(F.array(
+        F.struct(F.col(id_a).alias("id"), sim.alias("s")),
+        F.struct(F.col(id_b).alias("id"), sim.alias("s")))).alias("e"))
+        .groupBy("e.id").agg(F.max("e.s").alias("__ms")))
+    d_aggs = [F.sum((F.col("__ms") >= F.lit(float(t))).cast("long"))
+              .alias(f"__nd{i}") for i, t in enumerate(thresholds)]
+    d_row = per_doc.agg(*d_aggs)
+    joined = p_row.crossJoin(F.broadcast(d_row))
+    rows = [F.struct(F.lit(float(t)).alias("threshold"),
+                     F.coalesce(F.col(f"__np{i}"), F.lit(0))
+                     .alias("n_pairs"),
+                     F.coalesce(F.col(f"__nd{i}"), F.lit(0))
+                     .alias("n_docs_flagged"))
+            for i, t in enumerate(thresholds)]
+    return joined.select(F.inline(F.array(*rows)))

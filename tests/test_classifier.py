@@ -133,3 +133,42 @@ def test_model_save_load_roundtrip(spark, toy_df, tmp_path):
     assert got["weights"] == model["weights"]
     assert got["bias"] == model["bias"]
     assert got["hash_family"] == "portable"
+
+
+def test_calibration_report_golden(spark):
+    from juliadb_jl_spark.functions.classifier import calibration_report
+    # scores: pos={0.9, 0.6}, neg={0.8, 0.1}
+    df = spark.createDataFrame(
+        [(0.9, True), (0.6, True), (0.8, False), (0.1, False)],
+        ["q", "y"])
+    rows = {r["threshold"]: r for r in
+            calibration_report(df, "q", "y", [0.5, 0.7, 0.95]).collect()}
+    r = rows[0.5]   # preds: 0.9,0.6,0.8 → tp=2 fp=1 fn=0
+    assert (r["n_pred_pos"], r["tp"], r["fp"], r["fn"]) == (3, 2, 1, 0)
+    assert r["precision"] == pytest.approx(2 / 3)
+    assert r["recall"] == pytest.approx(1.0)
+    assert r["f1"] == pytest.approx(2 * (2 / 3) / (5 / 3))
+    r = rows[0.7]   # preds: 0.9,0.8 → tp=1 fp=1 fn=1
+    assert (r["n_pred_pos"], r["tp"]) == (2, 1)
+    assert r["precision"] == pytest.approx(0.5)
+    assert r["recall"] == pytest.approx(0.5)
+    r = rows[0.95]  # no predictions → all-zero rates, not NULL/NaN
+    assert (r["n_pred_pos"], r["tp"]) == (0, 0)
+    assert r["precision"] == 0.0 and r["f1"] == 0.0
+
+
+def test_calibration_report_null_handling(spark):
+    from juliadb_jl_spark.functions.classifier import calibration_report
+    # NULL score and NULL label both count as negative, never poison sums
+    df = spark.createDataFrame(
+        [(None, True), (0.9, None), (0.9, True)], "q double, y boolean")
+    r = calibration_report(df, "q", "y", [0.5]).collect()[0]
+    assert (r["n_pred_pos"], r["tp"], r["fn"]) == (2, 1, 1)
+
+
+def test_calibration_report_single_pass(spark):
+    from juliadb_jl_spark.functions.classifier import calibration_report
+    df = spark.createDataFrame([(0.5, True)], ["q", "y"])
+    plan = calibration_report(df, "q", "y", [0.1, 0.5, 0.9]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 2

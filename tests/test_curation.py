@@ -692,3 +692,34 @@ def test_leakage_attribution_df_cap_excludes_hot_grams(spark):
     # the 'hot...' gram (df=5 > 3) is dropped; only doc 99's grams count
     assert len(out) == 1
     assert out[0]["train_id"] == 99
+
+
+def test_dedup_rate_curve_golden(spark):
+    from juliadb_jl_spark.functions.dedup import dedup_rate_curve
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.6), (4, 5, 0.3)],
+        ["id_a", "id_b", "jaccard"])
+    rows = {r["threshold"]: r for r in
+            dedup_rate_curve(pairs, [0.2, 0.5, 0.8]).collect()}
+    assert (rows[0.2]["n_pairs"], rows[0.2]["n_docs_flagged"]) == (3, 5)
+    # t=0.5 keeps (1,2) and (2,3): docs {1,2,3}
+    assert (rows[0.5]["n_pairs"], rows[0.5]["n_docs_flagged"]) == (2, 3)
+    # t=0.8 keeps (1,2): docs {1,2}
+    assert (rows[0.8]["n_pairs"], rows[0.8]["n_docs_flagged"]) == (1, 2)
+
+
+def test_dedup_rate_curve_empty_pairs(spark):
+    from juliadb_jl_spark.functions.dedup import dedup_rate_curve
+    pairs = spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+    rows = dedup_rate_curve(pairs, [0.5]).collect()
+    assert len(rows) == 1
+    assert (rows[0]["n_pairs"], rows[0]["n_docs_flagged"]) == (0, 0)
+
+
+def test_dedup_rate_curve_doc_counted_once(spark):
+    from juliadb_jl_spark.functions.dedup import dedup_rate_curve
+    # doc 1 appears in two qualifying pairs — flagged once, not twice
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.9)], ["id_a", "id_b", "jaccard"])
+    r = dedup_rate_curve(pairs, [0.5]).collect()[0]
+    assert (r["n_pairs"], r["n_docs_flagged"]) == (2, 3)
