@@ -185,6 +185,30 @@ def main():
         n_chunks = chunks.count()
         n_q8 = q8.filter(F.size("q_codes") > 0).count()
 
+    with jdb.tracktime("release-audit", spark):
+        # the tables a dataset release publishes alongside the data:
+        # (1) what this version changed vs the previous release —
+        # here old = the raw crawl, new = the curated set, so
+        # `removed` counts curation drops and `changed` counts
+        # cleaned/scrubbed docs; only (id, md5) ever cross the join
+        changelog = CU.corpus_diff_report(docs, kept).head()
+        # (2) threshold calibration of the quality classifier against
+        # the weak label — ONE corpus pass for all cutoffs
+        cal = CL.calibration_report(
+            CL.add_quality_score(
+                labeled.select("doc_id", "text", "label"), model),
+            "clf_score", "label", [0.3, 0.5, 0.7])
+        best = max(cal.collect(), key=lambda r: r["f1"])
+        # (3) dedup threshold curve from the ONE pair table the
+        # near-dup stage already computed — no re-detection per cutoff
+        curve = {r["threshold"]: r["n_docs_flagged"] for r in
+                 DD.dedup_rate_curve(pairs, [0.6, 0.8, 0.95],
+                                     sim_col="jaccard").collect()}
+        # (4) train→val/test n-gram leakage on the split we just chose
+        # (train side is corpus-sized: the non-broadcast join shape)
+        leak = CU.split_leakage(kept, n=5)
+        n_leaky = leak.filter(F.col("contamination") >= 0.8).count()
+
     with jdb.tracktime("save+index", spark):
         jdb.save(jdb.table(kept.drop("split"), pkey="doc_id"),
                  f"{out_dir}/documents")
@@ -228,7 +252,13 @@ def main():
           f"mean novelty {mean_novelty:.3f}); "
           f"serving handoff: {n_out} -> {n_gated} length-gated -> "
           f"{n_capped} capped -> {n_chunks} chunks; "
-          f"{n_q8} embeddings quantized to int8")
+          f"{n_q8} embeddings quantized to int8; "
+          f"release audit: changelog +{changelog['n_added']}"
+          f"/-{changelog['n_removed']}/~{changelog['n_changed']} "
+          f"(unchanged {changelog['n_unchanged']}), "
+          f"classifier cutoff {best['threshold']} "
+          f"(F1 {best['f1']:.3f}), dedup curve {curve}, "
+          f"{n_leaky} leaky val/test docs")
     print("\nstage timings:")
     print(jdb.timings().drop(columns=["ts"]).to_string(index=False))
     print(f"\ncurated corpus + IVF index at {out_dir}")

@@ -244,11 +244,16 @@ def contamination_report(corpus: DataFrame, benchmark: DataFrame,
     fall back to a shuffled join when the 'benchmark' is itself huge
     (e.g. corpus-vs-corpus leakage).
     """
-    grams = corpus.select(
+    from juliadb_jl_spark.functions.dedup import _spread
+    # _spread first: the shingle transform is an interpreted HOF
+    # (~0.5 ms/doc) and single-file inputs arrive as ONE partition,
+    # serializing the whole corpus's gram work on one core (the
+    # q9h/q9j lesson — measured 30x on the 1-file sf1 rung)
+    grams = _spread(corpus).select(
         F.col(id_col),
         F.explode_outer(F.array_distinct(shingles(F.col(text_col), n)))
         .alias("__g"))
-    bench = benchmark.select(
+    bench = _spread(benchmark).select(
         F.explode(F.array_distinct(shingles(F.col(text_col), n)))
         .alias("__g")).distinct().withColumn("__hit", F.lit(1))
     if broadcast_benchmark:
@@ -283,10 +288,11 @@ def novelty_scores(df: DataFrame, id_col: str = "doc_id",
     `contamination_report` with the corpus itself as the benchmark,
     minus the self-match."""
     from juliadb_jl_spark.functions import scratch
+    from juliadb_jl_spark.functions.dedup import _spread
     grams = scratch.register(
-        df.select(F.col(id_col),
-                  F.explode_outer(F.array_distinct(
-                      shingles(F.col(text_col), n))).alias("__g"))
+        _spread(df).select(F.col(id_col),
+                           F.explode_outer(F.array_distinct(
+                               shingles(F.col(text_col), n))).alias("__g"))
         .persist())  # feeds the df count AND the per-doc join
     dfreq = (grams.filter(F.col("__g").isNotNull())
              .groupBy("__g").agg(F.count(F.lit(1)).alias("__df")))
@@ -724,26 +730,38 @@ def leakage_attribution(train: DataFrame, eval_df: DataFrame,
     Returns (eval_id, train_id, shared_grams) — one row per eval doc
     that shares ≥1 counted gram.
 
-    Scale (100 TB): gram-key equi-join between the two distinct-gram
-    tables, then a count per (eval_id, train_id) pair and a max-struct
-    argmax per eval doc — no doc×doc comparison. Grams occurring in
-    more than `df_cap` TRAIN documents are excluded from attribution
-    (one vocabulary-sized frequency pass): a boilerplate gram shared by
-    millions of train docs would otherwise blow the pair count out
-    quadratically while carrying no attribution signal — the same
-    hot-key guard as the shingle `df_cap` in near-dup detection."""
-    tg = train.select(
+    Scale (100 TB): the train-gram table (corpus-sized) crosses exactly
+    ONE exchange. It is first semi-joined to the eval split's distinct
+    gram set — the eval split is the small factor, so the matched slice
+    is at most eval-sized×df — and the per-gram train document
+    frequency is then computed on that slice with a window that REUSES
+    the semi-join's gram partitioning (no second train-side exchange;
+    df on the matched slice equals the full train df for those grams
+    because the semi-join keeps every train row of a matched gram).
+    Grams occurring in more than `df_cap` TRAIN documents are excluded
+    from attribution: a boilerplate gram shared by millions of train
+    docs would otherwise blow the pair count out quadratically while
+    carrying no attribution signal — the same hot-key guard as the
+    shingle `df_cap` in near-dup detection. The final eval⋈train join
+    and the pair count also run inside the same gram partitioning."""
+    from pyspark.sql import Window
+
+    from juliadb_jl_spark.functions.dedup import _spread
+    tg = _spread(train).select(
         F.col(id_col).alias("train_id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), n)))
         .alias("__g"))
-    eg = eval_df.select(
+    eg = _spread(eval_df).select(
         F.col(id_col).alias("eval_id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), n)))
         .alias("__g"))
-    hot = (tg.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
-           .filter(F.col("__df") > df_cap).select("__g"))
-    tg = tg.join(F.broadcast(hot), "__g", "left_anti")
-    pairs = (eg.join(tg, "__g")
+    egs = eg.select("__g").distinct()
+    tgm = tg.join(egs, "__g", "left_semi")
+    tgk = (tgm.withColumn("__df",
+                          F.count(F.lit(1))
+                          .over(Window.partitionBy("__g")))
+           .filter(F.col("__df") <= df_cap).drop("__df"))
+    pairs = (eg.join(tgk, "__g")
              .groupBy("eval_id", "train_id")
              .agg(F.count(F.lit(1)).alias("shared_grams")))
     best = F.max(F.struct(F.col("shared_grams"),
