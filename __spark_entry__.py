@@ -3733,6 +3733,31 @@ def qa7(spark, sf_dir):
     return DD.dedup_rate_curve(pairs, _CURVE_TS)
 
 
+@_q("qa8_frequent_phrases", r"""
+WITH toks AS (
+  SELECT list_transform(regexp_split_to_array(trim(text), '\s+'),
+                        w -> lower(w)) AS t
+  FROM documents WHERE length(trim(text)) > 0),
+g AS (SELECT unnest(CASE WHEN len(t) >= 3
+        THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+        ELSE [] END) AS phrase
+      FROM toks)
+SELECT phrase, CAST(count(*) AS BIGINT) AS freq
+FROM g GROUP BY phrase HAVING count(*) >= 5
+ORDER BY freq DESC, phrase LIMIT 50
+""")
+def qa8(spark, sf_dir):
+    """Frequent-phrase mining (text.frequent_phrases): top word
+    trigrams with corpus count >= 5 — collocation/boilerplate
+    discovery. The Apriori prune drops grams containing any infrequent
+    word MAP-SIDE before the gram shuffle (provably result-neutral:
+    every word of a frequent gram is itself frequent), so the shuffled
+    gram table loses its singleton long tail; the oracle is the brute
+    count the prune is proven equal to."""
+    d = read_table(spark, sf_dir, "documents")
+    return TX.frequent_phrases(d, n=3, min_count=5, k=50)
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================

@@ -406,3 +406,64 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("mean_token_len", mean_token_len(c))
             .withColumn("quality", quality_score(c))
             .withColumn("fingerprint", fingerprint(c)))
+
+
+def frequent_phrases(df: DataFrame, n: int = 3, min_count: int = 10,
+                     text_col: str = "text", lowercase: bool = True,
+                     k: int | None = None,
+                     max_frequent: int = 100_000) -> DataFrame:
+    """Frequent-phrase mining: all word n-grams occurring at least
+    `min_count` times in the corpus (optionally the top `k` by
+    frequency, ties broken by phrase) — collocation discovery,
+    boilerplate detection, tokenizer-vocab seeding.
+
+    Returns (phrase, freq), freq >= min_count.
+
+    Scale (100 TB): naive n-gram counting shuffles a gram table whose
+    long tail is singleton grams — nearly corpus-token-sized for
+    n >= 3. This op applies the Apriori prune: a gram with count >=
+    min_count can only consist of words with count >= min_count (every
+    gram occurrence contains each of its words), so grams containing
+    any infrequent word are dropped MAP-SIDE, before the shuffle, and
+    the result is provably identical to the brute count. The frequent
+    word set is bounded by total_tokens/min_count and rides the plan
+    as a foldable literal map (constant-folded once, O(1) lookup per
+    word — the literal-centroid pattern); if it exceeds
+    `max_frequent`, the prune is skipped (correct either way) rather
+    than shipping an oversized plan. One vocabulary pass + one pruned
+    gram shuffle with map-side combine; top-k is TakeOrdered."""
+    if n < 1:
+        raise ValueError(f"need n >= 1 (got {n})")
+    if min_count < 1:
+        raise ValueError(f"need min_count >= 1 (got {min_count})")
+    from juliadb_jl_spark.functions.dedup import _spread
+    wf = word_freqs(df, text_col, lowercase=lowercase) \
+        .filter(F.col("freq") >= min_count)
+    frequent = [r["word"] for r in wf.limit(max_frequent + 1).collect()]
+
+    toks = tokens(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, lambda w: F.lower(w))
+    nn = F.size(toks)
+    idx = F.sequence(F.lit(1), nn - (n - 1))
+    grams = F.when(nn >= n, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))) \
+        .otherwise(F.array().cast("array<string>"))
+    if len(frequent) <= max_frequent:
+        fmap = F.create_map(
+            *[x for w in frequent for x in (F.lit(w), F.lit(True))])
+        flags = F.transform(
+            toks, lambda w: F.coalesce(F.element_at(fmap, w),
+                                       F.lit(False)))
+        oks = F.when(nn >= n, F.transform(
+            idx, lambda i: F.aggregate(F.slice(flags, i, n),
+                                       F.lit(True),
+                                       lambda a, x: a & x))) \
+            .otherwise(F.array().cast("array<boolean>"))
+        grams = F.filter(grams, lambda g, i: F.element_at(oks, i + 1))
+    out = (_spread(df).select(F.explode(grams).alias("phrase"))
+           .groupBy("phrase").agg(F.count(F.lit(1)).alias("freq"))
+           .filter(F.col("freq") >= min_count))
+    if k is not None:
+        out = out.orderBy(F.desc("freq"), F.asc("phrase")).limit(k)
+    return out

@@ -980,3 +980,67 @@ def test_dedup_substrings_multi_extends_recall(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         DD.dedup_substrings_multi(df, "doc_id", ks=(20, 50))
+
+
+# ---------------------------------------------------------------------------
+# frequent_phrases (Apriori-pruned n-gram mining)
+# ---------------------------------------------------------------------------
+
+
+def test_frequent_phrases_golden(spark):
+    from juliadb_jl_spark.functions.text import frequent_phrases
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the cat sat"), (2, "the cat ran"),
+         (3, "a dog sat")], ["doc_id", "text"])
+    out = {r["phrase"]: r["freq"]
+           for r in frequent_phrases(docs, n=3, min_count=2).collect()}
+    assert out == {"the cat sat": 2}
+    out2 = {r["phrase"]: r["freq"]
+            for r in frequent_phrases(docs, n=2, min_count=2).collect()}
+    assert out2 == {"the cat": 3, "cat sat": 2}
+
+
+def test_frequent_phrases_prune_is_result_neutral(spark):
+    from juliadb_jl_spark.functions.text import frequent_phrases
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pruned = {(r["phrase"], r["freq"]) for r in
+              frequent_phrases(d, n=3, min_count=4).collect()}
+    # max_frequent=0 forces the unpruned fallback path
+    brute = {(r["phrase"], r["freq"]) for r in
+             frequent_phrases(d, n=3, min_count=4,
+                              max_frequent=0).collect()}
+    assert pruned == brute and len(pruned) > 0
+
+
+def test_frequent_phrases_topk_tiebreak(spark):
+    from juliadb_jl_spark.functions.text import frequent_phrases
+    docs = spark.createDataFrame(
+        [(0, "b b"), (1, "b b"), (2, "a a"), (3, "a a")],
+        ["doc_id", "text"])
+    rows = frequent_phrases(docs, n=2, min_count=2, k=1).collect()
+    # equal freq -> lexicographically first phrase wins deterministically
+    assert rows[0]["phrase"] == "a a" and rows[0]["freq"] == 2
+
+
+def test_frequent_phrases_lowercase_and_short_docs(spark):
+    from juliadb_jl_spark.functions.text import frequent_phrases
+    docs = spark.createDataFrame(
+        [(0, "The CAT sat"), (1, "the cat sat"), (2, "xy")],
+        ["doc_id", "text"])
+    out = {r["phrase"]: r["freq"] for r in
+           frequent_phrases(docs, n=3, min_count=2).collect()}
+    assert out == {"the cat sat": 2}
+    case = {r["phrase"]: r["freq"] for r in
+            frequent_phrases(docs, n=3, min_count=2,
+                             lowercase=False).collect()}
+    assert case == {}
+
+
+def test_frequent_phrases_arg_validation(spark):
+    import pytest as _pytest
+    from juliadb_jl_spark.functions.text import frequent_phrases
+    docs = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        frequent_phrases(docs, n=0)
+    with _pytest.raises(ValueError):
+        frequent_phrases(docs, min_count=0)
