@@ -3758,6 +3758,29 @@ def qa8(spark, sf_dir):
     return TX.frequent_phrases(d, n=3, min_count=5, k=50)
 
 
+@_q("qa9_json_props_rollup", """
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS n_with_k
+FROM events GROUP BY event_type
+""")
+def qa9(spark, sf_dir):
+    """Semi-structured payload rollup (sources.json.parse_json_column):
+    events carry a JSON-string `props` column — parse it with a typed
+    schema (per-row native from_json, zero shuffle, codegen'd) and
+    aggregate the extracted field. The crawl-metadata shape: JSONL
+    ingest keeps payloads as strings; typed extraction happens at
+    query time with explicit schemas at scale."""
+    from juliadb_jl_spark.sources.json import parse_json_column
+    e = read_table(spark, sf_dir, "events")
+    p = parse_json_column(e, "props", schema="k long", flatten=True)
+    return p.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.count("k").alias("n_with_k"))
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================

@@ -45,6 +45,9 @@ from juliadb_jl_spark.sources.csv import (
 )
 from juliadb_jl_spark.sources.parquet import save, load
 from juliadb_jl_spark.sources.jdbc import load_jdbc, save_jdbc
+from juliadb_jl_spark.sources.json import (
+    loadjsonl, save_jsonl, parse_json_column, flatten_structs,
+)
 from juliadb_jl_spark.functions import stats
 from juliadb_jl_spark.functions.stats import partitionplot
 # LLM-training-pipeline layers (SURVEY.md §2.12): one namespace each
@@ -88,6 +91,7 @@ __all__ = [
     "loadtable", "loadndsparse", "save", "load", "stats",
     "ingest", "ingest_", "loadfiles", "csvread", "aggregate_stats",
     "load_jdbc", "save_jdbc",
+    "loadjsonl", "save_jsonl", "parse_json_column", "flatten_structs",
     "partitionplot", "NA",
     "ColDict", "Columns", "chunks", "colnames", "column", "columns",
     "compute", "distribute", "glob", "keys_", "pairs", "rechunk_together",

@@ -282,3 +282,108 @@ def test_save_zstd_and_file_caps(spark, tmp_path):
                for f in files)
     back = jdb.load(path, spark)
     assert back.df.count() == 1000 and back.pkey == ("k",)
+
+
+# ---------------------------------------------------------------------------
+# JSONL source (sources/json.py)
+# ---------------------------------------------------------------------------
+
+
+def _write_jsonl(path, lines):
+    path.write_text("\n".join(lines) + "\n")
+    return str(path)
+
+
+def test_loadjsonl_roundtrip_and_schema_union(spark, tmp_path):
+    import juliadb_jl_spark as jdb
+    a = _write_jsonl(tmp_path / "a.jsonl",
+                     ['{"id": 1, "text": "hello", "lang": "en"}',
+                      '{"id": 2, "text": "welt", "lang": "de"}'])
+    b = _write_jsonl(tmp_path / "b.jsonl",
+                     ['{"id": 3, "text": "third", "score": 0.5}'])
+    t = jdb.loadjsonl([a, b], spark, pkey="id")
+    rows = {r["id"]: r for r in t.df.collect()}
+    assert len(rows) == 3
+    # schema union: missing fields are null on either side
+    assert rows[1]["score"] is None and rows[3]["lang"] is None
+    assert t.pkey == ("id",)
+    # save_jsonl → loadjsonl roundtrip preserves rows
+    out = str(tmp_path / "out")
+    jdb.save_jsonl(t, out)
+    back = jdb.loadjsonl(out + "/*.json", spark)
+    assert back.df.count() == 3
+
+
+def test_loadjsonl_glob_dir_filenamecol(spark, tmp_path):
+    import juliadb_jl_spark as jdb
+    d = tmp_path / "crawl"
+    d.mkdir()
+    _write_jsonl(d / "part1.jsonl", ['{"id": 1}'])
+    _write_jsonl(d / "part2.jsonl", ['{"id": 2}'])
+    t = jdb.loadjsonl(str(d / "*.jsonl"), spark, filenamecol="src_file")
+    rows = t.df.collect()
+    assert len(rows) == 2
+    assert all(r["src_file"].endswith(".jsonl") for r in rows)
+    assert len({r["src_file"] for r in rows}) == 2
+
+
+def test_loadjsonl_corrupt_modes(spark, tmp_path):
+    import pytest as _pytest
+
+    import juliadb_jl_spark as jdb
+    p = _write_jsonl(tmp_path / "bad.jsonl",
+                     ['{"id": 1}', 'NOT JSON {{{', '{"id": 3}'])
+    dropped = jdb.loadjsonl(p, spark, drop_corrupt=True)
+    assert {r["id"] for r in dropped.df.collect()} == {1, 3}
+    kept = jdb.loadjsonl(p, spark, corrupt_col="_bad")
+    rows = kept.df.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert len(bad) == 1 and bad[0]["_bad"].startswith("NOT JSON")
+    # a clean file still exposes the declared audit column
+    clean = _write_jsonl(tmp_path / "clean.jsonl", ['{"id": 9}'])
+    ct = jdb.loadjsonl(clean, spark, corrupt_col="_bad")
+    assert ct.df.columns[-1] == "_bad"
+    assert ct.df.head()["_bad"] is None
+    with _pytest.raises(ValueError):
+        jdb.loadjsonl(p, spark, drop_corrupt=True, corrupt_col="_bad")
+
+
+def test_loadjsonl_explicit_schema_and_output(spark, tmp_path):
+    import juliadb_jl_spark as jdb
+    p = _write_jsonl(tmp_path / "s.jsonl",
+                     ['{"id": 1, "v": 2}', '{"id": 2, "v": 3}'])
+    t = jdb.loadjsonl(p, spark, schema="id long, v long",
+                      output=str(tmp_path / "ooc"), pkey="id")
+    # write-through parquet reopens with the pkey sidecar
+    assert t.df.count() == 2 and t.pkey == ("id",)
+    assert [f.dataType.simpleString() for f in t.df.schema.fields
+            if f.name == "v"] == ["bigint"]
+
+
+def test_flatten_structs_and_parse_json_column(spark):
+    from juliadb_jl_spark.sources.json import (flatten_structs,
+                                               parse_json_column)
+    df = spark.createDataFrame(
+        [(1, '{"url": "http://x", "meta": {"depth": 2}}'),
+         (2, '{"url": "http://y", "meta": {"depth": 5}}')],
+        ["id", "props"])
+    parsed = parse_json_column(df, "props", flatten=True)
+    flat = flatten_structs(parsed)
+    rows = {r["id"]: r for r in flat.collect()}
+    assert rows[1]["url"] == "http://x"
+    assert rows[2]["meta_depth"] == 5
+    assert "props" not in flat.columns
+    # explicit schema wins over sampling
+    typed = parse_json_column(df, "props", schema="url string",
+                              out_col="p")
+    assert typed.select("p.url").head()[0] == "http://x"
+
+
+def test_parse_json_column_null_only_raises(spark):
+    import pytest as _pytest
+
+    from juliadb_jl_spark.sources.json import parse_json_column
+    df = spark.createDataFrame([(1, None)], "id long, props string")
+    with _pytest.raises(ValueError):
+        parse_json_column(df, "props")
