@@ -2649,6 +2649,45 @@ def q9y(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("numwait")))
 
 
+@_q("q9z_small_quantity_revenue", """
+WITH pl AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand IN ('Brand#1', 'Brand#2') AND p_size < 15),
+a AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS lim FROM pl GROUP BY 1)
+SELECT CAST(round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 7.0)
+       AS BIGINT) AS avg_yearly_c
+FROM pl JOIN a USING (l_partkey)
+WHERE l_quantity < lim
+""")
+def q9z(spark, sf_dir):
+    """TPC-H Q17-shaped small-quantity-order revenue: the classic
+    correlated scalar subquery (l_quantity < 0.2 * per-part average),
+    rewritten Spark-first — the brand/size-filtered part dim broadcasts
+    into the lineitem scan (filter BEFORE any exchange), and the
+    correlated average becomes an unbounded WINDOW over the partkey,
+    so the filtered slice is scanned ONCE and crosses exactly ONE
+    partkey exchange (the naive agg+self-join form duplicates the
+    scan and exchanges twice — plan-audited here, asserted in
+    tests/test_scale_paths.py). Cents-exact money arithmetic; /7.0
+    rounded to whole cents."""
+    from pyspark.sql import Window as W
+    li = read_table(spark, sf_dir, "lineitem") \
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    p = (read_table(spark, sf_dir, "part")
+         .filter(F.col("p_brand").isin("Brand#1", "Brand#2")
+                 & (F.col("p_size") < 15))
+         .select("p_partkey"))
+    pl = li.join(F.broadcast(p), li.l_partkey == p.p_partkey) \
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    lim = (F.lit(0.2) * F.avg("l_quantity")
+           .over(W.partitionBy("l_partkey")))
+    return (pl.withColumn("lim", lim)
+            .filter(F.col("l_quantity") < F.col("lim"))
+            .agg(F.round(F.sum(_cents(F.col("l_extendedprice"))) / 7.0)
+                 .cast("long").alias("avg_yearly_c")))
+
+
 # ===========================================================================
 # Incremental (append-only) ingest dedup (functions/incremental.py)
 # ===========================================================================

@@ -56,6 +56,7 @@ HEADLINE = [
     "q9j_paragraph_dedup",    # paragraph keeper election + reconstruction
     "q9t_chunk_documents",    # token-window chunking (serving handoff)
     "q9y_waiting_suppliers",  # TPC-H Q21 shape: window-rewritten EXISTS
+    "q9z_small_quantity_revenue",  # TPC-H Q17 shape: window-rewritten scalar subquery
     "qa3_curation_funnel",    # filter-cascade audit: one-pass 2n-sum agg
     "qa4_split_leakage",      # non-broadcast gram join (train side huge)
 ]

@@ -289,3 +289,18 @@ def test_unique_lift_triangle_big_cluster(spark):
                                         unique_lift=False))
     assert lifted == direct
     assert lifted[0] == 1100 * 1099 // 2  # clique pairs; uniques pair nowhere
+
+
+def test_q17_window_rewrite_single_scan_single_exchange(spark):
+    """The Q17-shaped correlated-average query (q9z) must scan lineitem
+    ONCE and cross exactly one partkey exchange: the window rewrite of
+    the correlated scalar subquery, not the agg+self-join form that
+    duplicates the scan."""
+    import __spark_entry__ as E
+    df = E.queries()["q9z_small_quantity_revenue"](
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem") == 1          # one scan subtree
+    shuffles = [ln for ln in plan.splitlines()
+                if "Exchange hashpartitioning" in ln]
+    assert len(shuffles) == 1 and "l_partkey" in shuffles[0]
