@@ -723,3 +723,42 @@ def test_dedup_rate_curve_doc_counted_once(spark):
         [(1, 2, 0.9), (1, 3, 0.9)], ["id_a", "id_b", "jaccard"])
     r = dedup_rate_curve(pairs, [0.5]).collect()[0]
     assert (r["n_pairs"], r["n_docs_flagged"]) == (2, 3)
+
+
+def test_corpus_diff_stream_static(spark, tmp_path):
+    """Ingest-time changelog: the NEW snapshot arrives as a stream and
+    diffs against the static previous release. Full-outer joins are not
+    streamable, so the streaming twin is the new-side half of the diff
+    (added/changed/unchanged via a stream-static LEFT join — `removed`
+    needs the old side's full pass and stays a batch op); its statuses
+    must match the batch corpus_diff restricted to new-side ids."""
+    import pandas as pd
+    from juliadb_jl_spark.streaming.aggregate import (run_to_memory,
+                                                      stream_from_parquet)
+    old = spark.createDataFrame(
+        [(0, "alpha"), (1, "bravo"), (2, "charlie")], ["doc_id", "text"])
+    new_pdf = pd.DataFrame({"doc_id": [1, 2, 3],
+                            "text": ["bravo", "charlie EDITED", "echo"]})
+    src = str(tmp_path / "new_snapshot")
+    spark.createDataFrame(new_pdf).write.parquet(src)
+
+    idx = old.select("doc_id",
+                     F.md5(F.coalesce("text", F.lit(""))).alias("__fp_old"))
+
+    def new_side_diff(new_df):
+        j = new_df.select(
+            "doc_id", F.md5(F.coalesce("text", F.lit("")))
+            .alias("__fp_new")).join(idx, "doc_id", "left")
+        status = (F.when(F.col("__fp_old").isNull(), F.lit("added"))
+                  .when(F.col("__fp_old") == F.col("__fp_new"),
+                        F.lit("unchanged")).otherwise(F.lit("changed")))
+        return j.select("doc_id", status.alias("status"))
+
+    batch = {r["doc_id"]: r["status"] for r in
+             CU.corpus_diff(old, spark.read.parquet(src)).collect()
+             if r["status"] != "removed"}
+    streamed = run_to_memory(
+        new_side_diff(stream_from_parquet(spark, src)),
+        "diff_stream", mode="append").toPandas()
+    got = dict(zip(streamed["doc_id"], streamed["status"]))
+    assert got == batch == {1: "unchanged", 2: "changed", 3: "added"}
