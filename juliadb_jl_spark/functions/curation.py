@@ -769,3 +769,27 @@ def leakage_attribution(train: DataFrame, eval_df: DataFrame,
     return (pairs.groupBy("eval_id").agg(best)
             .select("eval_id", (-F.col("__b.__nti")).alias("train_id"),
                     F.col("__b.shared_grams").alias("shared_grams")))
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Column-level diff between two dataset versions: every column in
+    either schema classified `added` / `removed` / `type_changed` /
+    `unchanged` — the schema half of a release changelog (corpus_diff
+    covers the rows). Pure metadata: no job runs; the result is a
+    local one-row-per-column DataFrame."""
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows = []
+    for c in sorted(set(o) | set(n)):
+        if c not in n:
+            status = "removed"
+        elif c not in o:
+            status = "added"
+        elif o[c] != n[c]:
+            status = "type_changed"
+        else:
+            status = "unchanged"
+        rows.append((c, status, o.get(c), n.get(c)))
+    return old.sparkSession.createDataFrame(
+        rows, "column string, status string, old_type string, "
+              "new_type string")

@@ -762,3 +762,19 @@ def test_corpus_diff_stream_static(spark, tmp_path):
         "diff_stream", mode="append").toPandas()
     got = dict(zip(streamed["doc_id"], streamed["status"]))
     assert got == batch == {1: "unchanged", 2: "changed", 3: "added"}
+
+
+def test_schema_diff_golden(spark):
+    old = spark.createDataFrame([], "id long, text string, score double")
+    new = spark.createDataFrame([], "id long, text string, lang string, "
+                                    "score float")
+    out = {r["column"]: r for r in CU.schema_diff(old, new).collect()}
+    assert out["id"]["status"] == "unchanged"
+    assert out["lang"]["status"] == "added" and out["lang"]["old_type"] is None
+    assert out["score"]["status"] == "type_changed"
+    assert (out["score"]["old_type"], out["score"]["new_type"]) == \
+        ("double", "float")
+    # nothing removed here; add one
+    out2 = {r["column"]: r["status"]
+            for r in CU.schema_diff(new, old).collect()}
+    assert out2["lang"] == "removed"
