@@ -3580,6 +3580,44 @@ def qa3(spark, sf_dir):
     return CU.curation_funnel(d, stages, token_col=nw)
 
 
+_FUNNEL_BY_ROWS = "\nUNION ALL ".join(
+    f"SELECT source, {i + 1} AS stage_idx, '{name}' AS stage, "
+    f"{'n0' if i == 0 else f'k{i}'} AS docs_in, k{i + 1} AS docs_kept, "
+    f"{'n0' if i == 0 else f'k{i}'} - k{i + 1} AS docs_dropped, "
+    f"t{i + 1} AS tokens_kept FROM a"
+    for i, (name, _) in enumerate(_FUNNEL_SQL_PREDS))
+
+
+@_q("qaa_funnel_by_source", f"""
+WITH t AS (SELECT source, n_chars, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS nw
+           FROM documents),
+a AS (SELECT source, CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(nw) AS BIGINT) AS t_in,
+  {', '.join(
+    f'CAST(sum(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS k{i + 1}, '
+    f'CAST(sum(CASE WHEN {c} THEN nw ELSE 0 END) AS BIGINT) AS t{i + 1}'
+    for i, c in enumerate(_FUNNEL_CUMS))}
+  FROM t GROUP BY source)
+SELECT source, 0 AS stage_idx, 'ingest' AS stage, n0 AS docs_in,
+       n0 AS docs_kept, 0 AS docs_dropped, t_in AS tokens_kept FROM a
+UNION ALL {_FUNNEL_BY_ROWS}
+""")
+def qaa(spark, sf_dir):
+    """Per-source funnel (curation.curation_funnel(by="source")): the
+    same filter-cascade audit grouped by crawl source — which source
+    fails which filter, the table that drives per-source ingest fixes.
+    Still ONE corpus pass; the aggregation is group-count-sized
+    instead of one row."""
+    d = read_table(spark, sf_dir, "documents")
+    nw = F.size(F.split(F.trim("text"), r"\s+"))
+    stages = [("min_len", F.col("n_chars") >= 100),
+              ("max_len", F.col("n_chars") <= 20000),
+              ("min_words", nw >= 20),
+              ("lang", F.col("lang").isin("en", "de", "fr"))]
+    return CU.curation_funnel(d, stages, token_col=nw, by="source")
+
+
 @_q("qa4_split_leakage", rf"""
 WITH h AS (SELECT doc_id, text,
              CASE WHEN {_unit_sql('doc_id', 11)} < 0.9

@@ -623,24 +623,27 @@ def corpus_diff_report(old: DataFrame, new: DataFrame,
 
 
 def curation_funnel(df: DataFrame, stages: list[tuple[str, Column]],
-                    token_col: Column | None = None) -> DataFrame:
+                    token_col: Column | None = None,
+                    by: str | None = None) -> DataFrame:
     """Staged-filter attrition report: `stages` is the ORDERED list of
     (name, keep-predicate) a curation pipeline applies; the funnel
     reports, per stage, how many documents (and optionally tokens)
     enter, survive, and drop — cumulative, i.e. stage i counts only
     rows that passed stages 0..i-1. This is the per-release audit
     table every pipeline publishes (what C4/Gopher/RefinedWeb report
-    as their filter cascades).
+    as their filter cascades). With `by=` the funnel is computed PER
+    GROUP (e.g. per crawl source — which source fails which filter).
 
-    Returns one row per stage plus a leading `ingest` row:
-    (stage_idx, stage, docs_in, docs_kept, docs_dropped[, tokens_kept]).
+    Returns one row per stage (per group) plus a leading `ingest` row:
+    ([by,] stage_idx, stage, docs_in, docs_kept, docs_dropped
+    [, tokens_kept]).
 
     Scale (100 TB): ONE corpus pass — every cumulative predicate is a
     native boolean column and all 2·n_stages conditional sums ride a
-    single global aggregation (map-side combined, one-row result); the
-    per-stage rows are inlined from that row with no further job.
-    NULL predicate values count as drops (a row that can't be judged
-    doesn't survive)."""
+    single aggregation (map-side combined; global one-row result, or
+    group-count-sized with `by=`); the per-stage rows are inlined from
+    that row with no further job. NULL predicate values count as drops
+    (a row that can't be judged doesn't survive)."""
     if not stages:
         raise ValueError("need at least one (name, predicate) stage")
     cums, cum = [], F.lit(True)
@@ -655,7 +658,7 @@ def curation_funnel(df: DataFrame, stages: list[tuple[str, Column]],
                         .alias(f"__t{i}"))
     if token_col is not None:
         aggs.append(F.sum(token_col).alias("__t_in"))
-    row = df.agg(*aggs)
+    row = df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
 
     def stage_struct(i: int, name: str):
         docs_in = F.col("__n0") if i == 0 else F.col(f"__k{i - 1}")
@@ -679,7 +682,8 @@ def curation_funnel(df: DataFrame, stages: list[tuple[str, Column]],
                              .alias("tokens_kept"))
     rows = [F.struct(*ingest_fields)]
     rows += [stage_struct(i, name) for i, (name, _) in enumerate(stages)]
-    return row.select(F.inline(F.array(*rows)))
+    inlined = F.inline(F.array(*rows))
+    return row.select(by, inlined) if by else row.select(inlined)
 
 
 def apply_funnel(df: DataFrame,

@@ -778,3 +778,22 @@ def test_schema_diff_golden(spark):
     out2 = {r["column"]: r["status"]
             for r in CU.schema_diff(new, old).collect()}
     assert out2["lang"] == "removed"
+
+
+def test_curation_funnel_by_group(spark):
+    df = spark.createDataFrame(
+        [(0, "a", 10), (1, "a", 2), (2, "b", 10), (3, "b", 10)],
+        ["doc_id", "src", "n"])
+    stages = [("min_n", F.col("n") >= 5)]
+    rows = {(r["src"], r["stage"]): r for r in
+            CU.curation_funnel(df, stages, token_col=F.col("n"),
+                               by="src").collect()}
+    assert rows[("a", "ingest")]["docs_in"] == 2
+    assert (rows[("a", "min_n")]["docs_kept"],
+            rows[("a", "min_n")]["docs_dropped"]) == (1, 1)
+    assert rows[("b", "min_n")]["docs_kept"] == 2
+    assert rows[("b", "min_n")]["tokens_kept"] == 20
+    # grouped funnel stays a single aggregation pass
+    plan = CU.curation_funnel(df, stages, by="src") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 2
