@@ -125,3 +125,62 @@ def test_retry_does_not_double_count(spark, tmp_path):
     again = {r["k"]: (r["n"], r["v_sum"])
              for r in sink.current(spark).collect()}
     assert first == again == {1: (2, 15), 2: (1, 20)}
+
+
+# ---------------------------------------------------------------------------
+# FunnelSink: cumulative streaming ingest-QA counters
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_sink_equals_one_shot_funnel(spark, tmp_path):
+    """Micro-batch funnel merges must equal the one-shot batch funnel
+    over everything ingested (funnel counters are additive over
+    disjoint batches), including the per-source grouped form."""
+    import pandas as pd
+
+    from juliadb_jl_spark.functions.curation import curation_funnel
+    from juliadb_jl_spark.streaming.funnel_sink import FunnelSink
+
+    pdf = pd.DataFrame({
+        "doc_id": range(30),
+        "source": ["web" if i % 2 == 0 else "books" for i in range(30)],
+        "n": [3 if i % 5 == 0 else 20 for i in range(30)]})
+    src = str(tmp_path / "src")
+    # three files -> three micro-batches (maxFilesPerTrigger=1)
+    for part in range(3):
+        spark.createDataFrame(pdf.iloc[part * 10:(part + 1) * 10]) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    stages = [("min_n", F.col("n") >= 5)]
+    sink = FunnelSink(str(tmp_path / "state"), stages,
+                      token_col=F.col("n"), by="source")
+    _run_increment(spark, src, sink, str(tmp_path / "ckpt"))
+
+    got = sink.current(spark).toPandas() \
+        .sort_values(["source", "stage_idx"], ignore_index=True)
+    want = curation_funnel(spark.read.parquet(src), stages,
+                           token_col=F.col("n"), by="source").toPandas() \
+        .sort_values(["source", "stage_idx"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+    # the state table is stage-rows-sized, never the corpus
+    assert len(got) == 2 * 2  # 2 sources x (ingest + 1 stage)
+
+
+def test_funnel_sink_batch_replay_idempotent(spark, tmp_path):
+    """Re-invoking the sink with an already-seen batch id must re-merge
+    from the same predecessor (versioned-state protocol), not
+    double-count."""
+    from juliadb_jl_spark.streaming.funnel_sink import FunnelSink
+    df = spark.createDataFrame([(i, 20) for i in range(10)],
+                               ["doc_id", "n"])
+    stages = [("min_n", F.col("n") >= 5)]
+    sink = FunnelSink(str(tmp_path / "state"), stages)
+    sink(df, 0)
+    sink(df, 1)
+    once = {(r["stage"], r["docs_kept"]) for r in
+            sink.current(spark).collect()}
+    sink(df, 1)  # replay
+    again = {(r["stage"], r["docs_kept"]) for r in
+             sink.current(spark).collect()}
+    assert once == again
+    assert ("min_n", 20) in once  # two distinct batches of 10
