@@ -80,3 +80,62 @@ def load(path: str, spark: SparkSession | None = None) -> Table:
         cls = NDSparse if m.get("kind") == "ndsparse" else Table
         return cls(df, tuple(m.get("pkey", ())), m.get("presorted", False))
     return Table(df)
+
+
+def save_sorted(t: Table, path: str, by: list[str] | str,
+                files: int | None = None, mode: str = "overwrite",
+                compression: str | None = None) -> None:
+    """Persist range-clustered on `by`: rows are range-partitioned and
+    sorted within files, so every parquet file (and row group) covers a
+    narrow, largely disjoint `by`-range — predicate scans then skip
+    whole files via footer min/max statistics (data skipping), the
+    poor-man's Z-order for a single clustering dimension. The decisive
+    layout for 100 TB event/time tables queried by range.
+
+    One range exchange (sampled boundaries) + in-partition sort; pkey
+    metadata rides the usual sidecar with presorted=True."""
+    by_cols = [by] if isinstance(by, str) else list(by)
+    df = t.df.repartitionByRange(*([files] if files else []), *by_cols) \
+        .sortWithinPartitions(*by_cols)
+    save(Table(df, t.pkey, presorted=True), path, mode=mode,
+         compression=compression)
+
+
+def compact_table(path: str, spark: SparkSession | None = None,
+                  target_mb: int = 256) -> int:
+    """Rewrite a saved dataset into ~`target_mb`-sized files and return
+    the new file count — the small-file compactor every continuously-
+    ingesting table needs (streaming sinks and frequent appends leave
+    thousands of KB-sized files; scan cost and driver file-listing both
+    degrade). Reads the current bytes-on-disk, coalesces to
+    ceil(bytes/target) WITHOUT a shuffle, writes beside the original,
+    then atomically swaps directories; the manifest sidecar (pkey/kind)
+    is preserved.
+
+    At 100 TB run this per-partition (compact newly-closed time/date
+    partitions only) — the op is one linear read+write of the slice it
+    touches, no shuffle anywhere."""
+    import shutil
+
+    spark = spark or SparkSession.getActiveSession()
+    total = 0
+    for root, _dirs, names in os.walk(path):
+        for nm in names:
+            if nm.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, nm))
+    n = max(1, -(-total // (target_mb * 1024 * 1024)))
+    t = load(path, spark)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    save(Table(t.df.coalesce(n), t.pkey, t.presorted)
+         if not isinstance(t, NDSparse)
+         else NDSparse(t.df.coalesce(n), t.pkey, t.presorted), tmp)
+    # atomic-ish swap: the old dir is moved aside before the rename so a
+    # reader never sees a half-written primary path
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    out = 0
+    for root, _dirs, names in os.walk(path):
+        out += sum(1 for nm in names if nm.endswith(".parquet"))
+    return out

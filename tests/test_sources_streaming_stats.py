@@ -5,6 +5,8 @@ missing/renamed columns across files) and the OnlineStats plotting stats
 (docs/src/plotting.md).
 """
 
+import os
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -387,3 +389,64 @@ def test_parse_json_column_null_only_raises(spark):
     df = spark.createDataFrame([(1, None)], "id long, props string")
     with _pytest.raises(ValueError):
         parse_json_column(df, "props")
+
+
+# ---------------------------------------------------------------------------
+# Storage housekeeping: save_sorted (data skipping) + compact_table
+# ---------------------------------------------------------------------------
+
+
+def test_save_sorted_files_cover_disjoint_ranges(spark, tmp_path):
+    """Range-clustered persistence must yield per-file min/max ranges
+    that don't overlap (verified from the parquet footers via pyarrow)
+    — the property footer-based data skipping depends on."""
+    import pyarrow.parquet as pq
+
+    import juliadb_jl_spark as jdb
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k") \
+        .withColumn("v", F.col("k") * 2)
+    out = str(tmp_path / "sorted")
+    jdb.sources.parquet.save_sorted(jdb.table(df, pkey="k"), out,
+                                    by="k", files=4)
+    ranges = []
+    for name in sorted(os.listdir(out)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, name)).metadata
+        names = [md.schema.column(i).name
+                 for i in range(len(md.schema))]
+        ki = names.index("k")
+        mins = [md.row_group(g).column(ki).statistics.min
+                for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(ki).statistics.max
+                for g in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(sorted(ranges),
+                                          sorted(ranges)[1:]):
+        assert a_hi < b_lo  # strictly disjoint file ranges
+    # reload restores pkey + presorted
+    back = jdb.load(out, spark)
+    assert back.pkey == ("k",) and back.presorted
+    assert back.df.count() == 10_000
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    import juliadb_jl_spark as jdb
+    from juliadb_jl_spark.sources.parquet import compact_table
+    out = str(tmp_path / "frag")
+    # simulate a streaming sink's fragmentation: 12 tiny appends
+    for i in range(12):
+        jdb.save(jdb.table(
+            spark.createDataFrame([(i * 10 + j, f"row {j}")
+                                   for j in range(10)], ["id", "text"]),
+            pkey="id"), out, mode="append" if i else "overwrite")
+    before = sum(1 for n in os.listdir(out) if n.endswith(".parquet"))
+    assert before >= 12
+    n_files = compact_table(out, spark, target_mb=256)
+    after = sum(1 for n in os.listdir(out) if n.endswith(".parquet"))
+    assert n_files == after == 1  # 120 tiny rows -> one target-size file
+    back = jdb.load(out, spark)
+    assert back.pkey == ("id",)  # manifest survived the swap
+    assert back.df.count() == 120
+    assert back.df.agg(F.sum("id")).head()[0] == sum(range(120))
