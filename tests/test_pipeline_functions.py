@@ -1044,3 +1044,28 @@ def test_frequent_phrases_arg_validation(spark):
         frequent_phrases(docs, n=0)
     with _pytest.raises(ValueError):
         frequent_phrases(docs, min_count=0)
+
+
+def test_decode_tokens_roundtrip(spark):
+    from juliadb_jl_spark.functions.text import (build_vocab,
+                                                 decode_tokens,
+                                                 encode_tokens)
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the dog"), (2, "")],
+        ["doc_id", "text"])
+    vocab = build_vocab(docs, min_freq=1)
+    enc = encode_tokens(docs, "doc_id", vocab)
+    dec = {r["doc_id"]: r["text_decoded"] for r in
+           decode_tokens(enc, "doc_id", vocab).collect()}
+    assert dec[0] == "the cat sat on the mat"
+    assert dec[1] == "the dog"
+    assert dec[2] == ""
+
+
+def test_decode_tokens_unknown_id_renders_unk(spark):
+    from juliadb_jl_spark.functions.text import decode_tokens
+    vocab = spark.createDataFrame([(7, "hello")], ["token_id", "word"])
+    enc = spark.createDataFrame([(0, [7, 999])],
+                                "doc_id long, token_ids array<int>")
+    out = decode_tokens(enc, "doc_id", vocab).collect()[0]
+    assert out["text_decoded"] == "hello <unk>"
