@@ -3835,6 +3835,47 @@ def qa8(spark, sf_dir):
     return TX.frequent_phrases(d, n=3, min_count=5, k=50)
 
 
+@_q("qab_sample_exact", f"""
+WITH h AS (SELECT doc_id, lang, {_unit_sql('doc_id', 13)} AS u
+           FROM documents)
+SELECT doc_id, lang FROM h ORDER BY u, doc_id LIMIT 100
+""")
+def qab(spark, sf_dir):
+    """Deterministic exact-N sample (sampling.sample_exact): exactly
+    100 docs as the 100 smallest seeded key hashes — the fixed-size
+    eval/audit slice where the budget is a COUNT, not a rate. Plans as
+    TakeOrdered: per-partition local top-n, only n-sized heads reach
+    the driver merge; the corpus is never globally sorted (the
+    oracle's ORDER BY + LIMIT global sort is exactly what we avoid)."""
+    d = read_table(spark, sf_dir, "documents")
+    return SP.sample_exact(d, 100, key="doc_id", seed=13) \
+        .select("doc_id", "lang")
+
+
+@_q("qac_quantile_buckets", """
+WITH b AS (SELECT quantile_cont(n_chars, 0.25) AS q1,
+                  quantile_cont(n_chars, 0.50) AS q2,
+                  quantile_cont(n_chars, 0.75) AS q3
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN n_chars IS NULL THEN NULL
+            WHEN n_chars >= q3 THEN 3
+            WHEN n_chars >= q2 THEN 2
+            WHEN n_chars >= q1 THEN 1
+            ELSE 0 END AS bucket
+FROM documents, b
+""")
+def qac(spark, sf_dir):
+    """Corpus quantile bucketing (curation.quantile_buckets): every doc
+    tagged with its length quartile — curriculum ordering / quality
+    tiers. The scale-correct ntile: a global ntile(4) window sorts the
+    corpus on ONE partition; here the 3 exact thresholds come from one
+    aggregation and broadcast onto a pure per-row CASE — zero corpus
+    shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    return CU.quantile_buckets(d, "n_chars", 4).select("doc_id", "bucket")
+
+
 @_q("qa9_json_props_rollup", """
 SELECT event_type,
        CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)

@@ -521,6 +521,33 @@ def filter_by_quantile(df: DataFrame, col: str, lo: float = 0.0,
             .drop("__qlo", "__qhi"))
 
 
+def quantile_buckets(df: DataFrame, col: str, n_buckets: int = 10,
+                     name: str = "bucket") -> DataFrame:
+    """Assign every row its corpus quantile bucket for `col` (0-based;
+    bucket b spans [P_{b/n}, P_{(b+1)/n})) — curriculum ordering,
+    quality-tier analyses, stratified eval slices. The scale-correct
+    ntile: a global `ntile(n)` window needs a full sort on ONE
+    partition; here the n-1 exact interpolated thresholds come from a
+    single aggregation (approx_percentile = the documented 100-TB
+    sketched swap) and ride a broadcast onto a pure per-row bucket
+    expression — the corpus never shuffles. Ties with a threshold go
+    to the higher bucket (value >= threshold), matching the SQL-oracle
+    CASE mirror; NULLs get bucket NULL."""
+    if n_buckets < 2:
+        raise ValueError(f"need n_buckets >= 2 (got {n_buckets})")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    b = df.agg(*[F.percentile(F.col(col), F.lit(q)).alias(f"__q{i}")
+                 for i, q in enumerate(qs)])
+    expr = F.lit(0)
+    for i in range(len(qs)):
+        expr = F.when(F.col(col) >= F.col(f"__q{i}"), i + 1) \
+            .otherwise(expr)
+    expr = F.when(F.col(col).isNotNull(), expr)
+    return (df.crossJoin(F.broadcast(b))
+            .withColumn(name, expr.cast("int"))
+            .drop(*[f"__q{i}" for i in range(len(qs))]))
+
+
 def corpus_report(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """One-row corpus data card: document/token totals, token-length

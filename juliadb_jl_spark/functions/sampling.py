@@ -85,6 +85,25 @@ def sample_by_hash(df: DataFrame, key: str, fraction: float,
     return df.filter(hash_unit(F.col(key), seed) < F.lit(float(fraction)))
 
 
+def sample_exact(df: DataFrame, n: int, key: str,
+                 seed: int = 1) -> DataFrame:
+    """EXACTLY `n` rows (all rows when the input is smaller), chosen
+    deterministically as the n smallest seeded key hashes (ties → key)
+    — when the budget is a row COUNT, not a rate (eval slices, human
+    audits, fixed-size dev sets). Unlike `sample_by_hash` the
+    membership is competitive, so it is NOT append-stable — adding
+    corpus rows can evict previous members (documented trade; use the
+    rate form for append-stable splits).
+
+    Scale: orderBy(hash).limit(n) plans as TakeOrdered — each partition
+    keeps its local top-n and only n-sized heads cross to the driver
+    merge; the corpus is never globally sorted."""
+    u = hash_unit(F.col(key), seed)
+    return (df.withColumn("__u", u)
+            .orderBy(F.col("__u"), F.col(key))
+            .limit(int(n)).drop("__u"))
+
+
 def stratified_sample(df: DataFrame, by: str | Sequence[str], n: int,
                       key: str, seed: int = 1) -> DataFrame:
     """Exactly `n` rows per group (all rows for smaller groups), chosen

@@ -261,3 +261,49 @@ def test_pack_manifest_offsets_and_coverage(spark):
             seen.append(d["id"])
         assert r["bin_tokens"] == off and r["n_docs"] == len(r["docs"])
     assert sorted(seen) == list(range(20))
+
+
+def test_sample_exact_count_and_determinism(spark):
+    from juliadb_jl_spark.functions.sampling import sample_exact
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["k"])
+    a = {r["k"] for r in sample_exact(df, 50, "k", seed=2).collect()}
+    b = {r["k"] for r in sample_exact(df.repartition(13), 50, "k",
+                                      seed=2).collect()}
+    assert len(a) == 50 and a == b                # exact + partition-proof
+    c = {r["k"] for r in sample_exact(df, 50, "k", seed=3).collect()}
+    assert c != a                                  # seed-keyed
+    # n >= rows -> everything, no error
+    assert len(sample_exact(df, 5000, "k").collect()) == 1000
+    # plans as TakeOrdered, not a global sort
+    plan = sample_exact(df, 50, "k")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quantile_buckets_golden(spark):
+    from juliadb_jl_spark.functions.curation import quantile_buckets
+    df = spark.createDataFrame([(float(v),) for v in range(1, 9)]
+                               + [(None,)], "v double")
+    out = {r["v"]: r["bucket"] for r in
+           quantile_buckets(df, "v", 4).collect()}
+    # thresholds (interpolated over 1..8): q25=2.75, q50=4.5, q75=6.25
+    assert out[1.0] == 0 and out[2.0] == 0
+    assert out[3.0] == 1 and out[4.0] == 1
+    assert out[5.0] == 2 and out[6.0] == 2
+    assert out[7.0] == 3 and out[8.0] == 3
+    assert out[None] is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        quantile_buckets(df, "v", 1)
+
+
+def test_quantile_buckets_no_corpus_shuffle(spark):
+    from juliadb_jl_spark.functions.curation import quantile_buckets
+    df = spark.createDataFrame([(float(v),) for v in range(100)],
+                               "v double")
+    plan = quantile_buckets(df, "v", 10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the only exchange feeds the 1-row threshold agg + its broadcast;
+    # the corpus side must carry no hash/range exchange
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
