@@ -3835,6 +3835,32 @@ def qa8(spark, sf_dir):
     return TX.frequent_phrases(d, n=3, min_count=5, k=50)
 
 
+@_q("qad_fuzzy_linkage", """
+WITH b AS (SELECT p_partkey AS id, p_name AS v,
+                  split_part(trim(p_name), ' ', 1) AS blk
+           FROM part WHERE trim(p_name) <> '' AND p_size = 1)
+SELECT a.id AS id_a, c.id AS id_b,
+       CAST(levenshtein(a.v, c.v) AS BIGINT) AS distance
+FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id
+WHERE levenshtein(a.v, c.v) <= 2
+""")
+def qad(spark, sf_dir):
+    """Fuzzy record linkage (dedup.fuzzy_link_pairs): near-identical
+    part names found by first-token equality blocking + native
+    Levenshtein verify (<=2 edits) — the entity-resolution counterpart
+    of document near-dup detection. Records compare only WITHIN a
+    block (one block-key shuffle, never corpus x corpus); degenerate
+    blocks are capped like hot shingles. Restricted to the p_size=1
+    slice: the synthetic name vocabulary is tiny, so the full-table
+    pair set is quadratic-by-construction (~3.1M at sf0.1) — the
+    slice keeps the driver comparison meaningfully sized while
+    exercising the identical plan."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+    return DD.fuzzy_link_pairs(p, "p_partkey", "p_name",
+                               max_distance=2) \
+        .withColumn("distance", F.col("distance").cast("long"))
+
+
 @_q("qab_sample_exact", f"""
 WITH h AS (SELECT doc_id, lang, {_unit_sql('doc_id', 13)} AS u
            FROM documents)

@@ -1222,3 +1222,58 @@ def dedup_rate_curve(pairs: DataFrame, thresholds: Sequence[float],
                      .alias("n_docs_flagged"))
             for i, t in enumerate(thresholds)]
     return joined.select(F.inline(F.array(*rows)))
+
+
+def fuzzy_link_pairs(df: DataFrame, id_col: str, col: str,
+                     block_expr: Column | None = None,
+                     max_distance: int = 2,
+                     block_cap: int = 10_000) -> DataFrame:
+    """Fuzzy record linkage on a STRUCTURED column (names, titles,
+    addresses): candidate pairs from equality blocking, verified by
+    native Levenshtein distance — the entity-resolution counterpart of
+    document near-dup detection. Returns (id_a, id_b, distance) with
+    id_a < id_b and distance <= max_distance.
+
+    `block_expr` defaults to the value's first whitespace token (the
+    classic name-blocking key); pass e.g. `F.soundex(F.col(c))` or a
+    normalized prefix for other schemes.
+
+    Scale (100 TB): the same shape as LSH-banded near-dup — records
+    only compare WITHIN a block (one shuffle on the block key), never
+    corpus×corpus, and `F.levenshtein` is a JVM-side codegen'd verify.
+    Blocks larger than `block_cap` are dropped with the same rationale
+    as the hot-shingle guard: a degenerate block (empty names, one
+    giant soundex bucket) would go quadratic while linking nothing
+    attributable — counted via one block-sized aggregation."""
+    v = F.col(col)
+    block = block_expr if block_expr is not None \
+        else F.substring_index(F.trim(v), " ", 1)
+    base = df.select(F.col(id_col).alias("__id"), v.alias("__v"),
+                     block.alias("__b")).filter(F.col("__b").isNotNull())
+    hot = (base.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+           .filter(F.col("__n") > block_cap).select("__b"))
+    base = base.join(F.broadcast(hot), "__b", "left_anti")
+    l = base.select(F.col("__b"), F.col("__id").alias("id_a"),
+                    F.col("__v").alias("__va"))
+    r = base.select(F.col("__b"), F.col("__id").alias("id_b"),
+                    F.col("__v").alias("__vb"))
+    return (l.join(r, "__b")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("distance", F.levenshtein("__va", "__vb"))
+            .filter(F.col("distance") <= max_distance)
+            .select("id_a", "id_b", "distance"))
+
+
+def dedup_fuzzy_records(df: DataFrame, id_col: str, col: str,
+                        block_expr: Column | None = None,
+                        max_distance: int = 2,
+                        score_col: str | None = None,
+                        keep: str = "max") -> DataFrame:
+    """Entity-resolution dedup: fuzzy-link records on `col`, resolve
+    transitive clusters (large-star/small-star CC), keep one member
+    per cluster (min id, or best `score_col` with `keep=`). Same
+    collapse machinery as document near-dup dedup."""
+    pairs = fuzzy_link_pairs(df, id_col, col, block_expr=block_expr,
+                             max_distance=max_distance)
+    return dedup_by_clusters(df, pairs, id_col,
+                             score_col=score_col, keep=keep)

@@ -797,3 +797,46 @@ def test_curation_funnel_by_group(spark):
     plan = CU.curation_funnel(df, stages, by="src") \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") <= 2
+
+
+def test_fuzzy_link_and_dedup_records(spark):
+    from juliadb_jl_spark.functions.dedup import (dedup_fuzzy_records,
+                                                  fuzzy_link_pairs)
+    rows = [(0, "red widget"), (1, "red widgets"),   # 1 edit apart
+            (2, "red bolt"),                          # same block, far
+            (3, "blue gear"), (4, "blue gears"),      # 1 edit apart
+            (5, "green gizmo")]                       # singleton
+    df = spark.createDataFrame(rows, ["id", "name"])
+    pairs = {(r["id_a"], r["id_b"]): r["distance"]
+             for r in fuzzy_link_pairs(df, "id", "name",
+                                       max_distance=2).collect()}
+    assert pairs == {(0, 1): 1, (3, 4): 1}
+    kept = {r["id"] for r in
+            dedup_fuzzy_records(df, "id", "name").collect()}
+    assert kept == {0, 2, 3, 5}  # min-id keeper per cluster
+
+
+def test_fuzzy_link_block_cap_drops_degenerate_block(spark):
+    from juliadb_jl_spark.functions.dedup import fuzzy_link_pairs
+    rows = [(i, "hot item") for i in range(30)] + [(100, "cold brew"),
+                                                   (101, "cold brew x")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = fuzzy_link_pairs(df, "id", "name", max_distance=2,
+                           block_cap=10).collect()
+    # the 30-member 'hot' block exceeds the cap and is dropped entirely;
+    # the small 'cold' block still links
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(100, 101)}
+
+
+def test_fuzzy_link_custom_block_expr(spark):
+    from juliadb_jl_spark.functions.dedup import fuzzy_link_pairs
+    rows = [(0, "smith john"), (1, "smyth john")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    # first-token blocking separates smith/smyth; soundex reunites them
+    assert fuzzy_link_pairs(df, "id", "name").count() == 0
+    got = fuzzy_link_pairs(
+        df, "id", "name",
+        block_expr=F.soundex(F.substring_index("name", " ", 1)),
+        max_distance=2).collect()
+    assert [(r["id_a"], r["id_b"], r["distance"]) for r in got] == \
+        [(0, 1, 1)]
