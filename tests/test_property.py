@@ -295,3 +295,76 @@ def test_incremental_dedup_append_equivalence(spark, data):
         + [r["doc_id"] for r in
            INC.dedup_exact_against(new, idx, "doc_id").collect()])
     assert inc == full
+
+
+@st.composite
+def funnel_frames(draw):
+    n = draw(st.integers(1, 30))
+    return pd.DataFrame({
+        "id": range(n),
+        "x": draw(st.lists(st.one_of(st.none(), st.integers(-5, 5)),
+                           min_size=n, max_size=n)),
+        "t": draw(st.lists(st.integers(0, 9), min_size=n, max_size=n)),
+    })
+
+
+@given(pdf=funnel_frames())
+@_settings
+def test_curation_funnel_matches_pandas(spark, pdf):
+    """Funnel counters ≡ a pandas recompute of the cumulative cascade
+    (NULL predicate values drop) on random frames."""
+    from pyspark.sql import functions as F
+
+    from juliadb_jl_spark.functions.curation import curation_funnel
+    df = spark.createDataFrame(pdf.astype({"x": "object"}))
+    stages = [("pos", F.col("x") > 0), ("small", F.col("x") < 3)]
+    got = {r["stage"]: r for r in
+           curation_funnel(df, stages, token_col=F.col("t")).collect()}
+
+    keep1 = pdf["x"].map(lambda v: v is not None and v > 0)
+    keep2 = keep1 & pdf["x"].map(lambda v: v is not None and v < 3)
+    assert got["ingest"]["docs_in"] == len(pdf)
+    assert got["ingest"]["tokens_kept"] == int(pdf["t"].sum())
+    assert got["pos"]["docs_kept"] == int(keep1.sum())
+    assert got["pos"]["tokens_kept"] == int(pdf.loc[keep1, "t"].sum())
+    assert got["small"]["docs_in"] == int(keep1.sum())
+    assert got["small"]["docs_kept"] == int(keep2.sum())
+    assert got["small"]["tokens_kept"] == int(pdf.loc[keep2, "t"].sum())
+
+
+@st.composite
+def snapshot_pairs(draw):
+    ids = list(range(draw(st.integers(1, 20))))
+    def snap():
+        present = draw(st.lists(st.booleans(), min_size=len(ids),
+                                max_size=len(ids)))
+        texts = draw(st.lists(st.sampled_from(["aa", "bb", "cc"]),
+                              min_size=len(ids), max_size=len(ids)))
+        return pd.DataFrame(
+            {"id": [i for i, p in zip(ids, present) if p],
+             "text": [t for t, p in zip(texts, present) if p]})
+    return snap(), snap()
+
+
+@given(data=snapshot_pairs())
+@_settings
+def test_corpus_diff_matches_pandas(spark, data):
+    from juliadb_jl_spark.functions.curation import corpus_diff
+    old_pdf, new_pdf = data
+    old = spark.createDataFrame(old_pdf, "id long, text string")
+    new = spark.createDataFrame(new_pdf, "id long, text string")
+    got = {r["id"]: r["status"]
+           for r in corpus_diff(old, new, id_col="id").collect()}
+    m = old_pdf.merge(new_pdf, on="id", how="outer",
+                      suffixes=("_o", "_n"))
+    want = {}
+    for _, r in m.iterrows():
+        if pd.isna(r["text_o"]):
+            want[r["id"]] = "added"
+        elif pd.isna(r["text_n"]):
+            want[r["id"]] = "removed"
+        elif r["text_o"] == r["text_n"]:
+            want[r["id"]] = "unchanged"
+        else:
+            want[r["id"]] = "changed"
+    assert got == want
