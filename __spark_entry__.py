@@ -3861,6 +3861,83 @@ def qad(spark, sf_dir):
         .withColumn("distance", F.col("distance").cast("long"))
 
 
+@_q("qaf_nation_volume", """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_c4
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                     AND TIMESTAMP '1998-12-31'
+GROUP BY 1, 2, 3
+""")
+def qaf(spark, sf_dir):
+    """TPC-H Q7-shaped cross-nation shipping volume: revenue between
+    two trading nations by direction and ship year. Spark-first shape:
+    both nation dims AND the nation-filtered supplier/customer maps
+    broadcast (suppliers/customers of two nations are a sliver), so
+    lineitem is filtered by broadcast semi-shapes before its single
+    orderkey-side shuffle to meet orders; the OR-of-two-directions
+    predicate evaluates after both small joins, native. Money exact in
+    cents x (100 - disc_c) integer units."""
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = (read_table(spark, sf_dir, "supplier")
+           .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+           .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+           .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cus = (read_table(spark, sf_dir, "customer")
+           .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+           .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+           .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (read_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate").between("1995-01-01", "1998-12-31"))
+          .select("l_orderkey", "l_suppkey", "l_shipdate",
+                  "l_extendedprice", "l_discount"))
+    j = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+         .join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(cus), o.o_custkey == cus.c_custkey)
+         .filter(((F.col("supp_nation") == "NATION_1")
+                  & (F.col("cust_nation") == "NATION_2"))
+                 | ((F.col("supp_nation") == "NATION_2")
+                    & (F.col("cust_nation") == "NATION_1"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.sum(_cents(F.col("l_extendedprice"))
+                       * (F.lit(100) - _cents(F.col("l_discount"))))
+                 .cast("long").alias("revenue_c4")))
+
+
+@_q("qae_normalize_text", r"""
+SELECT doc_id, md5(lower(trim(regexp_replace(
+  replace(replace(replace(replace(
+    chr(8203) || ' ' || chr(173) || text || chr(7) || chr(65279) || '  ',
+    chr(8203), ''), chr(173), ''), chr(7), ''), chr(65279), ''),
+  '\s+', ' ', 'g')))) AS norm_md5
+FROM documents
+""")
+def qae(spark, sf_dir):
+    """Text normalization (text.normalize_text): strip control +
+    zero-width characters (ZWSP, soft hyphen, BEL, BOM — the invisible
+    bytes that defeat exact dedup), collapse whitespace, trim,
+    casefold — one native per-row expression, zero shuffle. The query
+    injects known invisibles around every doc and proves the
+    normalized md5 matches the oracle's character-level mirror."""
+    d = read_table(spark, sf_dir, "documents")
+    raw = F.concat(F.lit("\u200b \u00ad"), F.col("text"),
+                   F.lit("\u0007\ufeff  "))
+    return d.select("doc_id",
+                    F.md5(TX.normalize_text(raw)).alias("norm_md5"))
+
+
 @_q("qab_sample_exact", f"""
 WITH h AS (SELECT doc_id, lang, {_unit_sql('doc_id', 13)} AS u
            FROM documents)

@@ -57,6 +57,7 @@ HEADLINE = [
     "q9t_chunk_documents",    # token-window chunking (serving handoff)
     "q9y_waiting_suppliers",  # TPC-H Q21 shape: window-rewritten EXISTS
     "q9z_small_quantity_revenue",  # TPC-H Q17 shape: window-rewritten scalar subquery
+    "qaf_nation_volume",      # TPC-H Q7 shape: two-direction nation pair, dims broadcast
     "qa3_curation_funnel",    # filter-cascade audit: one-pass 2n-sum agg
     "qa4_split_leakage",      # non-broadcast gram join (train side huge)
 ]

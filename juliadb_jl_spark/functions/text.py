@@ -497,3 +497,35 @@ def decode_tokens(df: DataFrame, id_col: str, vocab: DataFrame,
                     F.array_join(
                         F.transform("__s", lambda s: s["__w"]), " ")
                     .alias(out_col)))
+
+
+def normalize_text(col: Column, casefold: bool = True,
+                   strip_control: bool = True,
+                   collapse_ws: bool = True) -> Column:
+    """The standard pre-dedup/pre-tokenize normalizer as ONE native
+    expression: strip control and zero-width characters (the invisible
+    bytes that defeat exact dedup — C0/C1 controls, ZWSP/ZWNJ/ZWJ/BOM,
+    soft hyphen), collapse whitespace runs to single spaces, trim, and
+    optionally casefold. NULL → empty string.
+
+    Engine-portable: every step is a regexp_replace/lower that DuckDB
+    mirrors character-for-character, so normalized fingerprints hash
+    identically across engines (the property exact dedup keys on).
+    Per-row native map — zero shuffle, codegen'd."""
+    out = F.coalesce(col, F.lit(""))
+    if strip_control:
+        out = F.regexp_replace(
+            out, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+                 "\\u200B-\\u200D\\uFEFF\\u00AD]", "")
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    if casefold:
+        out = F.lower(out)
+    return out
+
+
+def add_normalized_text(df: DataFrame, text_col: str = "text",
+                        out_col: str = "text_norm",
+                        **kw) -> DataFrame:
+    """`normalize_text` as a column-attaching stage."""
+    return df.withColumn(out_col, normalize_text(F.col(text_col), **kw))

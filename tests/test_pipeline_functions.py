@@ -1069,3 +1069,23 @@ def test_decode_tokens_unknown_id_renders_unk(spark):
                                 "doc_id long, token_ids array<int>")
     out = decode_tokens(enc, "doc_id", vocab).collect()[0]
     assert out["text_decoded"] == "hello <unk>"
+
+
+def test_normalize_text_golden(spark):
+    from juliadb_jl_spark.functions.text import normalize_text
+    rows = [
+        (0, "\u200bHello\u00ad  World\t\n x \ufeff"),
+        (1, None),
+        (2, "  MiXeD   Case  "),
+        (3, "\u200c\u200d\x00\x1f\x7f"),  # only invisibles -> empty
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {r["id"]: r["n"] for r in df.select(
+        "id", normalize_text(F.col("t")).alias("n")).collect()}
+    assert out[0] == "hello world x"
+    assert out[1] == "" and out[3] == ""
+    assert out[2] == "mixed case"
+    # flags off
+    keep = df.select("id", normalize_text(
+        F.col("t"), casefold=False).alias("n")).collect()
+    assert {r["id"]: r["n"] for r in keep}[2] == "MiXeD Case"
