@@ -199,3 +199,37 @@ def ivf_topk(tagged_corpus: DataFrame, centroids, queries: DataFrame,
                                           F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def recall_report(approx: DataFrame, exact: DataFrame,
+                  k: int | None = None) -> DataFrame:
+    """Index-QA table for an ANN configuration: per-query recall@k of
+    an approximate top-k result against the exhaustive one, plus a
+    one-row summary join-key ('__all'). Both inputs are
+    (query_id, neighbor_id[, ...]) as produced by `ivf_topk` /
+    `cosine_topk`; pass `k` to truncate both sides by their `rank`
+    column first. This is the number that picks nprobe/n_cells before
+    an index serves a 100 TB corpus.
+
+    Returns (query_id, n_exact, n_hit, recall) with one extra row
+    query_id NULL carrying the macro-average.
+
+    Scale: both inputs are query-set-sized (k rows per query) — the
+    comparison is a result-table join, never a corpus operation."""
+    if k is not None:
+        approx = approx.filter(F.col("rank") <= k)
+        exact = exact.filter(F.col("rank") <= k)
+    a = approx.select("query_id", "neighbor_id").withColumn(
+        "__hit", F.lit(1))
+    e = exact.select("query_id", "neighbor_id")
+    per = (e.join(a, ["query_id", "neighbor_id"], "left")
+           .groupBy("query_id")
+           .agg(F.count(F.lit(1)).alias("n_exact"),
+                F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit"))
+           .withColumn("recall", F.col("n_hit") / F.col("n_exact")))
+    summary = per.agg(
+        F.lit(None).cast(per.schema["query_id"].dataType)
+        .alias("query_id"),
+        F.sum("n_exact").alias("n_exact"), F.sum("n_hit").alias("n_hit"),
+        F.avg("recall").alias("recall"))
+    return per.unionByName(summary)

@@ -307,3 +307,26 @@ def test_quantile_buckets_no_corpus_shuffle(spark):
     # the corpus side must carry no hash/range exchange
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_recall_report_golden_and_exhaustive(spark):
+    from pyspark.sql import functions as F
+
+    from juliadb_jl_spark.functions import similarity as SIM
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = SIM.cosine_topk(emb, q, k=5)
+    tagged, cents = SIM.ivf_build(emb, n_cells=8)
+    # nprobe == n_cells scans everything -> recall must be exactly 1.0
+    full = SIM.ivf_topk(tagged, cents, q, k=5, nprobe=8)
+    row = SIM.recall_report(full, exact) \
+        .filter(F.col("query_id").isNull()).collect()[0]
+    assert row["recall"] == 1.0 and row["n_hit"] == row["n_exact"]
+    # pruned probing: per-query recall in [0,1], macro = mean of rows
+    part = SIM.recall_report(SIM.ivf_topk(tagged, cents, q, k=5,
+                                          nprobe=2), exact).collect()
+    per = [r for r in part if r["query_id"] is not None]
+    macro = [r for r in part if r["query_id"] is None][0]
+    assert all(0.0 <= r["recall"] <= 1.0 for r in per)
+    assert abs(macro["recall"]
+               - sum(r["recall"] for r in per) / len(per)) < 1e-12
