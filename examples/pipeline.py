@@ -44,6 +44,10 @@ def main():
         # line-level cleaning first (C4: sentence-shaped lines only) —
         # the synthetic corpus has no punctuation, so keep the raw text
         # when cleaning would empty the doc
+        # strip invisible bytes FIRST (zero-width/control chars defeat
+        # exact dedup keys); keep original casing for the features
+        docs = docs.withColumn("text", TX.normalize_text(
+            F.col("text"), casefold=False))
         cleaned = CU.c4_line_clean(docs)
         cleaned = cleaned.withColumn(
             "text", F.when(F.col("n_kept") > 0, F.col("text_clean"))
