@@ -612,7 +612,10 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     every id present in either snapshot is classified as
     `added` (only in new), `removed` (only in old), `changed` (both,
     content fingerprint differs) or `unchanged` — the audit a versioned
-    dataset release publishes between crawls.
+    dataset release publishes between crawls. Ids are assumed unique
+    within each snapshot (the release invariant `dedup_exact`
+    guarantees); duplicate ids would multiply through the join like
+    any keyed diff.
 
     Returns (id_col, status) with status in
     {added, removed, changed, unchanged}.
