@@ -827,3 +827,55 @@ def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     return old.sparkSession.createDataFrame(
         rows, "column string, status string, old_type string, "
               "new_type string")
+
+
+def attribution_index(train: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 5) -> DataFrame:
+    """The persisted form of `leakage_attribution`'s train side: the
+    (gram, train_id) table of every train document's distinct word
+    n-grams. Build it ONCE per release (one corpus explode), persist
+    it bucketed on the gram via
+    `incremental.save_index_bucketed(kind="attribution")`, and every
+    later audit (`leakage_attribution_against`) costs eval-sized work
+    instead of re-grammifying the corpus — the same index-once /
+    probe-forever shape as the dedup indexes."""
+    from juliadb_jl_spark.functions.dedup import _spread
+    return _spread(train).select(
+        F.explode(F.array_distinct(shingles(F.col(text_col), n)))
+        .alias("gram"),
+        F.col(id_col).alias("train_id"))
+
+
+def leakage_attribution_against(eval_df: DataFrame, index: DataFrame,
+                                id_col: str = "doc_id",
+                                text_col: str = "text", n: int = 5,
+                                df_cap: int = 1000) -> DataFrame:
+    """`leakage_attribution` against a persisted `attribution_index`:
+    the train corpus is NEVER re-grammified — the index is semi-joined
+    to the eval split's distinct gram set, the per-gram train df rides
+    a window on that matched slice (equal to the full train df for
+    those grams), and the hot-gram `df_cap` guard applies as in the
+    one-shot form. With the index persisted bucketed on the gram, the
+    index side crosses NO exchange (plan-asserted); everything else is
+    eval-sized. `n` must match the index's build-time n."""
+    from pyspark.sql import Window
+
+    from juliadb_jl_spark.functions.dedup import _spread
+    eg = _spread(eval_df).select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n)))
+        .alias("gram"))
+    egs = eg.select("gram").distinct()
+    tgm = index.join(egs, "gram", "left_semi")
+    tgk = (tgm.withColumn("__df",
+                          F.count(F.lit(1))
+                          .over(Window.partitionBy("gram")))
+           .filter(F.col("__df") <= df_cap).drop("__df"))
+    pairs = (eg.join(tgk, "gram")
+             .groupBy("eval_id", "train_id")
+             .agg(F.count(F.lit(1)).alias("shared_grams")))
+    best = F.max(F.struct(F.col("shared_grams"),
+                          (-F.col("train_id")).alias("__nti"))).alias("__b")
+    return (pairs.groupBy("eval_id").agg(best)
+            .select("eval_id", (-F.col("__b.__nti")).alias("train_id"),
+                    F.col("__b.shared_grams").alias("shared_grams")))

@@ -109,6 +109,7 @@ _INDEX_BUCKET_KEYS = {
     "embedding": ["bucket"],  # hyperplane-LSH bucket
     "substring": ["fp"],      # duplicate_spans_against semi-join key
     "novelty": ["gram"],      # novelty_against join key
+    "attribution": ["gram"],  # leakage_attribution_against join key
 }
 
 

@@ -840,3 +840,51 @@ def test_fuzzy_link_custom_block_expr(spark):
         max_distance=2).collect()
     assert [(r["id_a"], r["id_b"], r["distance"]) for r in got] == \
         [(0, 1, 1)]
+
+
+def test_leakage_attribution_against_equals_oneshot(spark):
+    from juliadb_jl_spark.functions.curation import (
+        attribution_index, leakage_attribution,
+        leakage_attribution_against)
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = d.filter(F.col("doc_id") % 11 == 0)
+    tr = d.filter(F.col("doc_id") % 11 != 0)
+    one = {(r["eval_id"], r["train_id"], r["shared_grams"])
+           for r in leakage_attribution(tr, ev, n=5).collect()}
+    idx = attribution_index(tr, n=5)
+    agn = {(r["eval_id"], r["train_id"], r["shared_grams"])
+           for r in leakage_attribution_against(ev, idx, n=5).collect()}
+    assert one == agn and len(one) > 0
+
+
+def test_attribution_bucketed_index_no_exchange(spark, tmp_path):
+    """With the index persisted bucketed on the gram, the audit plan
+    must carry NO exchange on the index lineage — only the eval side
+    shuffles."""
+    from juliadb_jl_spark.functions.curation import (
+        attribution_index, leakage_attribution_against)
+    from juliadb_jl_spark.functions.incremental import (load_index,
+                                                        save_index_bucketed)
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tr = d.filter(F.col("doc_id") % 11 != 0)
+    ev = d.filter(F.col("doc_id") % 11 == 0)
+    name = "attr_idx_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    save_index_bucketed(attribution_index(tr, n=5), name,
+                        kind="attribution", buckets=8)
+    idx = load_index(name, spark)
+    out = leakage_attribution_against(ev, idx, n=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # index scan feeds the window through zero Exchange nodes: walk the
+    # plan text — every hash exchange must be on gram-of-eval lineage
+    # (the distinct + final joins), and the count of exchanges must not
+    # exceed what the eval side needs
+    import re
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # unbucketed baseline for comparison
+    idx2 = attribution_index(tr, n=5)
+    plan2 = leakage_attribution_against(ev, idx2, n=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    n_ex2 = len(re.findall(r"Exchange hashpartitioning", plan2))
+    assert n_ex < n_ex2  # bucketing removed the index-side exchange
