@@ -879,3 +879,49 @@ def leakage_attribution_against(eval_df: DataFrame, index: DataFrame,
     return (pairs.groupBy("eval_id").agg(best)
             .select("eval_id", (-F.col("__b.__nti")).alias("train_id"),
                     F.col("__b.shared_grams").alias("shared_grams")))
+
+
+def write_release_manifest(df: DataFrame, path: str,
+                           prev: DataFrame | None = None,
+                           stages: list[tuple[str, Column]] | None = None,
+                           breakdown_key: str | None = None,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> None:
+    """Persist the release artifact a dataset version ships alongside
+    its data: the one-row data card (`corpus_report`), optionally the
+    per-key mixture table (`corpus_breakdown`), the filter-cascade
+    funnel (`curation_funnel`), and the changelog vs the previous
+    release (`corpus_diff_report` + `schema_diff`) — each as a parquet
+    table under `path/<name>`. Mirrors the engine's other artifact
+    conventions (centroids_save, model_save, bpe_save).
+
+    Scale: every component is corpus-pass-or-cheaper with
+    stage-rows/group-count-sized outputs; writing them is the cost of
+    the audits a release publishes anyway."""
+    def w(out: DataFrame, name: str) -> None:
+        out.coalesce(1).write.mode("overwrite") \
+            .parquet(f"{path}/{name}")
+
+    w(corpus_report(df, id_col=id_col, text_col=text_col), "report")
+    if breakdown_key is not None:
+        w(corpus_breakdown(df, breakdown_key, id_col=id_col,
+                           text_col=text_col), "breakdown")
+    if stages:
+        w(curation_funnel(df, stages), "funnel")
+    if prev is not None:
+        w(corpus_diff_report(prev, df, id_col=id_col,
+                             text_col=text_col), "changelog")
+        w(schema_diff(prev, df), "schema_changes")
+
+
+def read_release_manifest(spark, path: str) -> dict[str, DataFrame]:
+    """Reopen a `write_release_manifest` artifact as {name: DataFrame}
+    for whichever components were written."""
+    import os as _os
+    out = {}
+    for name in ("report", "breakdown", "funnel", "changelog",
+                 "schema_changes"):
+        p = f"{path}/{name}"
+        if _os.path.isdir(p):
+            out[name] = spark.read.parquet(p)
+    return out

@@ -888,3 +888,32 @@ def test_attribution_bucketed_index_no_exchange(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     n_ex2 = len(re.findall(r"Exchange hashpartitioning", plan2))
     assert n_ex < n_ex2  # bucketing removed the index-side exchange
+
+
+def test_release_manifest_roundtrip(spark, tmp_path):
+    from juliadb_jl_spark.functions.curation import (read_release_manifest,
+                                                     write_release_manifest)
+    prev = spark.createDataFrame(
+        [(0, "alpha beta", "web"), (1, "gamma delta", "web")],
+        ["doc_id", "text", "source"])
+    cur = spark.createDataFrame(
+        [(1, "gamma delta", "web"), (2, "epsilon zeta", "books")],
+        ["doc_id", "text", "source"])
+    stages = [("nonempty", F.length("text") > 0)]
+    path = str(tmp_path / "release")
+    write_release_manifest(cur, path, prev=prev, stages=stages,
+                           breakdown_key="source")
+    m = read_release_manifest(spark, path)
+    assert set(m) == {"report", "breakdown", "funnel", "changelog",
+                      "schema_changes"}
+    assert m["report"].collect()[0]["n_docs"] == 2
+    ch = m["changelog"].collect()[0]
+    assert (ch["n_added"], ch["n_removed"], ch["n_unchanged"]) == (1, 1, 1)
+    assert {r["stage"] for r in m["funnel"].collect()} == \
+        {"ingest", "nonempty"}
+    assert abs(sum(r["doc_share"]
+                   for r in m["breakdown"].collect()) - 1.0) < 1e-12
+    # prev omitted -> changelog/schema_changes absent, others present
+    write_release_manifest(cur, str(tmp_path / "r2"), stages=stages)
+    assert set(read_release_manifest(spark, str(tmp_path / "r2"))) == \
+        {"report", "funnel"}
