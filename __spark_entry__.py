@@ -3861,6 +3861,76 @@ def qad(spark, sf_dir):
         .withColumn("distance", F.col("distance").cast("long"))
 
 
+@_q("qag_dormant_customers", """
+WITH pool AS (SELECT c_custkey, c_nationkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+              FROM customer WHERE c_nationkey IN (1, 3, 5, 7)),
+avg_bal AS (SELECT avg(CAST(bal_c AS DOUBLE)) AS a FROM pool
+            WHERE bal_c > 0)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+FROM pool, avg_bal
+WHERE CAST(bal_c AS DOUBLE) > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = pool.c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+""")
+def qag(spark, sf_dir):
+    """TPC-H Q22-shaped dormant high-balance customers: the scalar AVG
+    subquery becomes a broadcast one-row aggregate cross-joined onto a
+    pure filter, and NOT EXISTS becomes a LEFT ANTI join against the
+    distinct order-customer set (custkey-sized, not orders-sized, on
+    the shuffle). Balances integer-cents; the average compared as the
+    exact double both engines derive from the same integers."""
+    c = (read_table(spark, sf_dir, "customer")
+         .filter(F.col("c_nationkey").isin(1, 3, 5, 7))
+         .select("c_custkey", "c_nationkey",
+                 _cents(F.col("c_acctbal")).alias("bal_c")))
+    avg_bal = c.filter(F.col("bal_c") > 0).agg(
+        F.avg(F.col("bal_c").cast("double")).alias("__a"))
+    o = (read_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey").distinct())
+    return (c.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("bal_c").cast("double") > F.col("__a"))
+            .join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.sum("bal_c").alias("totacctbal_c")))
+
+
+@_q("qah_order_count_distribution", """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+""")
+def qah(spark, sf_dir):
+    """TPC-H Q13-shaped order-count distribution: orders per customer
+    INCLUDING zero-order customers (the left join no inner form can
+    express), then the distribution of those counts. Two groupBys:
+    the first is custkey-partitioned off the join, the second is
+    count-valued (tiny). The priority exclusion rides the JOIN
+    CONDITION, not a post-filter — dropped rows must still yield the
+    customer with count 0."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (read_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") != "1-URGENT")
+         .select("o_custkey", "o_orderkey"))
+    per = (c.join(o, c.c_custkey == o.o_custkey, "left")
+           .groupBy("c_custkey")
+           .agg(F.count("o_orderkey").alias("c_count")))
+    return (per.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .select(F.col("c_count").cast("long").alias("c_count"),
+                    "custdist"))
+
+
 @_q("qaf_nation_volume", """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,
