@@ -3861,6 +3861,35 @@ def qad(spark, sf_dir):
         .withColumn("distance", F.col("distance").cast("long"))
 
 
+_PROFILE_COLS = [("event_id", "bigint"), ("user_id", "bigint"),
+                 ("event_type", "string"), ("props", "string")]
+_PROFILE_SQL = "\nUNION ALL ".join(f"""
+SELECT '{c}' AS column, '{t}' AS dtype,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*) AS null_frac,
+  CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  CAST(min({c}) AS VARCHAR) AS min_value,
+  CAST(max({c}) AS VARCHAR) AS max_value
+FROM events""" for c, t in _PROFILE_COLS)
+
+
+@_q("qai_profile_table", _PROFILE_SQL)
+def qai(spark, sf_dir):
+    """Per-column data-quality profile (stats.profile_table): row/null
+    counts, exact distinct counts, min/max — the ingest-QA table. All
+    null/min/max stats ride ONE aggregation pass; multiple exact
+    distincts plan via Spark's Expand (approx_count_distinct is the
+    documented no-Expand 100-TB swap). Profiled on the
+    string/integer columns whose min/max string casts are
+    engine-portable (timestamp/double renderings differ by engine —
+    the op itself profiles every type; the unit test covers them)."""
+    from juliadb_jl_spark.functions.stats import profile_table
+    e = read_table(spark, sf_dir, "events")
+    return profile_table(e, [c for c, _ in _PROFILE_COLS])
+
+
 @_q("qag_dormant_customers", """
 WITH pool AS (SELECT c_custkey, c_nationkey,
                      CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c

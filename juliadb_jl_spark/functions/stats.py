@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -302,3 +302,64 @@ def lookup(name: str) -> Stat:
     if cls is None:
         raise KeyError(f"unknown reducer {name!r}; known: {sorted(_BY_NAME)}")
     return cls()
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None,
+                  exact_distinct: bool = True) -> DataFrame:
+    """Per-column data-quality profile — the table every ingest QA
+    publishes: row count, null count/fraction, distinct count, and
+    min/max (as strings, so heterogeneous columns share one schema).
+
+    Returns one row per profiled column:
+    (column, dtype, n_rows, n_null, null_frac, n_distinct,
+    min_value, max_value). Non-orderable types (maps/structs) report
+    NULL min/max.
+
+    Scale (100 TB): nulls and min/max for EVERY column ride one
+    aggregation pass. `exact_distinct=True` adds exact
+    count(DISTINCT) per column — Spark plans multiple distincts via
+    an Expand (one input-row replica per distinct column); at scale
+    set it False for `approx_count_distinct` (±2.3% HLL), which keeps
+    the single no-Expand pass."""
+    from pyspark.sql.types import (AtomicType, BooleanType, DateType,
+                                   NumericType, StringType,
+                                   TimestampType)
+    cols = columns or df.columns
+    fields = {f.name: f for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    orderable = {}
+    for i, c in enumerate(cols):
+        f = fields[c]
+        aggs.append(F.sum(F.col(c).isNull().cast("long"))
+                    .alias(f"__null{i}"))
+        if exact_distinct:
+            aggs.append(F.countDistinct(F.col(c)).alias(f"__d{i}"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c))
+                        .alias(f"__d{i}"))
+        orderable[c] = isinstance(
+            f.dataType, (NumericType, StringType, TimestampType,
+                         DateType, BooleanType, AtomicType))
+        if orderable[c]:
+            aggs.append(F.min(F.col(c)).cast("string")
+                        .alias(f"__min{i}"))
+            aggs.append(F.max(F.col(c)).cast("string")
+                        .alias(f"__max{i}"))
+    row = df.agg(*aggs)
+    structs = []
+    for i, c in enumerate(cols):
+        null_s = F.lit(None).cast("string")
+        structs.append(F.struct(
+            F.lit(c).alias("column"),
+            F.lit(fields[c].dataType.simpleString()).alias("dtype"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__null{i}").alias("n_null"),
+            F.when(F.col("__n") > 0,
+                   F.col(f"__null{i}") / F.col("__n"))
+            .otherwise(F.lit(0.0)).alias("null_frac"),
+            F.col(f"__d{i}").alias("n_distinct"),
+            (F.col(f"__min{i}") if orderable[c] else null_s)
+            .alias("min_value"),
+            (F.col(f"__max{i}") if orderable[c] else null_s)
+            .alias("max_value")))
+    return row.select(F.inline(F.array(*structs)))

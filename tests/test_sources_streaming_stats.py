@@ -450,3 +450,25 @@ def test_compact_table_merges_small_files(spark, tmp_path):
     assert back.pkey == ("id",)  # manifest survived the swap
     assert back.df.count() == 120
     assert back.df.agg(F.sum("id")).head()[0] == sum(range(120))
+
+
+def test_profile_table_all_types_and_nulls(spark):
+    from juliadb_jl_spark.functions.stats import profile_table
+    df = spark.createDataFrame(
+        [(1, 1.5, "a", [1, 2]), (2, None, "b", [3]),
+         (3, 2.5, None, None), (4, 2.5, "b", [])],
+        "i long, d double, s string, arr array<int>")
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert out["i"]["n_rows"] == 4 and out["i"]["n_null"] == 0
+    assert out["i"]["n_distinct"] == 4
+    assert (out["i"]["min_value"], out["i"]["max_value"]) == ("1", "4")
+    assert out["d"]["n_null"] == 1 and out["d"]["null_frac"] == 0.25
+    assert out["d"]["n_distinct"] == 2  # 1.5, 2.5 (null not counted)
+    assert out["s"]["min_value"] == "a" and out["s"]["max_value"] == "b"
+    # arrays: profiled for nulls/distinct, min/max stay NULL
+    assert out["arr"]["n_null"] == 1
+    assert out["arr"]["min_value"] is None
+    # approx mode returns the same shape with close counts
+    ap = {r["column"]: r for r in
+          profile_table(df, exact_distinct=False).collect()}
+    assert abs(ap["i"]["n_distinct"] - 4) <= 1
