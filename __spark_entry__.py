@@ -3861,6 +3861,69 @@ def qad(spark, sf_dir):
         .withColumn("distance", F.col("distance").cast("long"))
 
 
+@_q("qaj_priority_check", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""")
+def qaj(spark, sf_dir):
+    """TPC-H Q4-shaped order-priority check: orders in a window with
+    at least one late line item (shipped >60 days after order — the
+    testdata's lateness proxy, as in q9y). EXISTS becomes a LEFT SEMI
+    join: the date filter prunes orders BEFORE the join, the lateness
+    predicate rides the join condition, and semi-join semantics
+    deduplicate multi-late-line orders without a distinct."""
+    o = (read_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= "1996-01-01")
+                 & (F.col("o_orderdate") < "1997-01-01"))
+         .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    li = read_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_shipdate")
+    late = (o.join(li, (o.o_orderkey == li.l_orderkey)
+                   & (li.l_shipdate > F.col("o_orderdate")
+                      + F.expr("INTERVAL 60 DAYS")), "left_semi"))
+    return late.groupBy("o_orderpriority") \
+        .agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@_q("qak_shipmode_priority", """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag IN ('A', 'R')
+GROUP BY l_returnflag
+""")
+def qak(spark, sf_dir):
+    """TPC-H Q12-shaped priority split (testdata has no shipmode; the
+    returnflag plays its two-class role): per class, how many shipped
+    lines belong to high- vs low-priority orders. The ship-date and
+    class filters reach the lineitem scan (PushedFilters); one
+    orderkey join; the CASE split is two conditional sums in a single
+    map-side-combined aggregation."""
+    li = (read_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1997-01-01")
+                  & F.col("l_returnflag").isin("A", "R"))
+          .select("l_orderkey", "l_returnflag"))
+    o = read_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.sum(hi.cast("long")).alias("high_line_count"),
+                 F.sum((~hi).cast("long")).alias("low_line_count")))
+
+
 _PROFILE_COLS = [("event_id", "bigint"), ("user_id", "bigint"),
                  ("event_type", "string"), ("props", "string")]
 _PROFILE_SQL = "\nUNION ALL ".join(f"""
