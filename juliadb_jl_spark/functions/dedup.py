@@ -1277,3 +1277,41 @@ def dedup_fuzzy_records(df: DataFrame, id_col: str, col: str,
                              max_distance=max_distance)
     return dedup_by_clusters(df, pairs, id_col,
                              score_col=score_col, keep=keep)
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str,
+                        text_col: str = "text", k: int = 50,
+                        w: int = 4) -> DataFrame:
+    """Winnowed window fingerprints (the MOSS document-fingerprinting
+    selection, Schleimer et al. SIGMOD'03): from every run of `w`
+    consecutive k-token window fingerprints keep only the minimum
+    (ties → leftmost), deduplicated. Expected density 2/(w+1) — a
+    substring index built from winnowed fps is ~2/(w+1) the size of
+    the full `_window_fps` table, and the winnowing GUARANTEE holds:
+    two documents sharing a verbatim run of >= w+k-1 tokens share at
+    least one SELECTED fingerprint, because some length-w fp window
+    lies entirely inside the shared run and both sides select its
+    minimum. Use it when the full window index is too large and
+    span-boundary exactness can be re-derived after detection
+    (detection-then-verify); the exact-span ops keep the full table.
+
+    Returns (id, pos, fp) — the selected subset of the window table.
+
+    Scale: the selection is a sliding min (`min(struct(fp,pos))` over
+    an id-partitioned, pos-ordered w-row frame) + distinct — ONE
+    id-keyed shuffle over the window table, all JVM-native."""
+    if w < 1:
+        raise ValueError(f"need w >= 1 (got {w})")
+    from pyspark.sql import Window
+    fps = _window_fps(df, id_col, text_col, k)
+    frame = (Window.partitionBy("id").orderBy("pos")
+             .rowsBetween(0, w - 1))
+    sel = (fps.withColumn("__m", F.min(F.struct("fp", "pos")).over(frame))
+           # only rows that START a full w-window emit a selection —
+           # pos runs 1..n_wins, so starts are pos <= n_wins - w + 1
+           .withColumn("__nw", F.max("pos").over(Window.partitionBy("id")))
+           .filter(F.col("pos") <= F.col("__nw") - (w - 1))
+           .select("id", F.col("__m.pos").alias("pos"),
+                   F.col("__m.fp").alias("fp"))
+           .distinct())
+    return sel

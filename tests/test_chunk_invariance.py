@@ -143,3 +143,60 @@ def test_incremental_against_chunk_invariant(tables):
             base_kept, base_cand = kept, cand
         else:
             assert kept == base_kept and cand == base_cand
+
+
+# ---------------------------------------------------------------------------
+# Winnowed fingerprints (MOSS selection)
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Two docs sharing a >= w+k-1 token verbatim run must share a
+    selected fingerprint; the winnowed set must be a subset of the
+    full window table at roughly 2/(w+1) density."""
+    import random
+
+    from juliadb_jl_spark.functions.dedup import (_window_fps,
+                                                  winnow_fingerprints)
+    rng = random.Random(7)
+    k, w = 5, 4
+    shared = " ".join(f"s{i}" for i in range(k + w - 1))  # exactly w+k-1
+    docs = []
+    for d in range(6):
+        pre = " ".join(f"a{d}_{i}" for i in range(rng.randint(0, 30)))
+        post = " ".join(f"b{d}_{i}" for i in range(rng.randint(0, 30)))
+        docs.append((d, f"{pre} {shared} {post}".strip()))
+    docs.append((99, " ".join(f"u{i}" for i in range(60))))  # no overlap
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sel = winnow_fingerprints(df, "doc_id", k=k, w=w)
+    rows = sel.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], set()).add(r["fp"])
+    # guarantee: every pair of sharing docs intersects on >= 1 fp
+    for a in range(6):
+        for b in range(a + 1, 6):
+            assert by_doc[a] & by_doc[b], (a, b)
+    # the unrelated doc shares nothing with doc 0
+    assert not (by_doc[99] & by_doc[0])
+    # subset of the full table, and materially smaller on the long doc
+    full = _window_fps(df.filter(F.col("doc_id") == 99),
+                       "doc_id", "text", k).collect()
+    full_set = {(r["id"], r["pos"], r["fp"]) for r in full}
+    sel99 = {(r["id"], r["pos"], r["fp"]) for r in rows if r["id"] == 99}
+    assert sel99 <= full_set
+    assert len(sel99) < len(full_set)
+    # expected density 2/(w+1) = 0.4 — allow generous slack
+    assert len(sel99) <= 0.7 * len(full_set)
+
+
+def test_winnow_partition_invariant(spark):
+    from juliadb_jl_spark.functions.dedup import winnow_fingerprints
+    docs = [(i, " ".join(f"t{i}_{j}" for j in range(40)))
+            for i in range(8)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    a = set(map(tuple, winnow_fingerprints(df, "doc_id", k=5, w=3)
+                .collect()))
+    b = set(map(tuple, winnow_fingerprints(df.repartition(5), "doc_id",
+                                           k=5, w=3).collect()))
+    assert a == b and len(a) > 0
