@@ -3861,6 +3861,43 @@ def qad(spark, sf_dir):
         .withColumn("distance", F.col("distance").cast("long"))
 
 
+@_q("qal_winnow_pairs", r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents),
+fps AS (SELECT doc_id, w.pos AS pos, w.fp AS fp FROM (
+          SELECT doc_id, unnest(CASE WHEN len(t) >= 20 THEN
+            [{'pos': i, 'fp': md5(array_to_string(t[i:i+19], ' '))}
+             FOR i IN range(1, len(t) - 18)] ELSE [] END) AS w
+          FROM toks)),
+sel AS (SELECT DISTINCT doc_id, m.fp AS fp FROM (
+          SELECT doc_id, pos, max(pos) OVER (PARTITION BY doc_id) AS nw,
+                 min({'fp': fp, 'pos': pos}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+          FROM fps) WHERE pos <= nw - 3)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(DISTINCT a.fp) AS BIGINT) AS shared_fps
+FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""")
+def qal(spark, sf_dir):
+    """Winnowed-fingerprint duplicate detection
+    (dedup.winnow_fingerprints): doc pairs sharing selected
+    fingerprints of 20-token windows at w=4 — the MOSS shape where
+    the index is ~2/(w+1) of the full window table and any shared
+    verbatim run of >= 23 tokens is guaranteed caught. Selection is a
+    JVM-native sliding min-struct (one id-keyed shuffle); pairing is
+    an fp-key equi-join over the REDUCED set."""
+    d = read_table(spark, sf_dir, "documents")
+    sel = DD.winnow_fingerprints(d, "doc_id", k=20, w=4) \
+        .select("id", "fp").distinct()
+    a = sel.select(F.col("id").alias("id_a"), "fp")
+    b = sel.select(F.col("id").alias("id_b"), "fp")
+    return (a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.countDistinct("fp").alias("shared_fps")))
+
+
 @_q("qaj_priority_check", """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
 FROM orders
