@@ -1005,10 +1005,9 @@ def test_frequent_phrases_prune_is_result_neutral(spark):
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     pruned = {(r["phrase"], r["freq"]) for r in
               frequent_phrases(d, n=3, min_count=4).collect()}
-    # max_frequent=0 forces the unpruned fallback path
     brute = {(r["phrase"], r["freq"]) for r in
              frequent_phrases(d, n=3, min_count=4,
-                              max_frequent=0).collect()}
+                              prune=False).collect()}
     assert pruned == brute and len(pruned) > 0
 
 
