@@ -1088,3 +1088,14 @@ def test_normalize_text_golden(spark):
     keep = df.select("id", normalize_text(
         F.col("t"), casefold=False).alias("n")).collect()
     assert {r["id"]: r["n"] for r in keep}[2] == "MiXeD Case"
+
+
+def test_frequent_phrases_partition_invariant(spark):
+    from juliadb_jl_spark.functions.text import frequent_phrases
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {(r["phrase"], r["freq"]) for r in
+         frequent_phrases(d, n=2, min_count=6).collect()}
+    b = {(r["phrase"], r["freq"]) for r in
+         frequent_phrases(d.repartition(7), n=2,
+                          min_count=6).collect()}
+    assert a == b and len(a) > 0
