@@ -3010,15 +3010,17 @@ rk AS (SELECT doc_id, pos, para,
                                  ORDER BY doc_id, pos) AS rn
        FROM p),
 agg AS (SELECT doc_id, count(*) AS n_paras,
-               sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
-               md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
-                                       chr(10) || chr(10) ORDER BY pos),
-                            '')) AS text_md5
-        FROM rk GROUP BY doc_id)
+               sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+        FROM rk GROUP BY doc_id),
+txt AS (SELECT doc_id,
+               md5(string_agg(para, chr(10) || chr(10)
+                              ORDER BY pos)) AS text_md5
+        FROM rk WHERE rn = 1 GROUP BY doc_id)
 SELECT d.doc_id, coalesce(agg.n_paras, 0) AS n_paras,
        coalesce(agg.n_kept, 0) AS n_kept,
-       coalesce(agg.text_md5, md5('')) AS text_md5
+       coalesce(txt.text_md5, md5('')) AS text_md5
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+                 LEFT JOIN txt ON d.doc_id = txt.doc_id
 """)
 def q9j(spark, sf_dir):
     """Global exact paragraph dedup with document reconstruction
@@ -3042,15 +3044,17 @@ fl AS (SELECT p.doc_id, p.pos, p.para,
               (bp.para IS NOT NULL) AS is_bp
        FROM p LEFT JOIN bp ON p.para = bp.para),
 agg AS (SELECT doc_id, count(*) AS n_paras,
-               sum(CASE WHEN NOT is_bp THEN 1 ELSE 0 END) AS n_kept,
-               md5(coalesce(string_agg(CASE WHEN NOT is_bp THEN para END,
-                                       chr(10) || chr(10) ORDER BY pos),
-                            '')) AS text_md5
-        FROM fl GROUP BY doc_id)
+               sum(CASE WHEN NOT is_bp THEN 1 ELSE 0 END) AS n_kept
+        FROM fl GROUP BY doc_id),
+txt AS (SELECT doc_id,
+               md5(string_agg(para, chr(10) || chr(10)
+                              ORDER BY pos)) AS text_md5
+        FROM fl WHERE NOT is_bp GROUP BY doc_id)
 SELECT d.doc_id, coalesce(agg.n_paras, 0) AS n_paras,
        coalesce(agg.n_kept, 0) AS n_kept,
-       coalesce(agg.text_md5, md5('')) AS text_md5
+       coalesce(txt.text_md5, md5('')) AS text_md5
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+                 LEFT JOIN txt ON d.doc_id = txt.doc_id
 """)
 def q9k(spark, sf_dir):
     """Boilerplate-paragraph removal (curation.drop_boilerplate):
@@ -3245,15 +3249,16 @@ rk AS (SELECT doc_id, pos, para,
                                  ORDER BY doc_id, pos) AS rn
        FROM p),
 agg AS (SELECT doc_id, count(*) AS n_paras,
-               sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
-               md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
-                                       chr(10) ORDER BY pos),
-                            '')) AS text_md5
-        FROM rk GROUP BY doc_id)
+               sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+        FROM rk GROUP BY doc_id),
+txt AS (SELECT doc_id,
+               md5(string_agg(para, chr(10) ORDER BY pos)) AS text_md5
+        FROM rk WHERE rn = 1 GROUP BY doc_id)
 SELECT d.doc_id, coalesce(agg.n_paras, 0) AS n_paras,
        coalesce(agg.n_kept, 0) AS n_kept,
-       coalesce(agg.text_md5, md5('')) AS text_md5
+       coalesce(txt.text_md5, md5('')) AS text_md5
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+                 LEFT JOIN txt ON d.doc_id = txt.doc_id
 """)
 def q9r(spark, sf_dir):
     """LINE-granularity global dedup (C4's dedup unit: exact duplicate
@@ -4212,19 +4217,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver may record CORRECTNESS rows only for the first ~50
-    # entries, so order by driver-verification recency (VERDICT r4 #6):
-    # q9g–q9w are new this round (never driver-verified) and lead; then
-    # q11–q52 + q91–q98, whose newest driver rows are from r3 code;
-    # then the round-4-verified incremental family q9b–q9f; then
-    # q01–q10 + q99/q9a; q53–q90 (fresh r4 driver rows) go last.
+    # entries, so order by driver-verification recency (VERDICT r5 #1/#5):
+    # the three r5 hash-fails lead (oracle hardened in r6 — the ordered
+    # string_agg no longer sees CASE-NULLs); then the r3-stale block
+    # q19–q52 + q91–q98; then r2/r3-era q01–q10 + q99/q9a; then the
+    # r4-verified q53–q90 + q9b–q9f; the fresh r5 rows go last.
     def _prio(k: str) -> int:
-        if "q9g" <= k:
+        if k[:3] in ("q9j", "q9k", "q9r"):
             return 0
-        if ("q11" <= k < "q53") or ("q91" <= k < "q99"):
+        if ("q19" <= k < "q53") or ("q91" <= k < "q99"):
             return 1
-        if "q9b" <= k < "q9g":
-            return 2
         if k < "q11" or ("q99" <= k < "q9b"):
+            return 2
+        if ("q53" <= k < "q91") or ("q9b" <= k < "q9g"):
             return 3
         return 4
 

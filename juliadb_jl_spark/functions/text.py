@@ -446,6 +446,10 @@ def frequent_phrases(df: DataFrame, n: int = 3, min_count: int = 10,
     toks = tokens(F.col(text_col))
     if lowercase:
         toks = F.transform(toks, lambda w: F.lower(w))
+    # tokens() trims only spaces, so leading tabs/newlines can split to
+    # an empty first token; word_freqs drops those (length > 0), so the
+    # grams must too or the Apriori prune stops being result-neutral.
+    toks = F.filter(toks, lambda w: F.length(w) > 0)
     nn = F.size(toks)
     idx = F.sequence(F.lit(1), nn - (n - 1))
     grams = F.when(nn >= n, F.transform(
@@ -466,6 +470,36 @@ def frequent_phrases(df: DataFrame, n: int = 3, min_count: int = 10,
     if k is not None:
         out = out.orderBy(F.desc("freq"), F.asc("phrase")).limit(k)
     return out
+
+
+def decode_tokens(df: DataFrame, id_col: str, vocab: DataFrame,
+                  ids_col: str = "token_ids", unk: str = "<unk>",
+                  out_col: str = "text_decoded") -> DataFrame:
+    """Inverse of `encode_tokens`: token-id arrays back to text (the
+    shard-debugging / sample-inspection step every training pipeline
+    needs). Ids not in the vocabulary render as `unk`; the round trip
+    decode(encode(t)) equals lowercase whitespace-normalized t for
+    OOV-free documents (property-tested).
+
+    Scale: same shape as encode — posexplode once, broadcast-join the
+    vocabulary on the id, re-assemble per doc with one groupBy (order
+    restored by sorting (pos, word) structs inside each row)."""
+    pairs = df.select(F.col(id_col),
+                      F.posexplode_outer(F.col(ids_col))
+                      .alias("__pos", "__tid"))
+    v = vocab.select(F.col("token_id").alias("__tid"),
+                     F.col("word").alias("__w"))
+    dec = (pairs.join(F.broadcast(v), "__tid", "left")
+           .withColumn("__w", F.when(F.col("__tid").isNotNull(),
+                                     F.coalesce("__w", F.lit(unk)))))
+    entry = F.when(F.col("__pos").isNotNull(),
+                   F.struct("__pos", "__w"))  # empty doc → no entries
+    return (dec.groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(entry)).alias("__s"))
+            .select(id_col,
+                    F.array_join(
+                        F.transform("__s", lambda s: s["__w"]), " ")
+                    .alias(out_col)))
 
 
 def normalize_text(col: Column, casefold: bool = True,
