@@ -798,11 +798,14 @@ def leakage_attribution(train: DataFrame, eval_df: DataFrame,
     pairs = (eg.join(tgk, "__g")
              .groupBy("eval_id", "train_id")
              .agg(F.count(F.lit(1)).alias("shared_grams")))
-    best = F.max(F.struct(F.col("shared_grams"),
-                          (-F.col("train_id")).alias("__nti"))).alias("__b")
+    # Tie-break on min train_id WITHOUT negating the id: negation casts
+    # string ids (URLs, hashes) to double -> NULL. Negate the count
+    # (always numeric) instead and take the struct MIN.
+    best = F.min(F.struct((-F.col("shared_grams")).alias("__ng"),
+                          F.col("train_id"))).alias("__b")
     return (pairs.groupBy("eval_id").agg(best)
-            .select("eval_id", (-F.col("__b.__nti")).alias("train_id"),
-                    F.col("__b.shared_grams").alias("shared_grams")))
+            .select("eval_id", F.col("__b.train_id").alias("train_id"),
+                    (-F.col("__b.__ng")).alias("shared_grams")))
 
 
 def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
@@ -874,11 +877,14 @@ def leakage_attribution_against(eval_df: DataFrame, index: DataFrame,
     pairs = (eg.join(tgk, "gram")
              .groupBy("eval_id", "train_id")
              .agg(F.count(F.lit(1)).alias("shared_grams")))
-    best = F.max(F.struct(F.col("shared_grams"),
-                          (-F.col("train_id")).alias("__nti"))).alias("__b")
+    # Tie-break on min train_id WITHOUT negating the id: negation casts
+    # string ids (URLs, hashes) to double -> NULL. Negate the count
+    # (always numeric) instead and take the struct MIN.
+    best = F.min(F.struct((-F.col("shared_grams")).alias("__ng"),
+                          F.col("train_id"))).alias("__b")
     return (pairs.groupBy("eval_id").agg(best)
-            .select("eval_id", (-F.col("__b.__nti")).alias("train_id"),
-                    F.col("__b.shared_grams").alias("shared_grams")))
+            .select("eval_id", F.col("__b.train_id").alias("train_id"),
+                    (-F.col("__b.__ng")).alias("shared_grams")))
 
 
 def write_release_manifest(df: DataFrame, path: str,

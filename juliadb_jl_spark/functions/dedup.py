@@ -51,7 +51,11 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text",
             raise ValueError(f"keep must be 'max' or 'min' (got {keep!r})")
         s = F.col(score_col)
         ordered = (-s) if keep == "max" else s
-        keep_id = F.min(F.struct(ordered.alias("s"),
+        # NULL scores must LOSE: struct min sorts NULL fields first, so
+        # a leading is-null flag (false < true) demotes them without
+        # coercing integer scores to double (exactness preserved).
+        keep_id = F.min(F.struct(s.isNull().alias("n"),
+                                 ordered.alias("s"),
                                  F.col(id_col).alias("i")))["i"]
     kept = (df.select(F.col(id_col), *([score_col] if score_col else []),
                       key.alias("__k"))
@@ -1175,7 +1179,10 @@ def dedup_by_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
         scores = df.select(F.col(id_col).alias("node"), s)
         reps = (comp.join(scores, "node")
                 .groupBy("component")
-                .agg(F.min(F.struct(ordered.alias("s"),
+                # leading is-null flag: NULL scores lose the election
+                # (struct min would otherwise sort their NULL first)
+                .agg(F.min(F.struct(s.isNull().alias("n"),
+                                    ordered.alias("s"),
                                     F.col("node").alias("i")))["i"]
                      .alias("__rep")))
         losers = (comp.join(reps, "component")

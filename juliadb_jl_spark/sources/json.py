@@ -57,12 +57,23 @@ def loadjsonl(files: str | Sequence[str], spark: SparkSession | None = None,
         raise ValueError("drop_corrupt and corrupt_col are exclusive: "
                          "dropped lines cannot also be kept")
     reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    elif corrupt_col:
-        # PERMISSIVE + corrupt column requires the column in the schema;
-        # with inference Spark adds it when the option names it
+    if corrupt_col:
+        # PERMISSIVE + corrupt column requires BOTH the option and (for
+        # explicit schemas) the column in the schema — option-only with
+        # a schema silently captures nothing, and the backfill below
+        # would mask that with an always-NULL column.
         reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    if schema is not None:
+        if corrupt_col:
+            from pyspark.sql.types import (StringType, StructField,
+                                           StructType)
+            st = (schema if isinstance(schema, StructType)
+                  else StructType.fromDDL(schema))
+            if corrupt_col not in st.fieldNames():
+                st = StructType(list(st.fields)
+                                + [StructField(corrupt_col, StringType())])
+            schema = st
+        reader = reader.schema(schema)
     if drop_corrupt:
         reader = reader.option("mode", "DROPMALFORMED")
     elif corrupt_col:

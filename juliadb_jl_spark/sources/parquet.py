@@ -114,10 +114,24 @@ def compact_table(path: str, spark: SparkSession | None = None,
 
     At 100 TB run this per-partition (compact newly-closed time/date
     partitions only) — the op is one linear read+write of the slice it
-    touches, no shuffle anywhere."""
+    touches, no shuffle anywhere.
+
+    The directory swap uses local-filesystem renames (os.rename) — on
+    object stores compact into a NEW versioned prefix and flip a
+    pointer instead. A crash between the two renames is recovered on
+    the next call: if the primary path is missing but the `.old`
+    sibling exists, it is renamed back before compacting."""
     import shutil
 
     spark = spark or SparkSession.getActiveSession()
+    old = path.rstrip("/") + "._compact_old"
+    tmp = path.rstrip("/") + "._compact_tmp"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)  # crash between the two swap renames
+    if os.path.exists(old):
+        shutil.rmtree(old)    # stale: crashed after swap, before cleanup
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)    # stale: crashed mid-write of the new copy
     total = 0
     for root, _dirs, names in os.walk(path):
         for nm in names:
@@ -125,13 +139,12 @@ def compact_table(path: str, spark: SparkSession | None = None,
                 total += os.path.getsize(os.path.join(root, nm))
     n = max(1, -(-total // (target_mb * 1024 * 1024)))
     t = load(path, spark)
-    tmp = path.rstrip("/") + "._compact_tmp"
     save(Table(t.df.coalesce(n), t.pkey, t.presorted)
          if not isinstance(t, NDSparse)
          else NDSparse(t.df.coalesce(n), t.pkey, t.presorted), tmp)
     # atomic-ish swap: the old dir is moved aside before the rename so a
-    # reader never sees a half-written primary path
-    old = path.rstrip("/") + "._compact_old"
+    # reader never sees a half-written primary path; a crash in the gap
+    # is undone by the recovery block above on the next call
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

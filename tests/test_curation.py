@@ -679,6 +679,41 @@ def test_leakage_attribution_tie_breaks_min_train_id(spark):
     assert out[0]["train_id"] == 3 and out[0]["shared_grams"] == 1
 
 
+def test_leakage_attribution_string_ids(spark):
+    # String doc ids (URLs/hashes) must survive the tie-break: the old
+    # -train_id negation cast them to double -> NULL train_id for every
+    # row. Max-overlap election and min-id tie-break both on strings.
+    train = spark.createDataFrame(
+        [("url/b", "a b c d e f g h"),      # 4 shared 5-grams
+         ("url/a", "a b c d e zz"),         # 1 shared
+         ("url/z", "a b c d e zz")],        # 1 shared (tie with url/a)
+        ["doc_id", "text"])
+    ev = spark.createDataFrame(
+        [("e0", "a b c d e f g h"), ("e1", "a b c d e zz")],
+        ["doc_id", "text"])
+    out = {r["eval_id"]: r for r in
+           CU.leakage_attribution(train, ev, n=5).collect()}
+    assert out["e0"]["train_id"] == "url/b"
+    assert out["e0"]["shared_grams"] == 4
+    # e1 shares "a b c d e" with all three and the zz gram with a and z:
+    # max overlap 2, tie between url/a and url/z -> min string id wins
+    assert out["e1"]["train_id"] == "url/a"
+    assert out["e1"]["shared_grams"] == 2
+
+
+def test_leakage_attribution_against_string_ids(spark):
+    from juliadb_jl_spark.functions.curation import (
+        attribution_index, leakage_attribution_against)
+    train = spark.createDataFrame(
+        [("url/b", "a b c d e f g h"), ("url/a", "a b c d e zz")],
+        ["doc_id", "text"])
+    ev = spark.createDataFrame([("e0", "a b c d e f g h")],
+                               ["doc_id", "text"])
+    idx = attribution_index(train, n=5)
+    out = leakage_attribution_against(ev, idx, n=5).collect()
+    assert out[0]["train_id"] == "url/b" and out[0]["shared_grams"] == 4
+
+
 def test_leakage_attribution_df_cap_excludes_hot_grams(spark):
     # A gram present in > df_cap train docs carries no attribution
     # signal and must be excluded from the pair count.

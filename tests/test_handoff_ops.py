@@ -147,6 +147,38 @@ def test_dedup_exact_keep_best(spark):
         DD.dedup_exact(df, "doc_id", score_col="q", keep="longest")
 
 
+def test_dedup_exact_null_scores_lose(spark):
+    """A NULL score must lose the keeper election for BOTH keep modes
+    (struct min sorts NULL fields first — without the is-null guard a
+    NULL-score copy beats every scored one). All-NULL groups fall back
+    to min-id."""
+    df = spark.createDataFrame(
+        [(1, "same text", None), (2, "same text", 5.0),
+         (3, "same text", 2.0),
+         (7, "allnull", None), (8, "allnull", None)],
+        "doc_id long, text string, q double")
+    best = DD.dedup_exact(df, "doc_id", score_col="q", keep="max")
+    assert sorted(r["doc_id"] for r in best.collect()) == [2, 7]
+    worst = DD.dedup_exact(df, "doc_id", score_col="q", keep="min")
+    assert sorted(r["doc_id"] for r in worst.collect()) == [3, 7]
+
+
+def test_dedup_by_clusters_null_scores_lose(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 3.0), (3, 8.0), (4, None), (5, None)],
+        "doc_id long, q double")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)],
+                                  "id_a long, id_b long")
+    out = DD.dedup_by_clusters(df, pairs, "doc_id", score_col="q",
+                               keep="max")
+    # cluster {1,2,3}: NULL on 1 loses, 8.0 on 3 wins; cluster {4,5}
+    # all-NULL -> min id 4
+    assert sorted(r["doc_id"] for r in out.collect()) == [3, 4]
+    low = DD.dedup_by_clusters(df, pairs, "doc_id", score_col="q",
+                               keep="min")
+    assert sorted(r["doc_id"] for r in low.collect()) == [2, 4]
+
+
 def test_dedup_by_clusters_keep_best(spark):
     """Cluster rep election: transitive cluster {1,2,3} keeps its
     max-score member; unpaired rows pass through untouched."""

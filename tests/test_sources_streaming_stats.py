@@ -351,6 +351,28 @@ def test_loadjsonl_corrupt_modes(spark, tmp_path):
         jdb.loadjsonl(p, spark, drop_corrupt=True, corrupt_col="_bad")
 
 
+def test_loadjsonl_explicit_schema_captures_corrupt(spark, tmp_path):
+    # schema= together with corrupt_col= must still capture bad lines:
+    # the option alone is not enough (the corrupt column has to be in
+    # the explicit schema too, or audits see zero corrupt records).
+    import juliadb_jl_spark as jdb
+    p = _write_jsonl(tmp_path / "bad2.jsonl",
+                     ['{"id": 1}', 'NOT JSON {{{', '{"id": 3}'])
+    for schema in ("id long",):          # DDL string form
+        t = jdb.loadjsonl(p, spark, schema=schema, corrupt_col="_bad")
+        rows = t.df.collect()
+        assert len(rows) == 3
+        bad = [r for r in rows if r["_bad"] is not None]
+        assert len(bad) == 1 and bad[0]["_bad"].startswith("NOT JSON")
+    # StructType form, corrupt column pre-declared by the caller
+    from pyspark.sql.types import LongType, StringType, StructField, \
+        StructType
+    st = StructType([StructField("id", LongType()),
+                     StructField("_bad", StringType())])
+    t2 = jdb.loadjsonl(p, spark, schema=st, corrupt_col="_bad")
+    assert sum(r["_bad"] is not None for r in t2.df.collect()) == 1
+
+
 def test_loadjsonl_explicit_schema_and_output(spark, tmp_path):
     import juliadb_jl_spark as jdb
     p = _write_jsonl(tmp_path / "s.jsonl",
@@ -450,6 +472,30 @@ def test_compact_table_merges_small_files(spark, tmp_path):
     assert back.pkey == ("id",)  # manifest survived the swap
     assert back.df.count() == 120
     assert back.df.agg(F.sum("id")).head()[0] == sum(range(120))
+
+
+def test_compact_table_recovers_from_crashed_swap(spark, tmp_path):
+    """Crash between the two swap renames strands the data in
+    ._compact_old with the primary path missing; the next call must
+    rename it back and proceed (and clean stale tmp/old leftovers)."""
+    import shutil
+
+    import juliadb_jl_spark as jdb
+    from juliadb_jl_spark.sources.parquet import compact_table
+    out = str(tmp_path / "crashy")
+    jdb.save(jdb.table(
+        spark.createDataFrame([(i, f"r{i}") for i in range(20)],
+                              ["id", "text"]), pkey="id"), out)
+    # simulate the crash window: primary moved aside, tmp half-written
+    os.rename(out, out + "._compact_old")
+    os.makedirs(out + "._compact_tmp")
+    n = compact_table(out, spark, target_mb=256)
+    assert n >= 1
+    assert not os.path.exists(out + "._compact_old")
+    assert not os.path.exists(out + "._compact_tmp")
+    back = jdb.load(out, spark)
+    assert back.df.count() == 20 and back.pkey == ("id",)
+    shutil.rmtree(out)
 
 
 def test_profile_table_all_types_and_nulls(spark):
