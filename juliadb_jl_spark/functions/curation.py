@@ -729,7 +729,9 @@ def apply_funnel(df: DataFrame,
 
 def split_leakage(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", split_col: str = "split",
-                  train: str = "train", n: int = 5) -> DataFrame:
+                  train: str = "train", n: int = 5,
+                  prune: str | None = "broadcast",
+                  bloom_bits: int = 1 << 26) -> DataFrame:
     """Train→eval leakage report for an already-split corpus: for every
     NON-train document, the fraction of its distinct word n-grams that
     also occur in the train split (the within-release version of
@@ -737,19 +739,63 @@ def split_leakage(df: DataFrame, id_col: str = "doc_id",
 
     Returns (id_col, split_col, n_grams, n_hits, contamination).
 
-    Scale (100 TB): unlike `contamination_report`'s broadcast-benchmark
-    default, the train side here is corpus-sized, so its distinct-gram
-    set CANNOT broadcast — both sides hash-partition on the gram key
-    (one shuffle each) and the hits roll up per eval doc. The eval
-    split is the small factor (typically ≤1%), bounding the join
-    output."""
+    Scale (100 TB): the train side is corpus-sized, but only train
+    grams that ALSO occur in the eval split can ever score a hit — so
+    the train gram stream is pruned against the (much smaller) eval
+    gram set BEFORE any train-side exchange. With ``prune="broadcast"``
+    (default) the eval distinct-gram set broadcasts into a semi-join:
+    the train side crosses ZERO exchange (one scan + broadcast filter),
+    and every remaining shuffle is eval-bounded. When the eval gram set
+    itself exceeds broadcast limits, ``prune="bloom"`` compresses it to
+    a `bloom_bits`-bit bitmap (8 MiB at the default 2^26) — Bloom false
+    positives only admit extra REAL train grams that then match no eval
+    gram, so the result is identical. ``prune=None`` is the old shape
+    (both sides hash-partition on the gram key) for the corpus-vs-
+    corpus case where neither set nor bitmap-miss-rate is small."""
+    from juliadb_jl_spark.functions.dedup import _spread
     is_train = F.col(split_col) == train
-    ev = df.filter(~is_train)
-    rep = contamination_report(
-        ev, df.filter(is_train), id_col=id_col, text_col=text_col,
-        n=n, broadcast_benchmark=False)
-    return rep.join(ev.select(id_col, split_col), id_col, "inner") \
-        .select(id_col, split_col, "n_grams", "n_hits", "contamination")
+    sp = _spread(df)
+    ev = sp.filter(~is_train)
+    ev_grams = ev.select(
+        F.col(id_col), F.col(split_col),
+        F.explode_outer(F.array_distinct(shingles(F.col(text_col), n)))
+        .alias("__g"))
+    tg = sp.filter(is_train).select(
+        F.explode(F.array_distinct(shingles(F.col(text_col), n)))
+        .alias("__g"))
+    if prune == "broadcast":
+        ev_gset = ev_grams.filter(F.col("__g").isNotNull()) \
+            .select("__g").distinct()
+        tg = tg.join(F.broadcast(ev_gset), "__g", "left_semi")
+    elif prune == "bloom":
+        from juliadb_jl_spark.operators.join import (_bloom_cond,
+                                                     bloom_bitmap)
+        arr = bloom_bitmap(
+            ev_grams.filter(F.col("__g").isNotNull()).select("__g"),
+            "__g", bloom_bits)
+        bf = df.sparkSession.createDataFrame([(arr,)],
+                                             "__bf array<bigint>")
+        tg = (tg.join(F.broadcast(bf))
+              .filter(_bloom_cond("__g", "__bf", bloom_bits, 5))
+              .drop("__bf"))
+    elif prune is not None:
+        raise ValueError(f"prune must be 'broadcast', 'bloom' or None "
+                         f"(got {prune!r})")
+    bench = tg.distinct().withColumn("__hit", F.lit(1))
+    if prune is not None:
+        # pruned bench ⊆ eval gram set (+ bloom fp grams) — broadcastable
+        bench = F.broadcast(bench)
+    joined = ev_grams.join(bench, "__g", "left")
+    n_grams = F.sum(F.col("__g").isNotNull().cast("long"))
+    n_hits = F.sum(F.coalesce(F.col("__hit"), F.lit(0)).cast("long"))
+    return (joined.groupBy(id_col, split_col)
+            .agg(n_grams.alias("n_grams"), n_hits.alias("n_hits"))
+            .withColumn("contamination",
+                        F.when(F.col("n_grams") > 0,
+                               F.col("n_hits") / F.col("n_grams"))
+                        .otherwise(F.lit(0.0)))
+            .select(id_col, split_col, "n_grams", "n_hits",
+                    "contamination"))
 
 
 def leakage_attribution(train: DataFrame, eval_df: DataFrame,

@@ -656,6 +656,31 @@ def test_split_leakage_brute_force(spark):
     assert out[4]["n_grams"] == 0 and out[4]["contamination"] == 0.0
 
 
+def test_split_leakage_prune_modes_identical(spark, tables):
+    """The eval-gram prune (broadcast or bloom) must be result-neutral
+    vs the unpruned two-sided shuffle — pruned-away train grams can
+    never match an eval gram, and bloom false positives only admit
+    real train grams that then match nothing."""
+    docs = tables["documents"].df.select(
+        "doc_id", "text",
+        F.when(F.col("doc_id") % 10 < 8, "train")
+        .otherwise(F.when(F.col("doc_id") % 2 == 0, "valid")
+                   .otherwise("test")).alias("split"))
+
+    def key(rows):
+        return sorted((r["doc_id"], r["split"], r["n_grams"], r["n_hits"],
+                       round(r["contamination"], 9)) for r in rows)
+
+    base = key(CU.split_leakage(docs, n=5, prune=None).collect())
+    assert base == key(CU.split_leakage(docs, n=5,
+                                        prune="broadcast").collect())
+    # tiny bitmap forces a real false-positive rate — still identical
+    assert base == key(CU.split_leakage(docs, n=5, prune="bloom",
+                                        bloom_bits=1 << 10).collect())
+    with pytest.raises(ValueError):
+        CU.split_leakage(docs, prune="flux")
+
+
 def test_leakage_attribution_golden(spark):
     train = spark.createDataFrame(
         [(10, "a b c d e f g h"),           # shares 4 5-grams with eval 0
