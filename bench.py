@@ -99,6 +99,43 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    only = sys.argv[sys.argv.index("--one") + 1] \
+        if "--one" in sys.argv else None
+
+    if only is None and \
+            os.environ.get("SPARK_GRAFT_BENCH_ISOLATED") == "1":
+        # Isolated mode (VERDICT r5 #4): each query measured in its OWN
+        # fresh process + Spark session, so a query's GC pressure / JIT
+        # state / cache residue cannot contaminate another's number.
+        # ~12s session startup per query — diagnostic tool, not the
+        # default protocol.
+        import subprocess
+        agg: dict[str, dict] = {}
+        for name in HEADLINE:
+            env = dict(os.environ)
+            env.pop("SPARK_GRAFT_BENCH_ISOLATED", None)
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True, text=True, env=env)
+            line = r.stdout.strip().splitlines()[-1] if r.stdout else "{}"
+            try:
+                agg[name] = json.loads(line)
+            except json.JSONDecodeError:
+                print(f"bench error in {name}: {r.stderr[-500:]}",
+                      file=sys.stderr)
+                agg[name] = {"median": -1.0, "min": -1.0}
+        ok = {k: v["median"] for k, v in agg.items() if v["median"] >= 0}
+        print(json.dumps({
+            "metric": "total_median_sec_isolated",
+            "value": round(sum(ok.values()), 4), "unit": "sec",
+            "queries": {k: v.get("median") for k, v in agg.items()},
+            "queries_min": {k: v.get("min") for k, v in agg.items()},
+            "queries_cpu": {k: v.get("cpu") for k, v in agg.items()
+                            if v.get("cpu") is not None},
+            "isolated": True, "runs": runs,
+            "sf": os.path.basename(sf_dir.rstrip("/")).replace("sf", ""),
+        }))
+        return
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     # warm-run protocol (BASELINE.md): cache inputs in memory across runs —
@@ -127,6 +164,20 @@ def main():
         c1 = _proc_tree_cpu(me)
         cpu = round(c1 - c0, 4) if c0 is not None and c1 is not None else None
         return wall, cpu
+
+    if only is not None:
+        fn = qs[only]
+        run_once(fn)  # warm-up
+        samples = [run_once(fn) for _ in range(runs)]
+        times = [w for w, _ in samples]
+        cpu_ts = [c for _, c in samples if c is not None]
+        print(json.dumps({
+            "query": only,
+            "median": round(statistics.median(times), 4),
+            "min": round(min(times), 4),
+            "cpu": round(statistics.median(cpu_ts), 4) if cpu_ts else None,
+        }))
+        return
 
     results: dict[str, float] = {}
     minima: dict[str, float] = {}

@@ -385,32 +385,37 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     Scale (100 TB): keeper election is a groupBy(min(struct(id,pos)))
     on (fingerprint, paragraph) — partial aggregation combines map-side,
     so a paragraph duplicated across millions of documents (the skew
-    case) reduces to one row per partition before the shuffle. The
-    kept-flag join back is equi-keyed on the same (fp, para) pair and
-    AQE's skew-join split handles the hot fan-out (SCALING.md ladder);
-    reconstruction is one groupBy on the doc id. The paragraph text
-    crosses exactly two shuffles — same shape as the substring-dedup
-    pass (dedup.substring_dedup)."""
+    case) reduces to one row per partition before the shuffle. That
+    aggregate's output row IS the keeper occurrence (it carries the
+    paragraph text and the winning (id, pos)), so there is NO join back
+    to the corpus: the keeper rows feed reconstruction directly, and
+    only KEPT text crosses the doc-id shuffle. Per-doc totals come from
+    a parallel doc-keyed count of the same explode; the final stitch is
+    an id-keyed join of two doc-count-sized aggregates. The corpus
+    paragraph text crosses exactly two exchanges — (fp, para) election
+    and the kept-only reconstruction — vs three in the join-back shape
+    this replaced (r6: 2.0 s → 1.2 s warm at sf0.1)."""
     sep = _SPLITTERS[granularity][1] if sep is None else sep
     paras = exploded_paragraphs(df, id_col, text_col, granularity)
+    counts = paras.groupBy(id_col).agg(F.count("para").alias("n_paras"))
     first = (paras.filter(F.col("para").isNotNull())
              .groupBy("__fp", "para")
              .agg(F.min(F.struct(F.col(id_col).alias("kid"),
                                  F.col("pos").alias("kpos")))
                   .alias("__keep")))
-    joined = paras.join(first, ["__fp", "para"], "left")
-    kept = (F.col("para").isNotNull() &
-            (F.col("__keep.kid") == F.col(id_col)) &
-            (F.col("__keep.kpos") == F.col("pos")))
+    kept_rows = first.select(F.col("__keep.kid").alias(id_col),
+                             F.col("__keep.kpos").alias("pos"), "para")
     body = F.array_join(
         F.transform(
-            F.array_sort(F.collect_list(
-                F.when(kept, F.struct(F.col("pos"), F.col("para"))))),
+            F.array_sort(F.collect_list(F.struct(F.col("pos"),
+                                                 F.col("para")))),
             lambda s: s["para"]), sep)
-    return (joined.groupBy(id_col)
-            .agg(F.count("para").alias("n_paras"),
-                 F.sum(kept.cast("long")).alias("n_kept"),
-                 body.alias("text_dedup")))
+    recon = (kept_rows.groupBy(id_col)
+             .agg(F.count(F.lit(1)).alias("__nk"), body.alias("__txt")))
+    return (counts.join(recon, id_col, "left")
+            .select(id_col, "n_paras",
+                    F.coalesce("__nk", F.lit(0)).alias("n_kept"),
+                    F.coalesce("__txt", F.lit("")).alias("text_dedup")))
 
 
 def boilerplate_paragraphs(df: DataFrame, id_col: str = "doc_id",

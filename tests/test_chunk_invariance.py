@@ -190,6 +190,39 @@ def test_winnow_guarantee_and_density(spark):
     assert len(sel99) <= 0.7 * len(full_set)
 
 
+def test_winnow_methods_identical(spark, tables):
+    """All three winnow shapes (arrow fused-build default, rowwise HOF,
+    r5 window-frame) must select EXACTLY the same (id, pos, fp) set, on
+    real documents (varied lengths incl. < k tokens) and on edge docs
+    — including w=1 (every window selected) and non-ascii text (the
+    arrow path hashes utf-8 byte slices; they must equal the JVM md5
+    of concat_ws)."""
+    from juliadb_jl_spark.functions.dedup import winnow_fingerprints
+    docs = tables["documents"].df.select("doc_id", "text").limit(200)
+    uni = spark.createDataFrame(
+        [(1000 + i, "héllo wörld ünïcode文字 " * 5 + f"tail{i} über ok")
+         for i in range(3)], ["doc_id", "text"])
+    docs = docs.unionByName(uni)
+    for kk, ww in ((5, 4), (8, 1)):
+        a = set(map(tuple, winnow_fingerprints(
+            docs, "doc_id", k=kk, w=ww, method="arrow").collect()))
+        b = set(map(tuple, winnow_fingerprints(
+            docs, "doc_id", k=kk, w=ww, method="window").collect()))
+        c = set(map(tuple, winnow_fingerprints(
+            docs, "doc_id", k=kk, w=ww, method="rowwise").collect()))
+        assert a == b == c and len(a) > 0
+    edge = spark.createDataFrame(
+        [(1, "only three words"),            # n < k -> no windows
+         (2, " ".join(f"x{i}" for i in range(6))),  # n_wins < w
+         (3, ""), (4, None)],
+        "doc_id long, text string")
+    for m in ("arrow", "rowwise", "window"):
+        assert winnow_fingerprints(edge, "doc_id", k=5, w=4,
+                                   method=m).count() == 0
+    with pytest.raises(ValueError):
+        winnow_fingerprints(edge, "doc_id", method="sortmerge")
+
+
 def test_winnow_partition_invariant(spark):
     from juliadb_jl_spark.functions.dedup import winnow_fingerprints
     docs = [(i, " ".join(f"t{i}_{j}" for j in range(40)))
