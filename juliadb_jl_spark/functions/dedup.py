@@ -853,11 +853,69 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
 # every cross-document verbatim repetition of length >= k.
 
 
-def _window_fps(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+def _md5_window_digs(toks, k: int) -> list:
+    """All k-window md5 hex digests of a token list, byte-identical to
+    the JVM's md5(concat_ws(" ", slice(toks, i, k))): each window is
+    one byte-slice of the pre-joined text, hashed with hashlib.
+    Runs inside Arrow UDF workers (~1 µs/window vs ~40 µs for the
+    interpreted transform+slice+concat_ws HOF — the r6 winnow rung
+    discovery that de-cliffed the whole substring family)."""
+    from hashlib import md5 as _md5
+    nn = len(toks)
+    if nn < k:
+        return []
+    jb = " ".join(toks).encode("utf-8", "surrogatepass")
+    obs = [0] * (nn + 1)
+    pos_ = 0
+    for j, t in enumerate(toks):
+        pos_ += len(t.encode("utf-8", "surrogatepass")) + 1
+        obs[j + 1] = pos_
+    return [_md5(jb[obs[i]:obs[i + k] - 1]).hexdigest()
+            for i in range(nn - k + 1)]
+
+
+def _window_fps(df: DataFrame, id_col: str, text_col: str, k: int,
+                method: str = "arrow") -> DataFrame:
     """(id, pos, fp): md5 fingerprint of each k-token window (1-based
     pos). md5 keeps the oracle portable; swap xxhash64 at deploy scale
-    for cheaper hashing — the plan shape is identical."""
+    for cheaper hashing — the plan shape is identical.
+
+    Default build is the Arrow fused pass (`_md5_window_digs`); the
+    expression form (``method="expr"``) is the r5 shape, kept for
+    differential testing — it is interpreted HOF work at ~40 µs/window
+    and was the hidden floor under every substring-dedup rung number."""
     from juliadb_jl_spark.functions.text import tokens
+
+    if method == "arrow":
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        kk = k
+
+        def _fps_fn(col):
+            fps_out, poss_out = [], []
+            for toks in col:
+                # Arrow hands array columns over as numpy arrays, where
+                # `toks or []` raises — explicit None check instead
+                digs = ([] if toks is None
+                        else _md5_window_digs(toks, kk))
+                fps_out.append(digs)
+                poss_out.append(list(range(1, len(digs) + 1)))
+            return pd.DataFrame({"fps": fps_out, "poss": poss_out})
+
+        _fps_fn.__annotations__ = {"col": pd.Series,
+                                   "return": pd.DataFrame}
+        _fps = pandas_udf(
+            "struct<fps:array<string>,poss:array<int>>")(_fps_fn)
+        return (_spread(df)
+                .select(F.col(id_col).alias("id"),
+                        _fps(tokens(F.col(text_col))).alias("r"))
+                .select("id", F.explode(F.arrays_zip("r.fps", "r.poss"))
+                        .alias("s"))
+                .select("id", F.col("s.poss").alias("pos"),
+                        F.col("s.fps").alias("fp")))
+    if method != "expr":
+        raise ValueError(f"method must be 'arrow' or 'expr' "
+                         f"(got {method!r})")
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - (k - 1))
@@ -1361,7 +1419,6 @@ def winnow_fingerprints(df: DataFrame, id_col: str,
         kk, ww = k, w
 
         def _winnow_sel_fn(col):
-            from hashlib import md5 as _md5
             fps_out, poss_out = [], []
             for toks in col:
                 nn = 0 if toks is None else len(toks)
@@ -1370,18 +1427,7 @@ def winnow_fingerprints(df: DataFrame, id_col: str,
                     fps_out.append([])
                     poss_out.append([])
                     continue
-                # byte offsets of each token start in the joined text:
-                # every k-window is ONE byte slice of it, not a k-way
-                # re-join (the md5 input is byte-identical to the JVM's
-                # md5(concat_ws(" ", slice(toks, i, k))))
-                jb = " ".join(toks).encode("utf-8", "surrogatepass")
-                obs = [0] * (nn + 1)
-                pos_ = 0
-                for j, t in enumerate(toks):
-                    pos_ += len(t.encode("utf-8", "surrogatepass")) + 1
-                    obs[j + 1] = pos_
-                digs = [_md5(jb[obs[i]:obs[i + kk] - 1]).hexdigest()
-                        for i in range(nn - kk + 1)]
+                digs = _md5_window_digs(toks, kk)
                 # hex digests are ascii: S32 bytes order == str order
                 a = np.array(digs, dtype="S32")
                 m = a[:length].copy()

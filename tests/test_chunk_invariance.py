@@ -223,6 +223,26 @@ def test_winnow_methods_identical(spark, tables):
         winnow_fingerprints(edge, "doc_id", method="sortmerge")
 
 
+def test_window_fps_arrow_equals_expr(spark, tables):
+    """The Arrow fused window-fp build must emit EXACTLY the r5
+    expression form's (id, pos, fp) table — every substring-dedup op
+    keys on these digests."""
+    from juliadb_jl_spark.functions.dedup import _window_fps
+    docs = tables["documents"].df.select("doc_id", "text").limit(150)
+    uni = spark.createDataFrame(
+        [(9001, "déjà vu " * 6 + "encore une fois"), (9002, ""),
+         (9003, None), (9004, "short one")],
+        "doc_id long, text string")
+    docs = docs.unionByName(uni)
+    a = set(map(tuple, _window_fps(docs, "doc_id", "text", 8,
+                                   method="arrow").collect()))
+    b = set(map(tuple, _window_fps(docs, "doc_id", "text", 8,
+                                   method="expr").collect()))
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError):
+        _window_fps(docs, "doc_id", "text", 8, method="hof")
+
+
 def test_winnow_partition_invariant(spark):
     from juliadb_jl_spark.functions.dedup import winnow_fingerprints
     docs = [(i, " ".join(f"t{i}_{j}" for j in range(40)))
