@@ -3983,6 +3983,210 @@ def qak(spark, sf_dir):
                  F.sum((~hi).cast("long")).alias("low_line_count")))
 
 
+@_q("qam_min_cost_supplier", """
+WITH cost AS (
+  SELECT l_partkey AS p_k, l_suppkey AS s_k,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY 1, 2)
+SELECT p_partkey, s_name, s_acctbal, c.unit_cost AS min_cost
+FROM part
+JOIN cost c ON c.p_k = p_partkey
+JOIN supplier ON s_suppkey = c.s_k
+WHERE p_size <= 10
+  AND c.unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+                     WHERE c2.p_k = c.p_k)
+ORDER BY s_acctbal DESC, p_partkey, s_name
+LIMIT 100
+""")
+def qam(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier, correlated MIN subquery;
+    lineitem unit price stands in for partsupp supplycost): for small
+    parts, the EUROPE supplier(s) whose minimum unit price equals the
+    part's regional minimum. The correlated subquery decorrelates to a
+    rank-1 window over the (part × supplier)-sized aggregate — the
+    corpus-scale lineitem crosses ONE (part,supp) exchange; supplier/
+    nation/region broadcast into the scan; the window and final joins
+    run on the small aggregate. min() is order-insensitive, so the
+    double unit costs compare exactly across engines."""
+    from pyspark.sql import Window
+    li = read_table(spark, sf_dir, "lineitem") \
+        .select("l_partkey", "l_suppkey",
+                (F.col("l_extendedprice") / F.col("l_quantity"))
+                .alias("__uc"))
+    sup = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation")
+    reg = read_table(spark, sf_dir, "region") \
+        .filter(F.col("r_name") == "EUROPE")
+    eu_sup = (sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+              .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+              .select("s_suppkey", "s_name", "s_acctbal"))
+    cost = (li.join(F.broadcast(eu_sup),
+                    li.l_suppkey == F.col("s_suppkey"))
+            .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal")
+            .agg(F.min("__uc").alias("unit_cost")))
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("__pm", F.min("unit_cost").over(w)) \
+        .filter(F.col("unit_cost") == F.col("__pm"))
+    part = read_table(spark, sf_dir, "part") \
+        .filter(F.col("p_size") <= 10).select("p_partkey")
+    return (best.join(F.broadcast(part),
+                      best.l_partkey == part.p_partkey)
+            .select("p_partkey", "s_name", "s_acctbal",
+                    F.col("unit_cost").alias("min_cost"))
+            .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"),
+                     F.asc("s_name"))
+            .limit(100))
+
+
+@_q("qan_important_parts", """
+WITH val AS (
+  SELECT l_partkey AS p_k,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_quantity) AS BIGINT)) AS v
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY 1)
+SELECT p_k AS p_partkey, CAST(v AS DOUBLE) / 100.0 AS part_value
+FROM val
+WHERE v * (SELECT count(*) FROM val) > 2 * (SELECT sum(v) FROM val)
+ORDER BY part_value DESC, p_partkey
+""")
+def qan(spark, sf_dir):
+    """TPC-H Q11 shape (important stock, global-total scalar
+    subquery): parts whose one-nation inventory value exceeds 2x the
+    MEAN part value (scale-free, unlike Q11's fixed fraction — a fixed
+    0.1% empties out as the part count grows past 1000). The scalar
+    subqueries are ONE (count, sum) aggregate over the part-count-
+    sized val table, broadcast back via a one-row cross join (the
+    DSIR/data-card pattern); the threshold compares in exact int64
+    (v*cnt > 2*tot — bounded well inside int64 at any SF whose
+    per-nation value fits in cents). Lineitem crosses ONE partkey
+    exchange."""
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation") \
+        .filter(F.col("n_name") == "NATION_7")
+    nsup = sup.join(F.broadcast(nat),
+                    sup.s_nationkey == nat.n_nationkey) \
+        .select("s_suppkey")
+    v = (F.round(F.col("l_extendedprice") * 100).cast("long")
+         * F.round(F.col("l_quantity")).cast("long"))
+    val = (li.join(F.broadcast(nsup), li.l_suppkey == F.col("s_suppkey"))
+           .groupBy("l_partkey").agg(F.sum(v).alias("__v")))
+    tot = val.agg(F.sum("__v").alias("__t"),
+                  F.count(F.lit(1)).alias("__n"))
+    return (val.crossJoin(F.broadcast(tot))
+            .filter(F.col("__v") * F.col("__n") > 2 * F.col("__t"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    (F.col("__v").cast("double") / 100.0)
+                    .alias("part_value"))
+            .orderBy(F.desc("part_value"), F.asc("p_partkey")))
+
+
+@_q("qao_top_supplier", """
+WITH rev AS (
+  SELECT l_suppkey AS s_k,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = s_k
+WHERE r = (SELECT max(r) FROM rev)
+ORDER BY s_suppkey
+""")
+def qao(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier, scalar MAX subquery over a
+    derived view): quarterly revenue per supplier; return the
+    supplier(s) achieving the maximum. Revenue accumulates in exact
+    int64 (the q99 price×discount trick) so max-equality is
+    engine-portable; the max rides a one-row broadcast cross join
+    against the supplier-count-sized aggregate. The date filter is
+    pushed to the lineitem scan; one suppkey exchange."""
+    li = (read_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1996-04-01")))
+    r = (F.round(F.col("l_extendedprice") * 100).cast("long")
+         * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")))
+    rev = li.groupBy("l_suppkey").agg(F.sum(r).alias("__r"))
+    mx = rev.agg(F.max("__r").alias("__m"))
+    sup = read_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_name")
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("__r") == F.col("__m"))
+            .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    (F.col("__r").cast("double") / 10000.0)
+                    .alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+@_q("qap_dominant_suppliers", """
+WITH qty AS (
+  SELECT l_partkey AS p_k, l_suppkey AS s_k,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2),
+tot AS (SELECT p_k, sum(q) AS tq FROM qty GROUP BY 1)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_3'
+  AND EXISTS (SELECT 1 FROM qty
+              JOIN tot ON tot.p_k = qty.p_k
+              JOIN part ON p_partkey = qty.p_k
+              WHERE qty.s_k = s_suppkey
+                AND p_size <= 10
+                AND qty.q * 5 > tot.tq)
+ORDER BY s_suppkey
+""")
+def qap(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers dominating a part's yearly volume;
+    the EXISTS-over-correlated-aggregates pyramid): NATION_3 suppliers
+    who shipped >20% of some small part's 1996 quantity. The
+    correlated EXISTS decorrelates to: one (part,supp) aggregate of
+    the date-filtered lineitem (its ONLY exchange), a per-part total
+    via a window REUSING that partitioning's key, the share filter,
+    a broadcast part-filter semi-join, then a distinct-suppkey
+    semi-join into the supplier dim. No row ever re-crosses a
+    corpus-sized shuffle."""
+    from pyspark.sql import Window
+    li = (read_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1997-01-01")))
+    qty = (li.groupBy("l_partkey", "l_suppkey")
+           .agg(F.sum(F.round(F.col("l_quantity")).cast("long"))
+                .alias("__q")))
+    w = Window.partitionBy("l_partkey")
+    part = read_table(spark, sf_dir, "part") \
+        .filter(F.col("p_size") <= 10).select("p_partkey")
+    dom = (qty.withColumn("__tq", F.sum("__q").over(w))
+           .filter(F.col("__q") * 5 > F.col("__tq"))
+           .join(F.broadcast(part),
+                 F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+           .select("l_suppkey").distinct())
+    sup = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation") \
+        .filter(F.col("n_name") == "NATION_3")
+    return (sup.join(F.broadcast(nat),
+                     sup.s_nationkey == nat.n_nationkey)
+            .join(F.broadcast(dom),
+                  sup.s_suppkey == dom.l_suppkey, "left_semi")
+            .select("s_suppkey", "s_name")
+            .orderBy("s_suppkey"))
+
+
 _PROFILE_COLS = [("event_id", "bigint"), ("user_id", "bigint"),
                  ("event_type", "string"), ("props", "string")]
 _PROFILE_SQL = "\nUNION ALL ".join(f"""
@@ -4242,13 +4446,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _prio(k: str) -> int:
         if k[:3] in ("q9j", "q9k", "q9r"):
             return 0
+        if "qam" <= k < "qaq":
+            return 1          # r6-new TPC-H shapes, never driver-run
         if ("q19" <= k < "q53") or ("q91" <= k < "q99"):
-            return 1
-        if k < "q11" or ("q99" <= k < "q9b"):
             return 2
-        if ("q53" <= k < "q91") or ("q9b" <= k < "q9g"):
+        if k < "q11" or ("q99" <= k < "q9b"):
             return 3
-        return 4
+        if ("q53" <= k < "q91") or ("q9b" <= k < "q9g"):
+            return 4
+        return 5
 
     return {k: _REG[k] for k in sorted(_REG, key=lambda k: (_prio(k), k))}
 
