@@ -59,7 +59,8 @@ HEADLINE = [
     "q9z_small_quantity_revenue",  # TPC-H Q17 shape: window-rewritten scalar subquery
     "qaf_nation_volume",      # TPC-H Q7 shape: two-direction nation pair, dims broadcast
     "qa3_curation_funnel",    # filter-cascade audit: one-pass 2n-sum agg
-    "qa4_split_leakage",      # non-broadcast gram join (train side huge)
+    "qa4_split_leakage",      # eval-gram-pruned train join (r6)
+    "qam_min_cost_supplier",  # TPC-H Q2 shape: rank-1 window over agg
 ]
 
 

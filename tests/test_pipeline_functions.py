@@ -1011,6 +1011,31 @@ def test_frequent_phrases_prune_is_result_neutral(spark):
     assert pruned == brute and len(pruned) > 0
 
 
+def test_frequent_phrases_arrow_equals_expr(spark):
+    """The fused Arrow gram build must count exactly what the HOF
+    expression build counts — incl. whitespace edges (leading tab →
+    empty token dropped on both paths), unicode, and n=1."""
+    from juliadb_jl_spark.functions.text import frequent_phrases
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edge = spark.createDataFrame(
+        [(90001, "\tthe cat sat on the mat"),
+         (90002, "  b  b   b "), (90003, "héllo wörld héllo wörld x"),
+         (90004, ""), (90005, None)], "doc_id long, text string")
+    for nn, mc, pr in ((3, 4, True), (2, 2, False), (1, 3, True)):
+        a = sorted((r["phrase"], r["freq"]) for r in frequent_phrases(
+            d, n=nn, min_count=mc, prune=pr, method="arrow").collect())
+        b = sorted((r["phrase"], r["freq"]) for r in frequent_phrases(
+            d, n=nn, min_count=mc, prune=pr, method="expr").collect())
+        assert a == b and len(a) > 0
+        ea = sorted((r["phrase"], r["freq"]) for r in frequent_phrases(
+            edge, n=nn, min_count=2, prune=pr, method="arrow").collect())
+        eb = sorted((r["phrase"], r["freq"]) for r in frequent_phrases(
+            edge, n=nn, min_count=2, prune=pr, method="expr").collect())
+        assert ea == eb
+    with pytest.raises(ValueError):
+        frequent_phrases(d, method="hof")
+
+
 def test_frequent_phrases_topk_tiebreak(spark):
     from juliadb_jl_spark.functions.text import frequent_phrases
     docs = spark.createDataFrame(

@@ -1,0 +1,79 @@
+"""Document-op bench at the 5M-doc rung (VERDICT r5 #7): the headline
+bench (bench.py, sf0.1) amortizes document ops to sub-seconds, so a
+document-op scale regression only ever surfaced as a rung anecdote in
+SCALING.md. This runs the heavy document operators at a real rung and
+prints ONE JSON line; the per-round table lives in SCALING.md §docs-rung.
+
+Usage: python tools/docs_bench.py [rung_dir]   (default .testdata/sfdocs)
+Each op runs ONCE (they are minutes-long); wall + process-tree CPU both
+reported — CPU is the load-robust statistic, as in bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _proc_tree_cpu  # noqa: E402
+
+
+def main():
+    rung = sys.argv[1] if len(sys.argv) > 1 else \
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".testdata/sfdocs")
+    from pyspark.sql import functions as F
+
+    from juliadb_jl_spark.functions import curation as CU
+    from juliadb_jl_spark.functions import dedup as DD
+    from juliadb_jl_spark.functions import text as TX
+    from juliadb_jl_spark.session import get_spark
+    from juliadb_jl_spark.sources.testdata import read_table
+
+    spark = get_spark("docs-bench", cpus=32, shuffle_partitions=64)
+    docs = read_table(spark, rung, "documents")
+    me = os.getpid()
+
+    OPS = {
+        "winnow_k20_w4": lambda d: DD.winnow_fingerprints(
+            d, "doc_id", k=20, w=4),
+        "window_fps_k20": lambda d: DD._window_fps(
+            d, "doc_id", "text", 20),
+        "paragraph_dedup": lambda d: CU.paragraph_dedup(
+            d, "doc_id", "text", granularity="line"),
+        "frequent_phrases_n3": lambda d: TX.frequent_phrases(
+            d, n=3, min_count=5, k=50),
+        "dedup_exact": lambda d: DD.dedup_exact(d, "doc_id"),
+    }
+    only = os.environ.get("SPARK_GRAFT_DOCS_OPS")
+    if only:
+        OPS = {k: v for k, v in OPS.items() if k in only.split(",")}
+    results, cpu = {}, {}
+    n_docs = docs.count()
+    for name, fn in OPS.items():
+        c0 = _proc_tree_cpu(me)
+        t0 = time.time()
+        try:
+            fn(docs).write.format("noop").mode("overwrite").save()
+            results[name] = round(time.time() - t0, 2)
+            c1 = _proc_tree_cpu(me)
+            if c0 is not None and c1 is not None:
+                cpu[name] = round(c1 - c0, 1)
+        except Exception as ex:
+            print(f"docs-bench error in {name}: {ex}", file=sys.stderr)
+            results[name] = -1.0
+        print(f"# {name}: {results[name]}s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "docs_rung_total_sec",
+        "value": round(sum(v for v in results.values() if v >= 0), 2),
+        "unit": "sec", "queries": results, "queries_cpu": cpu,
+        "n_docs": n_docs, "rung": rung,
+        "load": [round(x, 2) for x in os.getloadavg()],
+    }))
+
+
+if __name__ == "__main__":
+    main()
