@@ -28,7 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from juliadb_jl_spark.functions.sampling import hash_unit
-from juliadb_jl_spark.functions.text import shingles
+from juliadb_jl_spark.functions.text import (arrow_shingles,
+                                             shingles)
 from juliadb_jl_spark.operators.sort import with_global_rownum
 
 # ---------------------------------------------------------------------------
@@ -122,7 +123,7 @@ def top_ngram_fraction_grouped(df: DataFrame, id_col: str,
     max — two shuffles but per-row work is linear. Returns
     (id_col, name); docs with < n tokens get 0.0."""
     grams = df.select(F.col(id_col),
-                      F.explode_outer(shingles(F.col(text_col), n))
+                      F.explode_outer(arrow_shingles(F.col(text_col), n))
                       .alias("__g"))
     per_gram = grams.groupBy(id_col, "__g") \
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -251,10 +252,10 @@ def contamination_report(corpus: DataFrame, benchmark: DataFrame,
     # q9h/q9j lesson — measured 30x on the 1-file sf1 rung)
     grams = _spread(corpus).select(
         F.col(id_col),
-        F.explode_outer(F.array_distinct(shingles(F.col(text_col), n)))
+        F.explode_outer(F.array_distinct(arrow_shingles(F.col(text_col), n)))
         .alias("__g"))
     bench = _spread(benchmark).select(
-        F.explode(F.array_distinct(shingles(F.col(text_col), n)))
+        F.explode(F.array_distinct(arrow_shingles(F.col(text_col), n)))
         .alias("__g")).distinct().withColumn("__hit", F.lit(1))
     if broadcast_benchmark:
         bench = F.broadcast(bench)
@@ -763,10 +764,10 @@ def split_leakage(df: DataFrame, id_col: str = "doc_id",
     ev = sp.filter(~is_train)
     ev_grams = ev.select(
         F.col(id_col), F.col(split_col),
-        F.explode_outer(F.array_distinct(shingles(F.col(text_col), n)))
+        F.explode_outer(F.array_distinct(arrow_shingles(F.col(text_col), n)))
         .alias("__g"))
     tg = sp.filter(is_train).select(
-        F.explode(F.array_distinct(shingles(F.col(text_col), n)))
+        F.explode(F.array_distinct(arrow_shingles(F.col(text_col), n)))
         .alias("__g"))
     if prune == "broadcast":
         ev_gset = ev_grams.filter(F.col("__g").isNotNull()) \
@@ -834,11 +835,11 @@ def leakage_attribution(train: DataFrame, eval_df: DataFrame,
     from juliadb_jl_spark.functions.dedup import _spread
     tg = _spread(train).select(
         F.col(id_col).alias("train_id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n)))
+        F.explode(F.array_distinct(arrow_shingles(F.col(text_col), n)))
         .alias("__g"))
     eg = _spread(eval_df).select(
         F.col(id_col).alias("eval_id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n)))
+        F.explode(F.array_distinct(arrow_shingles(F.col(text_col), n)))
         .alias("__g"))
     egs = eg.select("__g").distinct()
     tgm = tg.join(egs, "__g", "left_semi")
@@ -895,7 +896,7 @@ def attribution_index(train: DataFrame, id_col: str = "doc_id",
     probe-forever shape as the dedup indexes."""
     from juliadb_jl_spark.functions.dedup import _spread
     return _spread(train).select(
-        F.explode(F.array_distinct(shingles(F.col(text_col), n)))
+        F.explode(F.array_distinct(arrow_shingles(F.col(text_col), n)))
         .alias("gram"),
         F.col(id_col).alias("train_id"))
 
@@ -917,7 +918,7 @@ def leakage_attribution_against(eval_df: DataFrame, index: DataFrame,
     from juliadb_jl_spark.functions.dedup import _spread
     eg = _spread(eval_df).select(
         F.col(id_col).alias("eval_id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n)))
+        F.explode(F.array_distinct(arrow_shingles(F.col(text_col), n)))
         .alias("gram"))
     egs = eg.select("gram").distinct()
     tgm = index.join(egs, "gram", "left_semi")

@@ -22,7 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from juliadb_jl_spark.functions import scratch
-from juliadb_jl_spark.functions.text import fingerprint, shingles, tokens
+from juliadb_jl_spark.functions.text import (arrow_shingles, fingerprint,
+                                             shingles, tokens)
 
 
 # ---------------------------------------------------------------------------
@@ -89,7 +90,7 @@ def _spread(df: DataFrame) -> DataFrame:
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     return _spread(df).select(
         F.col(id_col).alias("id"),
-        F.array_distinct(shingles(F.col(text_col), k)).alias("shset"))
+        F.array_distinct(arrow_shingles(F.col(text_col), k)).alias("shset"))
 
 
 def _norm_text(text_col: str) -> Column:

@@ -56,13 +56,25 @@ def gumbel_constants(seed: int = 1) -> tuple[int, int]:
     return a[0], b[0]
 
 
-def word_grams(col: Column, bigrams: bool = True) -> Column:
+def word_grams(col: Column, bigrams: bool = True,
+               method: str = "arrow") -> Column:
     """Unigrams + (optionally) adjacent word bigrams of a text column as
-    one array<string>. Empty/NULL text → empty array. Native
-    (split/slice/zip_with), zero shuffle."""
+    one array<string>. Empty/NULL text → empty array. Zero shuffle.
+
+    The bigram build defaults to the fused Arrow byte-slice pass
+    (`text.arrow_shingles` — same strings as the zip_with HOF form,
+    which Catalyst evaluates interpreted per element; `method="expr"`
+    keeps that form differential-tested). Unigrams stay native: the
+    tokenizing split is codegen'd either way."""
     t = tokens(col)
     if not bigrams:
         return t
+    if method == "arrow":
+        from juliadb_jl_spark.functions.text import arrow_shingles
+        return F.concat(t, arrow_shingles(col, 2))
+    if method != "expr":
+        raise ValueError(f"method must be 'arrow' or 'expr' "
+                         f"(got {method!r})")
     n = F.size(t)
     bi = F.when(n >= 2,
                 F.zip_with(F.slice(t, F.lit(1), n - 1),

@@ -596,9 +596,9 @@ def novelty_index(df: DataFrame, text_col: str = "text",
     scores new batches with.  Update with ``merge_novelty_index`` (an
     O(batch) anti-join append — do NOT union + distinct the full set).
     Same shingle construction as ``curation.novelty_scores``."""
-    from juliadb_jl_spark.functions.text import shingles
+    from juliadb_jl_spark.functions.text import arrow_shingles
     return (df.select(F.explode(F.array_distinct(
-        shingles(F.col(text_col), n))).alias("gram"))
+        arrow_shingles(F.col(text_col), n))).alias("gram"))
         .distinct())
 
 

@@ -58,6 +58,20 @@ def test_word_grams_golden(spark):
     assert uni == [["a", "b", "c"], [], ["solo"]]
 
 
+def test_word_grams_arrow_equals_expr(spark):
+    df = spark.createDataFrame(
+        [("a b c d e",), ("",), (None,), ("one",),
+         ("héllo wörld ünïcode",), ("\ttab lead x y",)], ["text"])
+    rows = df.select(
+        DS.word_grams(F.col("text"), method="arrow").alias("a"),
+        DS.word_grams(F.col("text"), method="expr").alias("b")).collect()
+    for r in rows:
+        assert list(r["a"]) == list(r["b"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        df.select(DS.word_grams(F.col("text"), method="hof"))
+
+
 def test_gram_bucket_matches_local(spark):
     grams = ["the", "cat sat", "é unicode", ""]
     df = spark.createDataFrame([(g,) for g in grams], ["g"])

@@ -1011,6 +1011,28 @@ def test_frequent_phrases_prune_is_result_neutral(spark):
     assert pruned == brute and len(pruned) > 0
 
 
+def test_arrow_shingles_bit_equal(spark, tables):
+    """arrow_shingles must be BIT-compatible with the HOF shingles()
+    (incl. the empty-token case: concat_ws keeps empty strings, and so
+    must the byte-slice join) — minhash/jaccard/novelty/contamination
+    all key on these gram strings."""
+    from juliadb_jl_spark.functions.text import arrow_shingles, shingles
+    docs = tables["documents"].df.select("doc_id", "text").limit(150)
+    edge = spark.createDataFrame(
+        [(80001, "\tleading tab here ok"), (80002, "  x  y  z  "),
+         (80003, "héllo wörld ünïcode文字 one two"), (80004, ""),
+         (80005, None), (80006, "two only")],
+        "doc_id long, text string")
+    docs = docs.unionByName(edge)
+    for kk in (2, 5):
+        both = docs.select(
+            "doc_id",
+            shingles(F.col("text"), kk).alias("a"),
+            arrow_shingles(F.col("text"), kk).alias("b")).collect()
+        for r in both:
+            assert list(r["a"]) == list(r["b"]), r["doc_id"]
+
+
 def test_frequent_phrases_arrow_equals_expr(spark):
     """The fused Arrow gram build must count exactly what the HOF
     expression build counts — incl. whitespace edges (leading tab →
