@@ -282,23 +282,43 @@ def novelty_scores(df: DataFrame, id_col: str = "doc_id",
     novelty = 1 - n_shared/n_grams; docs with < n tokens report
     0 / 0 / 1.0 (nothing to be un-novel about).
 
-    Scale: one corpus explode feeds BOTH the per-gram document
-    frequency (map-side-combined groupBy on the gram — vocabulary-sized
-    result) and the per-doc rollup; the df table joins back on the gram
-    key, so there is no doc-to-doc comparison anywhere. Same shape as
-    `contamination_report` with the corpus itself as the benchmark,
-    minus the self-match."""
-    from juliadb_jl_spark.functions import scratch
+    Scale: this is the engine's one corpus-vs-ITSELF gram op, so
+    unlike contamination/split-leakage nothing broadcasts — the gram
+    stream itself must aggregate and join. Two r6 rules keep it alive
+    at the 5M-doc rung (both failures observed there as
+    AGGREGATE_OUT_OF_MEMORY before the fix):
+
+    - Gram TEXT never leaves its task: each distinct gram is reduced
+      to a 128-bit key (two independent xxhash64 lanes) right after
+      the explode, so the frequency aggregation and the join move
+      24-byte rows, not ~60-byte strings. Collision odds over 10^9
+      distinct grams are ~10^-20 — the same md5-fingerprint exactness
+      class the exact-dedup family already stands on.
+    - The frequency count pre-partitions BY THE KEY onto
+      4×parallelism partitions and aggregates within them (for a
+      high-entropy corpus the map-side partial agg combines nothing
+      anyway — it just builds a per-task hash map of nearly all
+      distinct grams, which is what blew up); each task's map is then
+      bounded by distinct_grams/partitions regardless of input
+      layout. Nothing is persisted: rebuilding grams is cheap since
+      the build is the fused Arrow pass."""
     from juliadb_jl_spark.functions.dedup import _spread
-    grams = scratch.register(
-        _spread(df).select(F.col(id_col),
-                           F.explode_outer(F.array_distinct(
-                               shingles(F.col(text_col), n))).alias("__g"))
-        .persist())  # feeds the df count AND the per-doc join
-    dfreq = (grams.filter(F.col("__g").isNotNull())
-             .groupBy("__g").agg(F.count(F.lit(1)).alias("__df")))
-    joined = grams.join(dfreq, "__g", "left")
-    n_grams = F.sum(F.col("__g").isNotNull().cast("long"))
+    p = df.sparkSession.sparkContext.defaultParallelism
+    grams = _spread(df).select(
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(
+            arrow_shingles(F.col(text_col), n))).alias("__g"))
+    has = F.col("__g").isNotNull()
+    hg = grams.select(
+        F.col(id_col), has.alias("__has"),
+        F.when(has, F.xxhash64("__g", F.lit(1))).alias("__h1"),
+        F.when(has, F.xxhash64("__g", F.lit(2))).alias("__h2"))
+    dfreq = (hg.filter("__has").select("__h1", "__h2")
+             .repartition(4 * p, "__h1", "__h2")
+             .groupBy("__h1", "__h2")
+             .agg(F.count(F.lit(1)).alias("__df")))
+    joined = hg.join(dfreq, ["__h1", "__h2"], "left")
+    n_grams = F.sum(F.col("__has").cast("long"))
     n_shared = F.sum((F.coalesce(F.col("__df"), F.lit(0)) >= 2)
                      .cast("long"))
     return (joined.groupBy(id_col)

@@ -47,6 +47,9 @@ def main():
         "frequent_phrases_n3": lambda d: TX.frequent_phrases(
             d, n=3, min_count=5, k=50),
         "dedup_exact": lambda d: DD.dedup_exact(d, "doc_id"),
+        "novelty_scores_n5": lambda d: CU.novelty_scores(d, "doc_id"),
+        "minhash_signatures": lambda d: DD.minhash_signature(
+            d, "doc_id", num_hashes=32),
     }
     only = os.environ.get("SPARK_GRAFT_DOCS_OPS")
     if only:
