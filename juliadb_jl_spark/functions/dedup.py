@@ -945,22 +945,42 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
     Scale: one explode + one groupBy(fp) + one join back — NO pairwise
     self-join, so a boilerplate window shared by a million docs costs
     O(occurrences), not O(occurrences²). Span merge is a per-doc window
-    (classic island detection), shuffling only the duplicated windows."""
+    (classic island detection), shuffling only the duplicated windows.
+    The keeper aggregation pre-partitions BY FINGERPRINT onto
+    4×parallelism partitions with its map-side partial agg thereby
+    bounded — for a mostly-unique window table (any high-entropy
+    corpus) partial agg over the raw scan combines nothing and just
+    builds a per-task map of every distinct fp in the slice; the
+    r6 docs-rung bench caught exactly that as UNABLE_TO_ACQUIRE_MEMORY
+    at 5M docs (the novelty_scores failure class), together with the
+    window-fp persist pinning storage memory against it. Nothing is
+    persisted anymore — rebuilding the fps for the join is one more
+    fused-Arrow pass, which the rung prices at ~70 s vs an OOM."""
     from pyspark.sql import Window
-    w = scratch.register(_window_fps(df, id_col, text_col, k).persist())
+    p4 = 4 * df.sparkSession.sparkContext.defaultParallelism
+    w = _window_fps(df, id_col, text_col, k)
+    wk = w.select("fp", "id", "pos").repartition(p4, "fp")
+    # the dup-fp keeper table is corpus-dependent: near-empty for a
+    # clean corpus, window-table-sized for a cliquey one. Static stats
+    # after agg+filter UNDER-estimate it (observed: the planner tried
+    # to broadcast ~31M keeper rows at the 5M rung and killed the JVM)
+    # — hint a shuffle join and let AQE downgrade to broadcast at
+    # runtime from the REAL shuffled size when it truly is small.
     if within_doc:
-        keeper = w.groupBy("fp").agg(
+        keeper = wk.groupBy("fp").agg(
             F.min(F.struct("id", "pos")).alias("__k"),
             F.count(F.lit(1)).alias("__n"))
-        dup = (w.join(keeper.filter(F.col("__n") > 1), "fp")
+        dup = (w.join(keeper.filter(F.col("__n") > 1).hint("merge"),
+                      "fp")
                .filter((F.col("id") != F.col("__k.id")) |
                        (F.col("pos") != F.col("__k.pos")))
                .select("id", F.col("pos").alias("span_start"),
                        (F.col("pos") + k).alias("span_end")).distinct())
     else:
-        keeper = w.groupBy("fp").agg(F.min("id").alias("__keep"),
-                                     F.count(F.lit(1)).alias("__n"))
-        dup = (w.join(keeper.filter(F.col("__n") > 1), "fp")
+        keeper = wk.groupBy("fp").agg(F.min("id").alias("__keep"),
+                                      F.count(F.lit(1)).alias("__n"))
+        dup = (w.join(keeper.filter(F.col("__n") > 1).hint("merge"),
+                      "fp")
                .filter(F.col("id") != F.col("__keep"))
                .select("id", F.col("pos").alias("span_start"),
                        (F.col("pos") + k).alias("span_end")).distinct())
