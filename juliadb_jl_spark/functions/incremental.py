@@ -486,8 +486,16 @@ def substring_index(df: DataFrame, id_col: str, text_col: str = "text",
     substring-deduped) corpus — the persistable artifact
     ``dedup_substrings_against`` cuts new batches against.  One
     ``(fp)`` row per distinct window; same md5 construction as
-    ``duplicate_spans`` so index and batch windows are comparable."""
-    return _window_fps(df, id_col, text_col, k).select("fp").distinct()
+    ``duplicate_spans`` so index and batch windows are comparable.
+
+    Scale: distinct over a mostly-unique corpus window table is the
+    r6 bounded-agg case (novelty/duplicate_spans rung catches) — the
+    fp stream pre-partitions BY FP onto 4×parallelism partitions so
+    the dedup hash map per task is distinct_fps/partitions instead of
+    a per-task map of nearly the whole slice."""
+    p4 = 4 * df.sparkSession.sparkContext.defaultParallelism
+    return (_window_fps(df, id_col, text_col, k).select("fp")
+            .repartition(p4, "fp").distinct())
 
 
 def duplicate_spans_against(new_df: DataFrame, index: DataFrame,
@@ -597,8 +605,10 @@ def novelty_index(df: DataFrame, text_col: str = "text",
     O(batch) anti-join append — do NOT union + distinct the full set).
     Same shingle construction as ``curation.novelty_scores``."""
     from juliadb_jl_spark.functions.text import arrow_shingles
+    p4 = 4 * df.sparkSession.sparkContext.defaultParallelism
     return (df.select(F.explode(F.array_distinct(
         arrow_shingles(F.col(text_col), n))).alias("gram"))
+        .repartition(p4, "gram")  # r6 bounded-agg rule (rung catches)
         .distinct())
 
 
