@@ -525,6 +525,15 @@ def frequent_phrases(df: DataFrame, n: int = 3, min_count: int = 10,
         raise ValueError(f"method must be 'arrow' or 'expr' "
                          f"(got {method!r})")
     g = _spread(df).select(F.explode(grams).alias("phrase"))
+    if not prune:
+        # unpruned, the gram stream's long tail is singleton phrases —
+        # map-side partial agg combines nothing and builds a per-task
+        # map of nearly every distinct gram (the r6 bounded-agg rung
+        # class). Pre-partition by phrase so each count map holds
+        # distinct/partitions. The pruned path keeps map-side combine:
+        # its stream is frequent-grams-only, which combines well.
+        p4 = 4 * df.sparkSession.sparkContext.defaultParallelism
+        g = g.repartition(p4, "phrase")
     if prune:
         wf = word_freqs(df, text_col, lowercase=lowercase) \
             .filter(F.col("freq") >= min_count).select("word")
