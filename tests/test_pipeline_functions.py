@@ -164,17 +164,18 @@ def test_release_scratch_unpersists_operator_cache(spark, tables):
     # ADVICE r2 (low): lazy-result operators persist shared intermediates;
     # release_scratch() is the documented cleanup path for long sessions
     import juliadb_jl_spark as jdb
-    from juliadb_jl_spark.functions.dedup import duplicate_spans
     from juliadb_jl_spark.functions.text import collocations
     jdb.release_scratch(blocking=True)  # flush leftovers from other tests
     docs = tables["documents"].df
-    duplicate_spans(docs, "doc_id", k=20).count()
+    # NOTE r6: duplicate_spans no longer persists its window-fp table
+    # (the 5M-doc rung showed the cache pinning the memory its own
+    # keeper aggregation needs); collocations still registers scratch.
     collocations(docs, "text").count()
     released = jdb.release_scratch(blocking=True)
-    assert released >= 2
+    assert released >= 1
     assert jdb.release_scratch() == 0
     # operators still work after release (they re-persist)
-    assert duplicate_spans(docs, "doc_id", k=20).count() >= 0
+    assert collocations(docs, "text").count() >= 0
     jdb.release_scratch(blocking=True)
 
 
