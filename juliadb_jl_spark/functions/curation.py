@@ -753,10 +753,31 @@ def apply_funnel(df: DataFrame,
     return df.filter(cum)
 
 
+# split-size hint cache for split_leakage: plan semanticHash →
+# (n_eval, n_train). Perf-only (drives spread decisions); stale entries
+# cannot change output — same contract and caveats as
+# dedup._DUP_STATS_MEMO (call-site note there).
+_SPLIT_SIZE_MEMO: dict[tuple, tuple[int, int]] = {}
+
+
+def _doc_gram_offsets(ts: list, n: int):
+    """(joined_text, char offsets): gram i of a token list is
+    js[off[i]:off[i+n]-1] — exactly ' '.join(ts[i:i+n]), bit-identical
+    to shingles()/arrow_shingles (empty tokens preserved)."""
+    js = " ".join(ts)
+    off = [0] * (len(ts) + 1)
+    p = 0
+    for j, t in enumerate(ts):
+        p += len(t) + 1
+        off[j + 1] = p
+    return js, off
+
+
 def split_leakage(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", split_col: str = "split",
                   train: str = "train", n: int = 5,
-                  prune: str | None = "broadcast",
+                  prune: str | None = "auto",
+                  max_eval_grams: int = 1 << 20,
                   bloom_bits: int = 1 << 26) -> DataFrame:
     """Train→eval leakage report for an already-split corpus: for every
     NON-train document, the fraction of its distinct word n-grams that
@@ -767,26 +788,203 @@ def split_leakage(df: DataFrame, id_col: str = "doc_id",
 
     Scale (100 TB): the train side is corpus-sized, but only train
     grams that ALSO occur in the eval split can ever score a hit — so
-    the train gram stream is pruned against the (much smaller) eval
-    gram set BEFORE any train-side exchange. With ``prune="broadcast"``
-    (default) the eval distinct-gram set broadcasts into a semi-join:
-    the train side crosses ZERO exchange (one scan + broadcast filter),
-    and every remaining shuffle is eval-bounded. When the eval gram set
-    itself exceeds broadcast limits, ``prune="bloom"`` compresses it to
-    a `bloom_bits`-bit bitmap (8 MiB at the default 2^26) — Bloom false
-    positives only admit extra REAL train grams that then match no eval
-    gram, so the result is identical. ``prune=None`` is the old shape
-    (both sides hash-partition on the gram key) for the corpus-vs-
-    corpus case where neither set nor bitmap-miss-rate is small."""
-    from juliadb_jl_spark.functions.dedup import _spread
+    the train gram stream must be pruned against the (much smaller)
+    eval gram set BEFORE any train-side exchange. Prune modes:
+
+    - ``"fused"``: the prune reaches the gram BUILD itself — TWO jobs
+      total. Job 1 streams the eval split once, emitting each doc's
+      distinct grams (per-doc dedup in the Arrow pass, no explode, no
+      exchange); the driver keeps the per-doc lists and their union
+      S_e. Job 2 streams the train split once: each train gram is
+      built and set-tested against the task-broadcast S_e BEFORE
+      emitting, so only matching grams (⊆ S_e, task-deduped) ever
+      cross the Arrow boundary — the train side does zero array
+      materialization, zero explode, zero exchange. Scoring is then a
+      driver-local set intersection per eval doc (the per-doc lists
+      are already in hand). Exact — set membership has no false
+      positives. Requires the eval gram occurrence lists to fit on
+      the driver.
+    - ``"auto"`` (default): runs job 1 with a per-task row cap of
+      `max_eval_grams`; on overflow (sentinel or driver-side total)
+      falls back to the scale-safe ``None`` shape — so nothing
+      unbounded is ever collected or broadcast by default.
+    - ``"broadcast"``: JVM broadcast semi-join of the train gram
+      stream against the eval distinct-gram set (grams still built for
+      every train doc — the fused path exists because this build was
+      the measured cost at corpus scale).
+    - ``"bloom"``: the eval gram set compressed to a `bloom_bits`-bit
+      bitmap (8 MiB at the default 2^26) when it exceeds broadcast
+      limits — Bloom false positives only admit extra REAL train grams
+      that then match no eval gram, so the result is identical. The
+      pruned bench set is NOT force-broadcast (it can be near
+      eval-sized); AQE sizes that join at runtime.
+    - ``None``: both sides hash-partition on the gram key — the
+      corpus-vs-corpus shape where neither set nor bitmap-miss-rate is
+      small."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from juliadb_jl_spark.functions.text import tokens
     is_train = F.col(split_col) == train
-    sp = _spread(df)
-    ev = sp.filter(~is_train)
+    # ONE column-pruned counting pass (split_col only — the text column
+    # chunks are never read) sizes both sides exactly, replacing both
+    # the old gate-estimate job and any blind repartition: each side is
+    # spread only when its row count says the per-doc Python work
+    # outweighs an exchange, and to only as many partitions as the work
+    # fills. Filters sit BELOW the spread, so a job exchanges at most
+    # its own split's text, never the whole corpus. Counts are memoized
+    # on the plan's semantic hash (the dedup._DUP_STATS_MEMO pattern:
+    # performance-only hints, a stale hit cannot change output).
+    memo_key = None
+    try:
+        memo_key = (df.semanticHash(), split_col, train)
+    except Exception:
+        pass
+    if memo_key is not None and memo_key in _SPLIT_SIZE_MEMO:
+        n_ev, n_tr = _SPLIT_SIZE_MEMO[memo_key]
+    else:
+        cnt = {r["__t"]: r["count"] for r in
+               df.groupBy(is_train.alias("__t")).count().collect()}
+        n_ev, n_tr = cnt.get(False, 0), cnt.get(True, 0)
+        if memo_key is not None:
+            if len(_SPLIT_SIZE_MEMO) > 256:
+                _SPLIT_SIZE_MEMO.clear()
+            _SPLIT_SIZE_MEMO[memo_key] = (n_ev, n_tr)
+    par = df.sparkSession.sparkContext.defaultParallelism
+
+    def _nparts(rows):
+        return 1 if rows <= 10_000 else min(par, -(-rows // 4000))
+
+    def _side(flt, rows):
+        side = df.filter(flt)
+        p = _nparts(rows)
+        # p == 1: stage overhead > serial Python work — skip the exchange
+        return side if p == 1 else side.repartition(p)
+
+    ev = _side(~is_train, n_ev)
+    tr = _side(is_train, n_tr)
+
+    if prune in ("auto", "fused"):
+        from pyspark.sql import types as T
+        sc = df.sparkSession.sparkContext
+        # Per-task cap: "auto" bounds every task's emitted rows — and so
+        # the worst-case transient driver collect on the overflow path
+        # (≤ n_parts × cap) — then falls back to the scale-safe shuffle
+        # shape; explicit "fused" trusts the caller. A skew-induced
+        # false overflow only costs the fused fast path, never
+        # correctness.
+        cap = (max(max_eval_grams // _nparts(n_ev), 50_000)
+               if prune == "auto" else (1 << 62))
+        out_schema = T.StructType([
+            T.StructField("__id", df.schema[id_col].dataType),
+            T.StructField("__split", df.schema[split_col].dataType),
+            T.StructField("__g", T.StringType())])
+
+        def _eval_doc_grams(it):
+            # Job 1: one row per (eval doc, distinct gram) — per-doc
+            # dedup happens HERE, so no JVM distinct exchange and no
+            # per-doc array materialization. A gram-NULL row keeps
+            # zero-gram docs visible; an id-NULL sentinel row signals
+            # cap overflow.
+            emitted = 0
+            for pdf in it:
+                ids, sps, gs = [], [], []
+                for di, sp_, toks in zip(pdf["__id"], pdf["__split"],
+                                         pdf["__toks"]):
+                    ts = list(toks) if toks is not None else []
+                    nn = len(ts)
+                    if nn < n:
+                        ids.append(di)
+                        sps.append(sp_)
+                        gs.append(None)
+                        continue
+                    js, off = _doc_gram_offsets(ts, n)
+                    seen = {js[off[i]:off[i + n] - 1]
+                            for i in range(nn - n + 1)}
+                    emitted += len(seen)
+                    if emitted > cap:
+                        yield pd.DataFrame(
+                            {"__id": [None], "__split": [None],
+                             "__g": [None]})
+                        return
+                    ids.extend([di] * len(seen))
+                    sps.extend([sp_] * len(seen))
+                    gs.extend(seen)
+                yield pd.DataFrame({"__id": ids, "__split": sps,
+                                    "__g": gs})
+
+        ev_toks = ev.select(F.col(id_col).alias("__id"),
+                            F.col(split_col).alias("__split"),
+                            tokens(F.col(text_col)).alias("__toks"))
+        ev_pdf = ev_toks.mapInPandas(_eval_doc_grams,
+                                     out_schema).toPandas()
+        overflow = (ev_pdf["__id"].isna().any()
+                    or len(ev_pdf) > max_eval_grams)
+        if prune == "auto" and overflow:
+            prune = None            # scale-safe shuffle shape below
+        else:
+            prune = "fused"
+
+    if prune == "fused":
+        docs: dict = {}
+        se: set = set()
+        for di, sp_, g in zip(ev_pdf["__id"], ev_pdf["__split"],
+                              ev_pdf["__g"]):
+            rec = docs.get(di)
+            if rec is None:
+                rec = docs[di] = (sp_, set())
+            if g is not None:
+                rec[1].add(g)
+                se.add(g)
+        bc_se = sc.broadcast(frozenset(se))
+
+        def _matched(it):
+            # Job 2: each train gram is built and S_e-tested BEFORE
+            # emission — only candidate grams (task-deduped, ⊆ S_e)
+            # cross the Arrow boundary.
+            se_ = bc_se.value
+            emitted: set = set()
+            for pdf in it:
+                new = []
+                for toks in pdf["__toks"]:
+                    ts = list(toks) if toks is not None else []
+                    nn = len(ts)
+                    if nn < n:
+                        continue
+                    js, off = _doc_gram_offsets(ts, n)
+                    for i in range(nn - n + 1):
+                        g = js[off[i]:off[i + n] - 1]
+                        if g in se_ and g not in emitted:
+                            emitted.add(g)
+                            new.append(g)
+                yield pd.DataFrame({"__g": new})
+
+        hits = (tr.select(tokens(F.col(text_col)).alias("__toks"))
+                .mapInPandas(_matched, "__g string").toPandas())
+        h = frozenset(hits["__g"])
+        rows = []
+        for di, (sp_, grams) in docs.items():
+            ng = len(grams)
+            nh = sum(1 for g in grams if g in h)
+            # numpy scalars from pandas → plain Python for createDataFrame
+            di = di.item() if hasattr(di, "item") else di
+            sp_ = sp_.item() if hasattr(sp_, "item") else sp_
+            rows.append((di, sp_, ng, nh,
+                         (nh / ng) if ng > 0 else 0.0))
+        from pyspark.sql import types as T
+        res_schema = T.StructType([
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField(split_col, df.schema[split_col].dataType),
+            T.StructField("n_grams", T.LongType()),
+            T.StructField("n_hits", T.LongType()),
+            T.StructField("contamination", T.DoubleType())])
+        return df.sparkSession.createDataFrame(rows, res_schema)
+
     ev_grams = ev.select(
         F.col(id_col), F.col(split_col),
         F.explode_outer(F.array_distinct(arrow_shingles(F.col(text_col), n)))
         .alias("__g"))
-    tg = sp.filter(is_train).select(
+    tg = tr.select(
         F.explode(F.array_distinct(arrow_shingles(F.col(text_col), n)))
         .alias("__g"))
     if prune == "broadcast":
@@ -805,12 +1003,22 @@ def split_leakage(df: DataFrame, id_col: str = "doc_id",
               .filter(_bloom_cond("__g", "__bf", bloom_bits, 5))
               .drop("__bf"))
     elif prune is not None:
-        raise ValueError(f"prune must be 'broadcast', 'bloom' or None "
-                         f"(got {prune!r})")
+        raise ValueError(f"prune must be 'auto', 'fused', 'broadcast', "
+                         f"'bloom' or None (got {prune!r})")
     bench = tg.distinct().withColumn("__hit", F.lit(1))
-    if prune is not None:
-        # pruned bench ⊆ eval gram set (+ bloom fp grams) — broadcastable
+    if prune == "broadcast":
+        # pruned bench ⊆ eval gram set, which broadcast-pruned already —
+        # broadcastable by the caller's own choice of this mode. The
+        # bloom path does NOT force-broadcast (its bench can approach
+        # eval-gram-set size); AQE sizes that join at runtime.
         bench = F.broadcast(bench)
+    else:
+        # Catalyst's static size estimate under a pandas-UDF gram build
+        # is fiction — without a hint the planner broadcast a 6.5 GiB
+        # unpruned train-gram set at the 5M-doc rung (the duplicate_
+        # spans r6 lesson). Pin the sort-merge join; AQE still splits
+        # skewed gram keys at runtime.
+        bench = bench.hint("merge")
     joined = ev_grams.join(bench, "__g", "left")
     n_grams = F.sum(F.col("__g").isNotNull().cast("long"))
     n_hits = F.sum(F.coalesce(F.col("__hit"), F.lit(0)).cast("long"))

@@ -677,6 +677,15 @@ def test_split_leakage_prune_modes_identical(spark, tables):
     # tiny bitmap forces a real false-positive rate — still identical
     assert base == key(CU.split_leakage(docs, n=5, prune="bloom",
                                         bloom_bits=1 << 10).collect())
+    # fused prune-in-the-gram-build path (r7 default via "auto")
+    assert base == key(CU.split_leakage(docs, n=5,
+                                        prune="fused").collect())
+    assert base == key(CU.split_leakage(docs, n=5,
+                                        prune="auto").collect())
+    # a tiny cap makes "auto" overflow and fall back to the scale-safe
+    # shuffle shape — still identical
+    assert base == key(CU.split_leakage(docs, n=5, prune="auto",
+                                        max_eval_grams=10).collect())
     with pytest.raises(ValueError):
         CU.split_leakage(docs, prune="flux")
 
