@@ -462,7 +462,7 @@ def arrow_shingles(col: Column, k: int = 3) -> Column:
 def frequent_phrases(df: DataFrame, n: int = 3, min_count: int = 10,
                      text_col: str = "text", lowercase: bool = True,
                      k: int | None = None,
-                     prune: bool = True,
+                     prune: bool = False,
                      method: str = "arrow") -> DataFrame:
     """Frequent-phrase mining: all word n-grams occurring at least
     `min_count` times in the corpus (optionally the top `k` by
@@ -473,22 +473,22 @@ def frequent_phrases(df: DataFrame, n: int = 3, min_count: int = 10,
 
     Scale (100 TB): naive n-gram counting shuffles a gram table whose
     long tail is singleton grams — nearly corpus-token-sized for
-    n >= 3. This op applies the Apriori prune: a gram with count >=
-    min_count can only consist of words with count >= min_count (every
-    gram occurrence contains each of its words), so grams containing
-    any infrequent word are dropped BEFORE the count shuffle and the
-    result is provably identical to the brute count (`prune=False`
-    skips it — differential-tested equal). The prune is n broadcast
-    SEMI-JOINS of the exploded gram rows against the frequent-word
-    table, one per word position — all JVM hash lookups, evaluated
-    once per gram row. (A first draft carried the frequent set as a
-    literal map probed inside the per-doc HOF chain; nested HOF
-    expressions re-evaluate their arguments per element interpreted,
-    which went quadratic per document — 260 s for 50k docs vs ~15 s
-    with the join form. The frequent-word table is bounded by
-    total_tokens/min_count and never touches the driver.) One
-    vocabulary pass + one pruned gram shuffle with map-side combine;
-    top-k is TakeOrdered.
+    n >= 3. Since r7 the count rides a 128-bit hashed gram key (see
+    the inline note), which shrinks every shuffle entry to 24 bytes
+    regardless of phrase length; the historical Apriori prune
+    (`prune=True`: a gram with count >= min_count can only consist of
+    words with count >= min_count, so grams containing any infrequent
+    word are dropped before the count shuffle — provably identical
+    output, differential-tested) is KEPT as the verification
+    alternative but is no longer the default: its n broadcast
+    semi-joins over every gram occurrence cost more at the 5M-doc rung
+    than the hashed count they used to protect (r6 prune path 334 s →
+    r7 hashed unpruned ~100 s; the prune's word-table pass alone is
+    9 s). (Historical negative result, kept for the record: carrying
+    the frequent set as a literal map probed inside the per-doc HOF
+    chain re-evaluates interpreted per element and went quadratic —
+    260 s for 50k docs vs ~15 s as broadcast semi-joins.)
+    Top-k is TakeOrdered after text recovery, so tie-breaks are exact.
 
     The gram build itself defaults to the fused Arrow pass
     (`method="arrow"`: tokens cross the Arrow boundary once, each gram
@@ -525,29 +525,94 @@ def frequent_phrases(df: DataFrame, n: int = 3, min_count: int = 10,
         raise ValueError(f"method must be 'arrow' or 'expr' "
                          f"(got {method!r})")
     g = _spread(df).select(F.explode(grams).alias("phrase"))
-    if not prune:
-        # unpruned, the gram stream's long tail is singleton phrases —
-        # map-side partial agg combines nothing and builds a per-task
-        # map of nearly every distinct gram (the r6 bounded-agg rung
-        # class). Pre-partition by phrase so each count map holds
-        # distinct/partitions. The pruned path keeps map-side combine:
-        # its stream is frequent-grams-only, which combines well.
-        p4 = 4 * df.sparkSession.sparkContext.defaultParallelism
-        g = g.repartition(p4, "phrase")
+    # The count aggregation rides a 128-bit hashed gram key (2× seeded
+    # xxhash64 — the novelty_scores r6 trick): phrase TEXT never crosses
+    # the count shuffle, whose entries shrink to 24 bytes however long
+    # the phrases are. Text is recovered afterwards by joining the gram
+    # stream back against the (frequent-set-sized, broadcastable) hash
+    # counts and taking min(phrase) per key with map-side combine — only
+    # frequent phrases' text moves, and tie-break/top-k semantics stay
+    # exact because ordering happens after recovery. Cross-lane hash
+    # collisions would merge two phrases' counts (probabilistic,
+    # ~1e-20 at 1e9 grams — the documented novelty_scores contract).
+    hkeys = [F.xxhash64(F.col("phrase"), F.lit(1)).alias("__h1"),
+             F.xxhash64(F.col("phrase"), F.lit(2)).alias("__h2")]
+    gc = g
     if prune:
+        # Apriori prune on the COUNT input only — the recovery pass
+        # needs no prune, its inner join against the frequent-fp set
+        # prunes perfectly by construction.
         wf = word_freqs(df, text_col, lowercase=lowercase) \
             .filter(F.col("freq") >= min_count).select("word")
         words = F.split(F.col("phrase"), " ")
         for i in range(n):
-            g = g.withColumn(f"__w{i}", words.getItem(i)) \
+            gc = gc.withColumn(f"__w{i}", words.getItem(i)) \
                 .join(F.broadcast(wf.withColumnRenamed("word", f"__w{i}")),
                       f"__w{i}", "left_semi")
-        g = g.select("phrase")
-    out = (g.groupBy("phrase").agg(F.count(F.lit(1)).alias("freq"))
+        gc = gc.select("phrase")
+    gc = gc.select(*hkeys)
+    if not prune:
+        # unpruned, the stream's long tail is singleton grams — map-side
+        # partial agg combines nothing and builds a per-task map of
+        # nearly every distinct key (the r6 bounded-agg rung class).
+        # Pre-partition by the hash key so each count map holds
+        # distinct/partitions — now 24-byte rows, not phrase text.
+        p4 = 4 * df.sparkSession.sparkContext.defaultParallelism
+        gc = gc.repartition(p4, "__h1", "__h2")
+    cnt = (gc.groupBy("__h1", "__h2")
+           .agg(F.count(F.lit(1)).alias("freq"))
            .filter(F.col("freq") >= min_count))
-    if k is not None:
-        out = out.orderBy(F.desc("freq"), F.asc("phrase")).limit(k)
-    return out
+
+    def _recover(matches):
+        return (g.select(F.col("phrase"), *hkeys)
+                .join(matches, ["__h1", "__h2"])
+                .groupBy("__h1", "__h2", "freq")
+                .agg(F.min("phrase").alias("phrase"))
+                .select("phrase", "freq"))
+
+    if k is None:
+        # Full report: the output IS the frequent set (38M rows at the
+        # 5M-doc rung — NOT broadcastable). Honest sort-merge recovery:
+        # the gram stream's text crosses one fp-keyed exchange, the
+        # recovery agg reuses that partitioning.
+        return _recover(cnt.hint("merge"))
+    # Top-k: recover text for only the candidate fps at/above the exact
+    # k-th frequency. cnt is persisted for the two jobs that need it
+    # (threshold + recovery) and released deterministically — the ≤k
+    # result rows are materialized eagerly, so no lazy plan outlives
+    # the persist.
+    cnt = cnt.persist()
+    try:
+        # Exact k-th frequency via the frequency HISTOGRAM — one tiny
+        # aggregation (rows = distinct frequency values), walked down on
+        # the driver. Also yields the exact candidate count, so the
+        # recovery join form is chosen deliberately instead of trusting
+        # a planner estimate of a filtered post-shuffle side.
+        hist = sorted(((r["freq"], r["count"]) for r in
+                       cnt.groupBy("freq").count().collect()),
+                      reverse=True)
+        if not hist:
+            return df.sparkSession.createDataFrame(
+                [], "phrase string, freq long")
+        kth, n_cand = hist[0][0], 0
+        for fval, c in hist:
+            kth = fval
+            n_cand += c
+            if n_cand >= k:
+                break
+        cand = cnt.filter(F.col("freq") >= kth)
+        if n_cand <= 2_000_000:
+            cand = F.broadcast(cand)
+        else:
+            # boundary ties blew the candidate set up — honest SMJ
+            cand = cand.hint("merge")
+        rows = (_recover(cand)
+                .orderBy(F.desc("freq"), F.asc("phrase")).limit(k)
+                .collect())
+    finally:
+        cnt.unpersist()
+    return df.sparkSession.createDataFrame(
+        rows, "phrase string, freq long")
 
 
 def decode_tokens(df: DataFrame, id_col: str, vocab: DataFrame,
