@@ -271,7 +271,8 @@ def contamination_report(corpus: DataFrame, benchmark: DataFrame,
 
 
 def novelty_scores(df: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text", n: int = 5) -> DataFrame:
+                   text_col: str = "text", n: int = 5,
+                   method: str = "hashed") -> DataFrame:
     """Per-document n-gram novelty against the rest of the corpus: the
     fraction of a doc's DISTINCT word n-grams that appear in no other
     document. Low novelty flags boilerplate/templated/memorized text
@@ -294,6 +295,9 @@ def novelty_scores(df: DataFrame, id_col: str = "doc_id",
       24-byte rows, not ~60-byte strings. Collision odds over 10^9
       distinct grams are ~10^-20 — the same md5-fingerprint exactness
       class the exact-dedup family already stands on.
+      ``method="exact"`` keys the same plan on the gram TEXT instead
+      (the pre-r6 shape) — the differential-testing escape hatch for
+      the probabilistic contract (ADVICE r6).
     - The frequency count pre-partitions BY THE KEY onto
       4×parallelism partitions and aggregates within them (for a
       high-entropy corpus the map-side partial agg combines nothing
@@ -309,15 +313,23 @@ def novelty_scores(df: DataFrame, id_col: str = "doc_id",
         F.explode_outer(F.array_distinct(
             arrow_shingles(F.col(text_col), n))).alias("__g"))
     has = F.col("__g").isNotNull()
-    hg = grams.select(
-        F.col(id_col), has.alias("__has"),
-        F.when(has, F.xxhash64("__g", F.lit(1))).alias("__h1"),
-        F.when(has, F.xxhash64("__g", F.lit(2))).alias("__h2"))
-    dfreq = (hg.filter("__has").select("__h1", "__h2")
-             .repartition(4 * p, "__h1", "__h2")
-             .groupBy("__h1", "__h2")
+    if method == "hashed":
+        keys = ["__h1", "__h2"]
+        hg = grams.select(
+            F.col(id_col), has.alias("__has"),
+            F.when(has, F.xxhash64("__g", F.lit(1))).alias("__h1"),
+            F.when(has, F.xxhash64("__g", F.lit(2))).alias("__h2"))
+    elif method == "exact":
+        keys = ["__g"]
+        hg = grams.select(F.col(id_col), has.alias("__has"), "__g")
+    else:
+        raise ValueError(f"method must be 'hashed' or 'exact' "
+                         f"(got {method!r})")
+    dfreq = (hg.filter("__has").select(*keys)
+             .repartition(4 * p, *keys)
+             .groupBy(*keys)
              .agg(F.count(F.lit(1)).alias("__df")))
-    joined = hg.join(dfreq, ["__h1", "__h2"], "left")
+    joined = hg.join(dfreq, keys, "left")
     n_grams = F.sum(F.col("__has").cast("long"))
     n_shared = F.sum((F.coalesce(F.col("__df"), F.lit(0)) >= 2)
                      .cast("long"))

@@ -74,16 +74,58 @@ def _spread(df: DataFrame) -> DataFrame:
     which serializes all per-doc expression work. Spread across cores;
     the shuffle is tiny relative to the per-row compute it parallelizes.
 
-    Skipped when the plan already yields enough partitions (a cached
-    bench input, a multi-file 100-TB scan): repartitioning an already-
-    parallel corpus is a pure-cost full shuffle — at scale the single
-    biggest avoidable data movement in every document op."""
-    p = df.sparkSession.sparkContext.defaultParallelism
+    Skipped when the SCAN already splits wide enough (a multi-file /
+    multi-hundred-GB 100-TB corpus): repartitioning an already-parallel
+    corpus is a pure-cost full shuffle — at scale the single biggest
+    avoidable data movement in every document op. The parallelism
+    estimate comes from the plan's input files (count, and bytes ÷
+    maxPartitionBytes where stat-able) — NOT from
+    ``rdd.getNumPartitions()``, which forces a second full physical
+    planning per call and, downstream of a shuffle, reports
+    ``spark.sql.shuffle.partitions`` even when the data sits skewed in
+    one partition (ADVICE r6). Non-scan inputs (post-shuffle,
+    createDataFrame) always repartition — the unconditional pre-r6
+    behavior, which guarantees the spread this helper exists for."""
+    import os as _os
+    import re as _re
+    from urllib.parse import unquote, urlparse
+
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
     try:
-        if df.rdd.getNumPartitions() >= p:
+        # An explicit repartition already upstream (typically a prior
+        # _spread in a composed document op) — spreading again would be
+        # a second full exchange of the same corpus. Logical-plan check:
+        # analysis is already cached, no physical planning happens.
+        if "Repartition" in df._jdf.queryExecution().analyzed().toString():
             return df
     except Exception:
-        pass  # un-planable edge (e.g. streaming) → keep the old behavior
+        pass
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        if len(files) >= p:
+            return df
+        try:
+            mpb = int(_re.match(
+                r"\d+", spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                       "134217728")).group())
+        except Exception:
+            mpb = 134217728
+        est = 0
+        for u in files:
+            if u.startswith("file:"):
+                try:
+                    sz = _os.path.getsize(unquote(urlparse(u).path))
+                    est += max(1, -(-sz // mpb))
+                except OSError:
+                    est += 1
+            else:
+                est += 1    # remote: can't stat — count the file once
+            if est >= p:
+                return df
     return df.repartition(p)
 
 

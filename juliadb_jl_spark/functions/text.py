@@ -632,8 +632,14 @@ def decode_tokens(df: DataFrame, id_col: str, vocab: DataFrame,
                       .alias("__pos", "__tid"))
     v = vocab.select(F.col("token_id").alias("__tid"),
                      F.col("word").alias("__w"))
+    # Keyed on __pos, not __tid: a NULL ELEMENT inside token_ids still
+    # occupies a position and must render as `unk` — keying on the id
+    # would leave its word NULL, array_join would skip it, and the
+    # decoded text would silently desynchronize from the id array
+    # length (ADVICE r6). Only the posexplode_outer row of an
+    # empty/NULL array (pos NULL) decodes to no entry.
     dec = (pairs.join(F.broadcast(v), "__tid", "left")
-           .withColumn("__w", F.when(F.col("__tid").isNotNull(),
+           .withColumn("__w", F.when(F.col("__pos").isNotNull(),
                                      F.coalesce("__w", F.lit(unk)))))
     entry = F.when(F.col("__pos").isNotNull(),
                    F.struct("__pos", "__w"))  # empty doc → no entries

@@ -424,6 +424,21 @@ def test_novelty_scores_golden(spark):
     assert (got[4]["n_grams"], got[4]["n_shared"], got[4]["novelty"]) == (0, 0, 1.0)
 
 
+def test_novelty_scores_hashed_equals_exact(spark, tables):
+    """method='exact' (gram-text keys, the pre-r6 shape) is the
+    differential escape hatch for the hashed probabilistic contract —
+    both must agree on real data (ADVICE r6)."""
+    docs = tables["documents"].df
+    def key(rows):
+        return sorted((r["doc_id"], r["n_grams"], r["n_shared"],
+                       round(r["novelty"], 9)) for r in rows)
+    assert key(CU.novelty_scores(docs, "doc_id", n=5).collect()) == \
+        key(CU.novelty_scores(docs, "doc_id", n=5,
+                              method="exact").collect())
+    with pytest.raises(ValueError):
+        CU.novelty_scores(docs, "doc_id", method="flux")
+
+
 # ---------------------------------------------------------------------------
 # Paragraph-level dedup
 # ---------------------------------------------------------------------------

@@ -1118,6 +1118,18 @@ def test_decode_tokens_unknown_id_renders_unk(spark):
     assert out["text_decoded"] == "hello <unk>"
 
 
+def test_decode_tokens_null_element_keeps_position(spark):
+    """A NULL inside token_ids still occupies a position and must render
+    as unk — dropping it would desynchronize the decoded text from the
+    id-array length (ADVICE r6)."""
+    from juliadb_jl_spark.functions.text import decode_tokens
+    vocab = spark.createDataFrame([(7, "hello")], ["token_id", "word"])
+    enc = spark.createDataFrame([(0, [7, None, 7])],
+                                "doc_id long, token_ids array<int>")
+    out = decode_tokens(enc, "doc_id", vocab).collect()[0]
+    assert out["text_decoded"] == "hello <unk> hello"
+
+
 def test_normalize_text_golden(spark):
     from juliadb_jl_spark.functions.text import normalize_text
     rows = [
