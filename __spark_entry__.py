@@ -4322,6 +4322,132 @@ def qap(spark, sf_dir):
             .orderBy("s_suppkey"))
 
 
+@_q("qaq_supplier_part_counts", """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""")
+def qaq(spark, sf_dir):
+    """TPC-H Q16 shape (supplier-part distinct count; lineitem's
+    (part, supp) pairs stand in for partsupp, negative-balance
+    suppliers for the complaints NOT IN): how many distinct suppliers
+    can provide each qualifying (brand, type, size). The NOT IN
+    subquery is a broadcast anti-join against the (tiny) excluded-
+    supplier list, the part filter broadcasts into the lineitem scan,
+    and the corpus-scale side crosses ONE exchange — the
+    countDistinct's group-key shuffle (partial dedup map-side)."""
+    li = read_table(spark, sf_dir, "lineitem") \
+        .select("l_partkey", "l_suppkey")
+    part = read_table(spark, sf_dir, "part") \
+        .filter((F.col("p_brand") != "Brand#1") &
+                F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)) \
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = read_table(spark, sf_dir, "supplier") \
+        .filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (li.join(F.broadcast(bad),
+                    li.l_suppkey == bad.s_suppkey, "left_anti")
+            .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type",
+                     "p_size"))
+
+
+@_q("qar_large_orders", """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_c,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY total_c DESC, o_orderdate, o_orderkey
+LIMIT 100
+""")
+def qar(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders, IN-subquery on an
+    aggregate): customers whose order exceeds 150 total units. The
+    HAVING subquery IS the main aggregation — computed once and reused
+    (no second lineitem pass for the IN): sum per order, filter, then
+    join customer/orders onto the (small) qualifying set. lineitem
+    crosses one order-keyed exchange; quantities are integral in the
+    testdata so the sums compare exactly as longs."""
+    li = read_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("__sq"))
+           .filter(F.col("__sq") > 150))
+    orders = read_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cust = read_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_name")
+    return (big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust),
+                  orders.o_custkey == cust.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    _cents(F.col("o_totalprice")).alias("total_c"),
+                    F.col("__sq").cast("long").alias("sum_qty"))
+            .orderBy(F.desc("total_c"), "o_orderdate", "o_orderkey")
+            .limit(100))
+
+
+@_q("qas_disjunctive_revenue", """
+SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT)))
+            AS BIGINT) AS revenue_c4
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""")
+def qas(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive mixed-table predicate): revenue
+    from three OR'ed brand/size/quantity clauses. The single-table
+    conjuncts are factored OUT of the disjunction so they reach the
+    scans — part prunes to the union of brand/size ranges BEFORE the
+    broadcast join, lineitem keeps a quantity range filter at the scan
+    (PushedFilters), and only rows surviving both see the residual OR.
+    One broadcast join, one scalar aggregate, zero fact-side
+    exchanges."""
+    li = read_table(spark, sf_dir, "lineitem") \
+        .select("l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount") \
+        .filter(F.col("l_quantity").between(1, 30))
+    part = read_table(spark, sf_dir, "part") \
+        .select("p_partkey", "p_brand", "p_size") \
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &
+                F.col("p_size").between(1, 15))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") &
+         F.col("p_size").between(1, 5) &
+         F.col("l_quantity").between(1, 11)) |
+        ((F.col("p_brand") == "Brand#2") &
+         F.col("p_size").between(1, 10) &
+         F.col("l_quantity").between(10, 20)) |
+        ((F.col("p_brand") == "Brand#3") &
+         F.col("p_size").between(1, 15) &
+         F.col("l_quantity").between(20, 30)))
+    # per-row integer c4 BEFORE the sum (order-independent, the suite's
+    # exact-money convention)
+    rev_c4 = _cents(F.col("l_extendedprice")) * \
+        (100 - _cents(F.col("l_discount")))
+    return (li.join(F.broadcast(part),
+                    li.l_partkey == part.p_partkey)
+            .filter(cond)
+            .agg(F.sum(rev_c4).cast("long").alias("revenue_c4")))
+
+
 _PROFILE_COLS = [("event_id", "bigint"), ("user_id", "bigint"),
                  ("event_type", "string"), ("props", "string")]
 _PROFILE_SQL = "\nUNION ALL ".join(f"""
@@ -4584,15 +4710,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return 0
         if k[:3] in ("q9j", "q9k", "q9r"):
             return 1
+        if "qaq" <= k < "qat":
+            return 2          # r7-new TPC-H Q16/Q18/Q19 shapes
         if ("q53" <= k < "q91") or ("q9b" <= k < "q9g"):
-            return 2
-        if "qa0" <= k < "qam":
             return 3
-        if "qam" <= k < "qaq":
+        if "qa0" <= k < "qam":
             return 4
-        if ("q19" <= k < "q53") or ("q91" <= k < "q99"):
+        if "qam" <= k < "qaq":
             return 5
-        return 6
+        if ("q19" <= k < "q53") or ("q91" <= k < "q99"):
+            return 6
+        return 7
 
     return {k: _REG[k] for k in sorted(_REG, key=lambda k: (_prio(k), k))}
 
