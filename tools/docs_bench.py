@@ -76,13 +76,20 @@ def main():
             print(f"docs-bench error in {name}: {ex}", file=sys.stderr)
             results[name] = -1.0
         print(f"# {name}: {results[name]}s", file=sys.stderr)
-    print(json.dumps({
+    out = json.dumps({
         "metric": "docs_rung_total_sec",
         "value": round(sum(v for v in results.values() if v >= 0), 2),
         "unit": "sec", "queries": results, "queries_cpu": cpu,
         "n_docs": n_docs, "rung": rung,
         "load": [round(x, 2) for x in os.getloadavg()],
-    }))
+    })
+    print(out)
+    # tracked gate artifact (VERDICT r6 #7): BENCH_DOCS_r{N}.json diffs
+    # catch document-op rung regressions round-over-round
+    path = os.environ.get("SPARK_GRAFT_DOCS_OUT")
+    if path:
+        with open(path, "w") as f:
+            f.write(out + "\n")
 
 
 if __name__ == "__main__":
