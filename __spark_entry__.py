@@ -4448,6 +4448,185 @@ def qas(spark, sf_dir):
             .agg(F.sum(rev_c4).cast("long").alias("revenue_c4")))
 
 
+@_q("qat_forecast_revenue", """
+SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * CAST(round(l_discount*100) AS BIGINT))
+            AS BIGINT) AS revenue_c4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def qat(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change): one pure scan
+    aggregate — every predicate (shipdate year, discount band,
+    quantity cap) reaches the parquet scan as a pushed filter; no
+    join, no group key, one partial+final agg. The floor case of the
+    dialect: if THIS shuffles or reads extra columns, everything
+    above it is wrong too."""
+    li = read_table(spark, sf_dir, "lineitem")
+    rev_c4 = _cents(F.col("l_extendedprice")) * \
+        _cents(F.col("l_discount"))
+    return (li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) &
+        (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")) &
+        F.col("l_discount").between(0.05, 0.07) &
+        (F.col("l_quantity") < 24))
+        .agg(F.sum(rev_c4).cast("long").alias("revenue_c4")))
+
+
+@_q("qau_product_profit", """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))
+                - CAST(round(p_retailprice*100) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT) * 10)
+            AS BIGINT) AS profit_c4
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+""")
+def qau(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year; 10% of
+    part retail price per unit stands in for partsupp supplycost):
+    LIKE-filtered parts, supplier→nation chain, and the Q9 hallmark —
+    lineitem⋈orders on the order key for the year. part/supplier/
+    nation broadcast into the lineitem scan; orders is corpus-sized at
+    the target scale, so that join is left to AQE (sort-merge/shuffle
+    at scale, broadcast at bench SFs) and lineitem crosses at most the
+    orderkey exchange + the (nation, year)-keyed agg. Profit in exact
+    integer c4 on both sides."""
+    li = read_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount")
+    part = read_table(spark, sf_dir, "part") \
+        .filter(F.col("p_name").like("%red%")) \
+        .select("p_partkey", "p_retailprice")
+    sup = read_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_nationkey")
+    nat = read_table(spark, sf_dir, "nation") \
+        .select("n_nationkey", "n_name")
+    orders = read_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", F.year("o_orderdate").cast("long")
+                .alias("o_year"))
+    profit_c4 = (_cents(F.col("l_extendedprice"))
+                 * (100 - _cents(F.col("l_discount")))
+                 - _cents(F.col("p_retailprice"))
+                 * F.col("l_quantity").cast("long") * 10)
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+            .join(F.broadcast(nat),
+                  sup.s_nationkey == nat.n_nationkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(F.col("n_name").alias("nation"), "o_year")
+            .agg(F.sum(profit_c4).cast("long").alias("profit_c4"))
+            .orderBy("nation", F.desc("o_year")))
+
+
+@_q("qav_returned_items", """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT)))
+            AS BIGINT) AS revenue_c4,
+       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_c, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue_c4 DESC, c_custkey
+LIMIT 20
+""")
+def qav(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in a two-quarter window. The orderdate
+    filter prunes orders BEFORE the lineitem join, the returnflag
+    filter is pushed to the lineitem scan, nation broadcasts, and the
+    final top-20 is TakeOrdered over the customer-sized aggregate.
+    lineitem crosses the orderkey join exchange and the custkey agg —
+    the honest Q10 minimum."""
+    orders = read_table(spark, sf_dir, "orders") \
+        .filter((F.col("o_orderdate") >=
+                 F.lit("1996-01-01").cast("timestamp")) &
+                (F.col("o_orderdate") <
+                 F.lit("1996-07-01").cast("timestamp"))) \
+        .select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_returnflag") == "R") \
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    cust = read_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    nat = read_table(spark, sf_dir, "nation") \
+        .select("n_nationkey", "n_name")
+    rev_c4 = _cents(F.col("l_extendedprice")) * \
+        (100 - _cents(F.col("l_discount")))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust),
+                  orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nat),
+                  cust.c_nationkey == nat.n_nationkey)
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.sum(rev_c4).cast("long").alias("revenue_c4"))
+            .select("c_custkey", "c_name", "revenue_c4",
+                    _cents(F.col("c_acctbal")).alias("acctbal_c"),
+                    "n_name")
+            .orderBy(F.desc("revenue_c4"), "c_custkey")
+            .limit(20))
+
+
+@_q("qaw_promo_revenue", """
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                          * (100 - CAST(round(l_discount*100) AS BIGINT))
+                     ELSE 0 END) AS BIGINT) AS promo_c4,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT)))
+            AS BIGINT) AS total_c4,
+       100.0 * sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                             * (100 - CAST(round(l_discount*100) AS BIGINT))
+                        ELSE 0 END)
+             / sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l_discount*100) AS BIGINT)))
+         AS promo_share
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+""")
+def qaw(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): share of one month's revenue
+    from PROMO-type parts. Shipdate month pushed to the lineitem scan,
+    part broadcast, one scalar aggregate; the share is ONE double
+    division of two exactly-representable int64 sums so it hashes
+    identically cross-engine (the q9g convention)."""
+    li = read_table(spark, sf_dir, "lineitem") \
+        .filter((F.col("l_shipdate") >=
+                 F.lit("1996-03-01").cast("timestamp")) &
+                (F.col("l_shipdate") <
+                 F.lit("1996-04-01").cast("timestamp"))) \
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    part = read_table(spark, sf_dir, "part") \
+        .select("p_partkey", "p_type")
+    rev_c4 = _cents(F.col("l_extendedprice")) * \
+        (100 - _cents(F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", rev_c4).otherwise(F.lit(0))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .agg(F.sum(promo).cast("long").alias("promo_c4"),
+                 F.sum(rev_c4).cast("long").alias("total_c4"))
+            .select("promo_c4", "total_c4",
+                    (F.lit(100.0) * F.col("promo_c4") /
+                     F.col("total_c4")).alias("promo_share")))
+
+
 _PROFILE_COLS = [("event_id", "bigint"), ("user_id", "bigint"),
                  ("event_type", "string"), ("props", "string")]
 _PROFILE_SQL = "\nUNION ALL ".join(f"""
@@ -4710,8 +4889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return 0
         if k[:3] in ("q9j", "q9k", "q9r"):
             return 1
-        if "qaq" <= k < "qat":
-            return 2          # r7-new TPC-H Q16/Q18/Q19 shapes
+        if "qaq" <= k < "qax":
+            return 2          # r7-new TPC-H Q16/Q18/Q19 + Q6/Q9/Q10/Q14
         if ("q53" <= k < "q91") or ("q9b" <= k < "q9g"):
             return 3
         if "qa0" <= k < "qam":
