@@ -66,8 +66,12 @@ HEADLINE = [
 
 def _proc_tree_cpu(root: int) -> float | None:
     """Total utime+stime (seconds) of `root` plus every live descendant
-    process.  Long-lived PySpark daemon workers make the live-only sum
-    accurate; a worker dying mid-run would lose only its own time."""
+    process, plus each tree member's REAPED-children time (cutime+
+    cstime).  Without the reaped term, a PySpark python worker dying
+    between two samples takes its accumulated CPU out of the later sum
+    and the delta goes NEGATIVE (observed on rung ops that follow
+    worker-pool churn); cutime/cstime folds a dead child's time into
+    its parent at reap, so the sum stays monotonic for the tree."""
     try:
         clk = os.sysconf("SC_CLK_TCK")
         stats: dict[int, tuple[int, int]] = {}
@@ -81,7 +85,9 @@ def _proc_tree_cpu(root: int) -> float | None:
                 continue  # raced a process exit
             # comm can hold spaces/parens — fields start after the LAST ')'
             rest = s[s.rindex(")") + 2:].split()
-            stats[int(p)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+            own = int(rest[11]) + int(rest[12])          # utime+stime
+            reaped = int(rest[13]) + int(rest[14])       # cutime+cstime
+            stats[int(p)] = (int(rest[1]), own + reaped)
         children: dict[int, list[int]] = {}
         for pid, (ppid, _) in stats.items():
             children.setdefault(ppid, []).append(pid)

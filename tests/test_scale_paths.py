@@ -304,3 +304,28 @@ def test_q17_window_rewrite_single_scan_single_exchange(spark):
     shuffles = [ln for ln in plan.splitlines()
                 if "Exchange hashpartitioning" in ln]
     assert len(shuffles) == 1 and "l_partkey" in shuffles[0]
+
+
+# ---------------------------------------------------------------------------
+# _spread skip/engage rules (r7 redesign — ADVICE r6)
+# ---------------------------------------------------------------------------
+
+def test_spread_rules(spark, tables):
+    from juliadb_jl_spark.functions.dedup import _spread
+    p = spark.sparkContext.defaultParallelism
+
+    # small single-file scan: per-doc Python work needs the spread
+    docs = tables["documents"].df
+    spread = _spread(docs)
+    assert spread.rdd.getNumPartitions() == p
+
+    # an upstream explicit repartition (a prior _spread in a composed
+    # op) must NOT be re-exchanged — the r7 q9j double-exchange catch
+    again = _spread(spread.select("doc_id", F.upper("text").alias("t")))
+    plan = again._jdf.queryExecution().analyzed().toString()
+    assert plan.count("Repartition") == 1, plan
+
+    # non-scan input (createDataFrame): always repartition — the spread
+    # guarantee for post-shuffle/skewed inputs (ADVICE r6)
+    local = spark.createDataFrame([(i,) for i in range(100)], ["x"])
+    assert _spread(local).rdd.getNumPartitions() == p

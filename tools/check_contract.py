@@ -78,6 +78,29 @@ def main():
             problems.append(f"rows {len(sdf)} vs {len(odf)}")
         if not problems and canon(sdf) != canon(odf):
             problems.append("value hash mismatch")
+        # Dtype-class guard (r7): an int-vs-float mismatch (e.g. an
+        # uncast DuckDB sum(CASE) returning HUGEINT→float64 against
+        # Spark's int64) passes THIS canonicalizing hash but fails a
+        # repr-sensitive hasher — it red-flagged q9j/q9k/q9r in the
+        # driver for two rounds. Treat as a FAILURE here so it can
+        # never ship silently again.
+        if not problems:
+            def _dc(s):
+                if pd.api.types.is_float_dtype(s):
+                    return "float"
+                if pd.api.types.is_integer_dtype(s):
+                    return "int"
+                if pd.api.types.is_bool_dtype(s):
+                    return "bool"
+                if pd.api.types.is_datetime64_any_dtype(s):
+                    return "datetime"
+                return "object"
+            mism = [f"{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}"
+                    for c in sdf.columns if _dc(sdf[c]) != _dc(odf[c])]
+            # intentional exception: the dtype canary's whole point is
+            # carrying this mismatch into the driver run
+            if mism and name != "qdg_dtype_canary":
+                problems.append("dtype mismatch: " + "; ".join(mism))
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1

@@ -37,6 +37,10 @@ def main():
     docs = read_table(spark, rung, "documents")
     me = os.getpid()
 
+    def _substring_index(d):
+        from juliadb_jl_spark.functions.incremental import substring_index
+        return substring_index(d, "doc_id", k=20)
+
     OPS = {
         "winnow_k20_w4": lambda d: DD.winnow_fingerprints(
             d, "doc_id", k=20, w=4),
@@ -57,6 +61,9 @@ def main():
             d.withColumn("split",
                          F.when(F.pmod(F.xxhash64("doc_id"), F.lit(10))
                                 == 0, "eval").otherwise("train")), n=5),
+        "duplicate_spans_k20": lambda d: DD.duplicate_spans(
+            d, "doc_id", k=20),
+        "substring_index_k20": lambda d: _substring_index(d),
     }
     only = os.environ.get("SPARK_GRAFT_DOCS_OPS")
     if only:
