@@ -368,3 +368,87 @@ def test_corpus_diff_matches_pandas(spark, data):
         else:
             want[r["id"]] = "changed"
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# split_leakage fused path ≡ shuffle path on adversarial text (r7): the
+# fused tier re-implements gram slicing in Python — it must agree with
+# the declarative arrow_shingles/JVM-tokenizer shape on exotic
+# whitespace, empty-ish docs, unicode, and short documents.
+# ---------------------------------------------------------------------------
+
+_NASTY_WORDS = ["a", "bb", "ccc", "Ω∆", "naïve", "x" * 30, "0", "§"]
+# \xa0 (NBSP) is DELIBERATE: Java's \s (the engine tokenizer) does
+# NOT treat it as whitespace while Python's unicode \s does — the
+# brute force below must use Java's class to match the contract.
+_WS = [" ", "  ", "\t", "\n", " \t ", "\xa0"]
+
+
+@st.composite
+def nasty_docs(draw):
+    n = draw(st.integers(4, 14))
+    docs = []
+    for i in range(n):
+        kind = draw(st.integers(0, 4))
+        if kind == 0:
+            docs.append("")
+        elif kind == 1:
+            docs.append(draw(st.sampled_from(_WS)))
+        else:
+            nw = draw(st.integers(1, 12))
+            words = [draw(st.sampled_from(_NASTY_WORDS))
+                     for _ in range(nw)]
+            seps = [draw(st.sampled_from(_WS)) for _ in range(nw - 1)]
+            parts = [words[0]]
+            for w, s_ in zip(words[1:], seps):
+                parts += [s_, w]
+            docs.append("".join(parts))
+    splits = [draw(st.sampled_from(["train", "eval"])) for _ in docs]
+    return list(zip(range(len(docs)), splits, docs))
+
+
+@given(rows=nasty_docs())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_split_leakage_fused_matches_shuffle_on_nasty_text(spark, rows):
+    from juliadb_jl_spark.functions.curation import split_leakage
+    df = spark.createDataFrame(rows, "doc_id long, split string, text string")
+
+    def key(out):
+        return sorted((r["doc_id"], r["split"], r["n_grams"], r["n_hits"],
+                       round(r["contamination"], 9)) for r in out.collect())
+
+    assert key(split_leakage(df, n=3, prune="fused")) == \
+        key(split_leakage(df, n=3, prune=None))
+
+
+@given(rows=nasty_docs(), mc=st.integers(1, 3), k=st.integers(1, 8))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_frequent_phrases_matches_brute_force_on_nasty_text(
+        spark, rows, mc, k):
+    """Hashed-count + histogram-top-k pipeline ≡ a pure-Python brute
+    count with the exact (freq desc, phrase asc) tie-break, on text
+    with tabs/newlines/unicode/empty docs."""
+    import re
+    from collections import Counter
+    from juliadb_jl_spark.functions.text import frequent_phrases
+    n = 2
+    df = spark.createDataFrame([(i, t) for i, _, t in rows],
+                               "doc_id long, text string")
+    from pyspark.sql import functions as F
+    cnt = Counter()
+    for _, _, t in rows:
+        trimmed = (t or "").strip(" ")   # tokens(): trim spaces only
+        toks = [] if trimmed == "" else re.split(
+            "[ \t\n\x0b\f\r]+", trimmed)   # Java \s, not unicode \s
+        # the phrases contract drops empty tokens (word_freqs parity)
+        toks = [w.lower() for w in toks if w]
+        for i in range(len(toks) - n + 1):
+            cnt[" ".join(toks[i:i + n])] += 1
+    want = sorted(((p, c) for p, c in cnt.items() if c >= mc),
+                  key=lambda pc: (-pc[1], pc[0]))[:k]
+    got = [(r["phrase"], r["freq"]) for r in
+           frequent_phrases(df, n=n, min_count=mc, k=k)
+           .orderBy(F.desc("freq"), F.asc("phrase")).collect()]
+    assert got == want
