@@ -285,9 +285,14 @@ def novelty_scores(df: DataFrame, id_col: str = "doc_id",
 
     Scale: this is the engine's one corpus-vs-ITSELF gram op, so
     unlike contamination/split-leakage nothing broadcasts — the gram
-    stream itself must aggregate and join. Two r6 rules keep it alive
-    at the 5M-doc rung (both failures observed there as
-    AGGREGATE_OUT_OF_MEMORY before the fix):
+    stream itself must aggregate. Since r7 it aggregates ONCE: the
+    (key → df, min(id)) aggregation both counts document frequency and
+    names the sole owner of every df=1 gram, so
+    n_shared = n_grams − n_unique(owner) and the former join back onto
+    the gram stream (a second full gram exchange + sort-merge) is gone;
+    per-doc n_grams rides the scan directly. Two r6 rules keep the
+    aggregation alive at the 5M-doc rung (both failures observed there
+    as AGGREGATE_OUT_OF_MEMORY before the fix):
 
     - Gram TEXT never leaves its task: each distinct gram is reduced
       to a 128-bit key (two independent xxhash64 lanes) right after
@@ -308,33 +313,42 @@ def novelty_scores(df: DataFrame, id_col: str = "doc_id",
       the build is the fused Arrow pass."""
     from juliadb_jl_spark.functions.dedup import _spread
     p = df.sparkSession.sparkContext.defaultParallelism
-    grams = _spread(df).select(
-        F.col(id_col),
-        F.explode_outer(F.array_distinct(
-            arrow_shingles(F.col(text_col), n))).alias("__g"))
-    has = F.col("__g").isNotNull()
+    sp = _spread(df)
+    arr = F.array_distinct(arrow_shingles(F.col(text_col), n))
+    grams = sp.select(F.col(id_col), F.explode(arr).alias("__g"))
     if method == "hashed":
-        keys = ["__h1", "__h2"]
-        hg = grams.select(
-            F.col(id_col), has.alias("__has"),
-            F.when(has, F.xxhash64("__g", F.lit(1))).alias("__h1"),
-            F.when(has, F.xxhash64("__g", F.lit(2))).alias("__h2"))
+        keys = [F.xxhash64("__g", F.lit(1)).alias("__h1"),
+                F.xxhash64("__g", F.lit(2)).alias("__h2")]
+        knames = ["__h1", "__h2"]
     elif method == "exact":
-        keys = ["__g"]
-        hg = grams.select(F.col(id_col), has.alias("__has"), "__g")
+        keys = [F.col("__g")]
+        knames = ["__g"]
     else:
         raise ValueError(f"method must be 'hashed' or 'exact' "
                          f"(got {method!r})")
-    dfreq = (hg.filter("__has").select(*keys)
-             .repartition(4 * p, *keys)
-             .groupBy(*keys)
-             .agg(F.count(F.lit(1)).alias("__df")))
-    joined = hg.join(dfreq, keys, "left")
-    n_grams = F.sum(F.col("__has").cast("long"))
-    n_shared = F.sum((F.coalesce(F.col("__df"), F.lit(0)) >= 2)
-                     .cast("long"))
-    return (joined.groupBy(id_col)
-            .agg(n_grams.alias("n_grams"), n_shared.alias("n_shared"))
+    # n_shared = n_grams − n_unique: a gram with document frequency 1
+    # has exactly ONE owning document, and the same (key → count,
+    # min(id)) aggregation that computes df also names that owner — so
+    # the corpus-sized join back onto the gram stream (a second full
+    # gram exchange + sort) disappears entirely. Plan: one scan
+    # computing per-doc n_grams (no shuffle beyond the spread), one
+    # key-partitioned gram aggregation, a doc-keyed count of the
+    # df=1 owners, and a doc-count-sized stitch join.
+    uniq = (grams.select(F.col(id_col), *keys)
+            .repartition(4 * p, *knames)
+            .groupBy(*knames)
+            .agg(F.count(F.lit(1)).alias("__df"),
+                 F.min(id_col).alias("__owner"))
+            .filter(F.col("__df") == 1)
+            .groupBy(F.col("__owner").alias(id_col))
+            .agg(F.count(F.lit(1)).alias("__nu")))
+    per_doc = sp.select(F.col(id_col),
+                        F.size(arr).cast("long").alias("n_grams"))
+    return (per_doc.join(uniq, id_col, "left")
+            .select(id_col, "n_grams",
+                    (F.col("n_grams") -
+                     F.coalesce(F.col("__nu"), F.lit(0)))
+                    .alias("n_shared"))
             .withColumn("novelty",
                         F.when(F.col("n_grams") > 0,
                                1 - F.col("n_shared") / F.col("n_grams"))
