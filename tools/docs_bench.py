@@ -54,9 +54,10 @@ def main():
         "novelty_scores_n5": lambda d: CU.novelty_scores(d, "doc_id"),
         "minhash_signatures": lambda d: DD.minhash_signature(
             d, "doc_id", num_hashes=32),
-        # corpus-vs-itself leakage: at this rung the eval gram set
-        # overflows the fused cap, so this exercises the auto→shuffle
-        # fallback — the honest 100-TB shape for corpus-sized evals
+        # corpus-vs-itself leakage: the eval split's char volume puts
+        # auto in its top tier here (scale-safe two-sided shuffle +
+        # sort-merge bench join) — the honest 100-TB shape for
+        # corpus-sized evals
         "split_leakage_n5": lambda d: CU.split_leakage(
             d.withColumn("split",
                          F.when(F.pmod(F.xxhash64("doc_id"), F.lit(10))
