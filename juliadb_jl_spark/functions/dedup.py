@@ -896,9 +896,10 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
 # every cross-document verbatim repetition of length >= k.
 
 
-def _md5_window_digs(toks, k: int) -> list:
-    """All k-window md5 hex digests of a token list, byte-identical to
-    the JVM's md5(concat_ws(" ", slice(toks, i, k))): each window is
+def _md5_window_digs(toks, k: int, raw: bool = False) -> list:
+    """All k-window md5 digests of a token list (hex, or the 16 raw
+    bytes with ``raw=True``), byte-identical to the JVM's
+    md5(concat_ws(" ", slice(toks, i, k))): each window is
     one byte-slice of the pre-joined text, hashed with hashlib.
     Runs inside Arrow UDF workers (~1 µs/window vs ~40 µs for the
     interpreted transform+slice+concat_ws HOF — the r6 winnow rung
@@ -913,15 +914,23 @@ def _md5_window_digs(toks, k: int) -> list:
     for j, t in enumerate(toks):
         pos_ += len(t.encode("utf-8", "surrogatepass")) + 1
         obs[j + 1] = pos_
+    if raw:
+        return [_md5(jb[obs[i]:obs[i + k] - 1]).digest()
+                for i in range(nn - k + 1)]
     return [_md5(jb[obs[i]:obs[i + k] - 1]).hexdigest()
             for i in range(nn - k + 1)]
 
 
 def _window_fps(df: DataFrame, id_col: str, text_col: str, k: int,
-                method: str = "arrow") -> DataFrame:
+                method: str = "arrow", fmt: str = "hex") -> DataFrame:
     """(id, pos, fp): md5 fingerprint of each k-token window (1-based
     pos). md5 keeps the oracle portable; swap xxhash64 at deploy scale
     for cheaper hashing — the plan shape is identical.
+
+    ``fmt="bin"`` emits the 16 raw digest bytes instead of the 32-char
+    hex string — same equality semantics, half the shuffle width; use
+    it wherever the fp never leaves the plan (duplicate_spans), and
+    keep hex where the fp IS the artifact (substring_index).
 
     Default build is the Arrow fused pass (`_md5_window_digs`); the
     expression form (``method="expr"``) is the r5 shape, kept for
@@ -929,10 +938,12 @@ def _window_fps(df: DataFrame, id_col: str, text_col: str, k: int,
     and was the hidden floor under every substring-dedup rung number."""
     from juliadb_jl_spark.functions.text import tokens
 
+    if fmt not in ("hex", "bin"):
+        raise ValueError(f"fmt must be 'hex' or 'bin' (got {fmt!r})")
     if method == "arrow":
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
-        kk = k
+        kk, raw = k, fmt == "bin"
 
         def _fps_fn(col):
             fps_out, poss_out = [], []
@@ -940,15 +951,16 @@ def _window_fps(df: DataFrame, id_col: str, text_col: str, k: int,
                 # Arrow hands array columns over as numpy arrays, where
                 # `toks or []` raises — explicit None check instead
                 digs = ([] if toks is None
-                        else _md5_window_digs(toks, kk))
+                        else _md5_window_digs(toks, kk, raw))
                 fps_out.append(digs)
                 poss_out.append(list(range(1, len(digs) + 1)))
             return pd.DataFrame({"fps": fps_out, "poss": poss_out})
 
         _fps_fn.__annotations__ = {"col": pd.Series,
                                    "return": pd.DataFrame}
+        ftype = "binary" if raw else "string"
         _fps = pandas_udf(
-            "struct<fps:array<string>,poss:array<int>>")(_fps_fn)
+            f"struct<fps:array<{ftype}>,poss:array<int>>")(_fps_fn)
         return (_spread(df)
                 .select(F.col(id_col).alias("id"),
                         _fps(tokens(F.col(text_col))).alias("r"))
@@ -962,14 +974,47 @@ def _window_fps(df: DataFrame, id_col: str, text_col: str, k: int,
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - (k - 1))
+    md5_of = (lambda c: F.unhex(F.md5(c))) if fmt == "bin" else F.md5
     wins = F.transform(idx, lambda i: F.struct(
         i.alias("pos"),
-        F.md5(F.concat_ws(" ", F.slice(toks, i, k))).alias("fp")))
+        md5_of(F.concat_ws(" ", F.slice(toks, i, k))).alias("fp")))
+    wtype = "binary" if fmt == "bin" else "string"
     wins = F.when(n >= k, wins).otherwise(
-        F.array().cast("array<struct<pos:int,fp:string>>"))
+        F.array().cast(f"array<struct<pos:int,fp:{wtype}>>"))
     return (_spread(df)
             .select(F.col(id_col).alias("id"), F.explode(wins).alias("w"))
             .select("id", "w.pos", "w.fp"))
+
+
+def _window_fp_set(df: DataFrame, text_col: str, k: int,
+                   fmt: str = "bin") -> DataFrame:
+    """Per-doc DISTINCT k-window fingerprints as bare (fp) rows — the
+    index-build sibling of `_window_fps` for consumers that need
+    neither positions nor per-occurrence rows (substring_index).
+    Skipping the poss arrays and the struct zip/explode keeps the
+    Arrow transfer to one flat array column, and ``fmt="bin"``
+    (default) emits 16 raw digest bytes so the downstream distinct
+    exchange moves half the key bytes of the hex form."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from juliadb_jl_spark.functions.text import tokens
+    if fmt not in ("hex", "bin"):
+        raise ValueError(f"fmt must be 'hex' or 'bin' (got {fmt!r})")
+    kk, raw = k, fmt == "bin"
+
+    def _set_fn(col):
+        return pd.Series([
+            [] if toks is None
+            else list(set(_md5_window_digs(toks, kk, raw)))
+            for toks in col])
+
+    _set_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    ftype = "binary" if raw else "string"
+    _fps = pandas_udf(f"array<{ftype}>")(_set_fn)
+    return (_spread(df)
+            .select(_fps(tokens(F.col(text_col))).alias("fps"))
+            .select(F.explode("fps").alias("fp")))
 
 
 def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
@@ -984,48 +1029,42 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
     `within_doc=True` it is the earliest (id, pos) occurrence, so
     repetitions INSIDE a document are spans too.
 
-    Scale: one explode + one groupBy(fp) + one join back — NO pairwise
-    self-join, so a boilerplate window shared by a million docs costs
-    O(occurrences), not O(occurrences²). Span merge is a per-doc window
-    (classic island detection), shuffling only the duplicated windows.
-    The keeper aggregation pre-partitions BY FINGERPRINT onto
-    4×parallelism partitions with its map-side partial agg thereby
-    bounded — for a mostly-unique window table (any high-entropy
-    corpus) partial agg over the raw scan combines nothing and just
-    builds a per-task map of every distinct fp in the slice; the
-    r6 docs-rung bench caught exactly that as UNABLE_TO_ACQUIRE_MEMORY
-    at 5M docs (the novelty_scores failure class), together with the
-    window-fp persist pinning storage memory against it. Nothing is
-    persisted anymore — rebuilding the fps for the join is one more
-    fused-Arrow pass, which the rung prices at ~70 s vs an OOM."""
+    Scale: ONE fused-Arrow window build + ONE fp exchange — the keeper
+    election is a window function (min over the fp group) on the
+    fp-partitioned stream, so each occurrence row carries its group's
+    keeper without a join back, and the window build is never
+    recomputed. NO pairwise self-join anywhere, so a boilerplate
+    window shared by a million docs costs O(occurrences), not
+    O(occurrences²); the sort-based window exec spills instead of
+    building per-task hash maps (the r6 UNABLE_TO_ACQUIRE_MEMORY
+    class), and a giant fp group only grows one spillable buffer.
+    Fingerprints cross the exchange as 16 raw md5 bytes (fmt="bin"),
+    not 32 hex chars. `id != min(id)` implies the fp occurs >= 2
+    times and (id, pos) rows are unique, so no count and no distinct
+    are needed. Span merge is a per-doc window (classic island
+    detection), shuffling only the duplicated windows.
+
+    Plan history: the r6 shape was groupBy(fp) + join-back, which
+    priced a SECOND Arrow gram build (~70 s at the 5M rung) plus a
+    corpus-sized sort-merge join; the window form halves the builds
+    and removes the join (5M-doc rung 273 s / 4781 CPU-s ->
+    101 s / 1436 CPU-s, table in SCALING.md)."""
     from pyspark.sql import Window
     p4 = 4 * df.sparkSession.sparkContext.defaultParallelism
-    w = _window_fps(df, id_col, text_col, k)
-    wk = w.select("fp", "id", "pos").repartition(p4, "fp")
-    # the dup-fp keeper table is corpus-dependent: near-empty for a
-    # clean corpus, window-table-sized for a cliquey one. Static stats
-    # after agg+filter UNDER-estimate it (observed: the planner tried
-    # to broadcast ~31M keeper rows at the 5M rung and killed the JVM)
-    # — hint a shuffle join and let AQE downgrade to broadcast at
-    # runtime from the REAL shuffled size when it truly is small.
+    w = (_window_fps(df, id_col, text_col, k, fmt="bin")
+         .repartition(p4, "fp"))
+    grp = Window.partitionBy("fp")
     if within_doc:
-        keeper = wk.groupBy("fp").agg(
-            F.min(F.struct("id", "pos")).alias("__k"),
-            F.count(F.lit(1)).alias("__n"))
-        dup = (w.join(keeper.filter(F.col("__n") > 1).hint("merge"),
-                      "fp")
+        dup = (w.withColumn("__k", F.min(F.struct("id", "pos")).over(grp))
                .filter((F.col("id") != F.col("__k.id")) |
                        (F.col("pos") != F.col("__k.pos")))
                .select("id", F.col("pos").alias("span_start"),
-                       (F.col("pos") + k).alias("span_end")).distinct())
+                       (F.col("pos") + k).alias("span_end")))
     else:
-        keeper = wk.groupBy("fp").agg(F.min("id").alias("__keep"),
-                                      F.count(F.lit(1)).alias("__n"))
-        dup = (w.join(keeper.filter(F.col("__n") > 1).hint("merge"),
-                      "fp")
+        dup = (w.withColumn("__keep", F.min("id").over(grp))
                .filter(F.col("id") != F.col("__keep"))
                .select("id", F.col("pos").alias("span_start"),
-                       (F.col("pos") + k).alias("span_end")).distinct())
+                       (F.col("pos") + k).alias("span_end")))
     if not merge:
         return dup
     return merge_spans(dup, id_col)

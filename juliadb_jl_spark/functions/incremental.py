@@ -492,10 +492,20 @@ def substring_index(df: DataFrame, id_col: str, text_col: str = "text",
     r6 bounded-agg case (novelty/duplicate_spans rung catches) — the
     fp stream pre-partitions BY FP onto 4×parallelism partitions so
     the dedup hash map per task is distinct_fps/partitions instead of
-    a per-task map of nearly the whole slice."""
+    a per-task map of nearly the whole slice.  The build is the
+    fps-only Arrow pass (`_window_fp_set`: per-doc set, no positions,
+    one flat array over Arrow) and the exchange + distinct run on the
+    16 raw digest bytes; hex encoding happens AFTER the distinct so
+    the artifact contract (lowercase hex string, comparable with
+    `_window_fps` output) is unchanged.  Measured note (5M-doc rung):
+    wall/CPU parity with the hex struct build — the exchange+distinct
+    is per-row-overhead-bound, not key-byte-bound, so the bin keys
+    buy simplicity and artifact-size headroom rather than time."""
+    from juliadb_jl_spark.functions.dedup import _window_fp_set
     p4 = 4 * df.sparkSession.sparkContext.defaultParallelism
-    return (_window_fps(df, id_col, text_col, k).select("fp")
-            .repartition(p4, "fp").distinct())
+    return (_window_fp_set(df, text_col, k, fmt="bin")
+            .repartition(p4, "fp").distinct()
+            .select(F.lower(F.hex("fp")).alias("fp")))
 
 
 def duplicate_spans_against(new_df: DataFrame, index: DataFrame,

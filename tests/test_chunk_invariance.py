@@ -243,6 +243,41 @@ def test_window_fps_arrow_equals_expr(spark, tables):
         _window_fps(docs, "doc_id", "text", 8, method="hof")
 
 
+def test_window_fp_formats_and_set_builder(spark, tables):
+    """fmt="bin" must be the byte-decode of the hex digests in BOTH
+    build methods, and `_window_fp_set` (the fps-only index builder)
+    must emit exactly the distinct fp set of `_window_fps` — the
+    substring index artifact keys on this equivalence."""
+    from juliadb_jl_spark.functions.dedup import (_window_fp_set,
+                                                  _window_fps)
+    docs = tables["documents"].df.select("doc_id", "text").limit(120)
+    uni = spark.createDataFrame(
+        [(9001, "déjà vu " * 6 + "encore une fois"), (9002, ""),
+         (9003, None), (9004, "ab " * 30)],  # in-doc repeated windows
+        "doc_id long, text string")
+    docs = docs.unionByName(uni)
+    hexed = {(r[0], r[1], r[2])
+             for r in _window_fps(docs, "doc_id", "text", 8).collect()}
+    binned = {(r[0], r[1], bytes(r[2]).hex())
+              for r in _window_fps(docs, "doc_id", "text", 8,
+                                   fmt="bin").collect()}
+    assert hexed == binned and len(hexed) > 0
+    bexpr = {(r[0], r[1], bytes(r[2]).hex())
+             for r in _window_fps(docs, "doc_id", "text", 8,
+                                  method="expr", fmt="bin").collect()}
+    assert bexpr == hexed
+    set_bin = {bytes(r[0]).hex() for r in
+               _window_fp_set(docs, "text", 8).collect()}
+    set_hex = {r[0] for r in
+               _window_fp_set(docs, "text", 8, fmt="hex").collect()}
+    want = {fp for _, _, fp in hexed}
+    assert set_bin == want and set_hex == want
+    with pytest.raises(ValueError):
+        _window_fp_set(docs, "text", 8, fmt="b64")
+    with pytest.raises(ValueError):
+        _window_fps(docs, "doc_id", "text", 8, fmt="b64")
+
+
 def test_winnow_partition_invariant(spark):
     from juliadb_jl_spark.functions.dedup import winnow_fingerprints
     docs = [(i, " ".join(f"t{i}_{j}" for j in range(40)))
