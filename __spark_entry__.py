@@ -1239,8 +1239,9 @@ def q66(spark, sf_dir):
 # ===========================================================================
 # Portable hash family: MinHash / SimHash fully oracle-checked (q67-q69)
 # ===========================================================================
-# The default MinHash/SimHash family is xxhash64 (native, the 100-TB path;
-# q36/q37 rows-only). The portable 31-bit family ((h*31+codepoint) mod
+# The default MinHash family is crc32perm (fused Arrow, zero-shuffle —
+# the 100-TB path; q36 rows-only), SimHash's is xxhash64 (q37 rows-only).
+# The portable 31-bit family ((h*31+codepoint) mod
 # 2^31-1 char fold + linear permutations with inlined constants) is
 # bit-identical in DuckDB, so the SAME pipeline is value-checked end-to-end.
 

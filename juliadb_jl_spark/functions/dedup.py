@@ -586,12 +586,151 @@ def perm_constants(n: int, seed: int = 7) -> tuple[list[int], list[int]]:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _sig_mins(hb, lens, num_hashes: int, a_, b_):
+    """Batch core of the crc32perm signature: segmented per-doc minima
+    of (a_i·hb + b_i) mod 2^31-1 over the flat base-hash array.  Each
+    permutation is ONE numpy pass + `np.minimum.reduceat` — the temp
+    stays one flat array, never a (num_hashes × N) matrix, so Arrow
+    batch size bounds memory.  hb < 2^32 and a_i < 2^31, so the
+    product stays under 2^63 (no int64 overflow on either side of the
+    JVM-parity contract).  Returns a list aligned with `lens`, None
+    for zero-shingle docs (the aggregate form drops them)."""
+    import numpy as np
+    nz = np.array([n for n in lens if n > 0], dtype=np.int64)
+    starts = np.zeros(len(nz), dtype=np.int64)
+    np.cumsum(nz[:-1], out=starts[1:])
+    sig = np.empty((len(nz), num_hashes), dtype=np.int64)
+    for i in range(num_hashes):
+        v = (a_[i] * hb + b_[i]) % _P31
+        sig[:, i] = np.minimum.reduceat(v, starts)
+    out, j = [], 0
+    for n in lens:
+        if n > 0:
+            out.append(sig[j].tolist())
+            j += 1
+        else:
+            out.append(None)
+    return out
+
+
+def _crcperm_sets_udf(num_hashes: int):
+    """Per-doc crc32perm MinHash signature from an (id, shset) frame:
+    ONE Arrow pass — no explode, no groupBy, ZERO exchanges.  The base
+    hash is zlib.crc32 over the shingle's UTF-8 bytes — C-speed per
+    call (~0.1 µs vs ~2 µs for a hashlib md5 round trip, the measured
+    difference between losing and beating the all-JVM form at the 5M
+    rung) and bit-identical to the JVM's java.util.zip.CRC32 behind
+    `F.crc32` (same CRC-32/ISO-HDLC polynomial).  Stateless and
+    deterministic, so it runs unchanged under Structured Streaming."""
+    import numpy as np
+    import pandas as pd
+    from zlib import crc32 as _crc
+    from pyspark.sql.functions import pandas_udf
+    a_, b_ = perm_constants(num_hashes)
+
+    def _sig_fn(col):
+        lens, flat = [], []
+        for s in col:
+            if s is None:
+                lens.append(0)
+                continue
+            lens.append(len(s))
+            flat.extend(s)
+        if not flat:
+            return pd.Series([None] * len(col))
+        hb = np.fromiter(
+            (_crc(x.encode("utf-8", "surrogatepass")) for x in flat),
+            dtype=np.int64, count=len(flat))
+        return pd.Series(_sig_mins(hb, lens, num_hashes, a_, b_))
+
+    _sig_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf("array<long>")(_sig_fn)
+
+
+def _crcperm_fused_udf(k: int, num_hashes: int):
+    """tokens → crc32perm MinHash signature, FULLY fused: per doc, the
+    k-shingles are byte slices of the pre-joined UTF-8 text (the
+    `_md5_window_digs` offset walk), deduped as a byte-slice set and
+    crc32-hashed WITHOUT ever decoding shingle strings or sending a
+    shingle array back over Arrow — the whole signature costs one
+    tokens transfer in and 8·num_hashes bytes out per doc.  Replaces
+    the arrow_shingles → JVM array_distinct → second Arrow transfer →
+    explode → 32-min agg chain of the from-sets path; bit-identical to
+    it (the byte slice IS the utf-8 encoding of the " "-joined
+    shingle, same empty-token semantics as `shingles()`)."""
+    import numpy as np
+    import pandas as pd
+    from zlib import crc32 as _crc
+    from pyspark.sql.functions import pandas_udf
+    a_, b_ = perm_constants(num_hashes)
+    kk = k
+
+    def _sig_fn(col):
+        lens, hbs = [], []
+        for toks in col:
+            ts = [] if toks is None else list(toks)
+            nn = len(ts)
+            if nn < kk:
+                lens.append(0)
+                continue
+            jb = " ".join(ts).encode("utf-8", "surrogatepass")
+            obs = [0] * (nn + 1)
+            pos_ = 0
+            for j, t in enumerate(ts):
+                pos_ += len(t.encode("utf-8", "surrogatepass")) + 1
+                obs[j + 1] = pos_
+            hs = {_crc(jb[obs[i]:obs[i + kk] - 1])
+                  for i in range(nn - kk + 1)}
+            lens.append(len(hs))
+            hbs.extend(hs)
+        if not hbs:
+            return pd.Series([None] * len(col))
+        hb = np.fromiter(hbs, dtype=np.int64, count=len(hbs))
+        return pd.Series(_sig_mins(hb, lens, num_hashes, a_, b_))
+
+    _sig_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf("array<long>")(_sig_fn)
+
+
+def _signature_crcperm_expr(sets_: DataFrame, num_hashes: int) -> DataFrame:
+    """JVM expression twin of the crc32perm Arrow signature (explode +
+    F.crc32 base + 32-min aggregation, the classic shape) — kept ONLY
+    for the bit-parity differential test; the Arrow passes are the
+    shipped path."""
+    a_, b_ = perm_constants(num_hashes)
+    hb = F.crc32(F.encode(F.col("sh"), "UTF-8"))
+    sh = (sets_.select("id", F.explode("shset").alias("sh"))
+          .select("id", hb.alias("hb")))
+    mins = [F.min((F.lit(a_[i]) * F.col("hb") + F.lit(b_[i]))
+                  % F.lit(_P31)).alias(f"h{i}")
+            for i in range(num_hashes)]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)])
+                      .alias("signature"))
+
+
 def _signature_from_sets(sets_: DataFrame, num_hashes: int,
                          hash_family: str) -> DataFrame:
     """MinHash signatures from a precomputed (id, shset) frame — split
     out so minhash_lsh_pairs can reuse ONE persisted shingle pass for
     both the signature aggregation and the verify join (one corpus scan,
-    not two)."""
+    not two).
+
+    Families: "crc32perm" (default at the call sites) computes the
+    whole signature in one Arrow pass per doc — no explode, no groupBy,
+    no exchange (5M-doc rung: see SCALING.md) — using hash_i(s) =
+    (a_i·crc32(s) + b_i) mod 2^31-1, the datasketch-style
+    linear-permutation construction (Broder 1997) over a base hash
+    both zlib and the JVM compute identically; "xxhash64" is the
+    all-JVM explode+agg form (32 string hashes per shingle);
+    "portable" is the same linear-permutation family over the
+    oracle-reproducible char-fold base so DuckDB can re-derive
+    signatures value-for-value (q67)."""
+    if hash_family == "crc32perm":
+        sig_udf = _crcperm_sets_udf(num_hashes)
+        return (sets_.select("id", sig_udf(F.col("shset"))
+                             .alias("signature"))
+                .filter(F.col("signature").isNotNull()))
     sh = sets_.select("id", F.explode("shset").alias("sh"))
     if hash_family == "portable":
         a_, b_ = perm_constants(num_hashes)
@@ -608,7 +747,7 @@ def _signature_from_sets(sets_: DataFrame, num_hashes: int,
 
 
 def band_buckets(sig: DataFrame, bands: int, r: int,
-                 hash_family: str = "xxhash64") -> DataFrame:
+                 hash_family: str = "crc32perm") -> DataFrame:
     """(id, band, bucket) rows from an (id, signature) frame — the LSH
     banding step, shared by the self-join path (minhash_lsh_pairs) and
     the incremental new-vs-index path (incremental.minhash_against).
@@ -629,20 +768,38 @@ def band_buckets(sig: DataFrame, bands: int, r: int,
 
 def minhash_signature_rowwise(df: DataFrame, id_col: str,
                               text_col: str = "text", k: int = 3,
-                              num_hashes: int = 32) -> DataFrame:
-    """Stateless per-row MinHash signature (xxhash64 family only):
-    array_min over per-shingle hashes — no explode, no groupBy, no
+                              num_hashes: int = 32,
+                              hash_family: str = "crc32perm") -> DataFrame:
+    """Stateless per-row MinHash signature: no explode, no groupBy, no
     shuffle, so it runs unchanged under Structured Streaming
     (streaming.stream_minhash_against) and matches minhash_signature
-    bit-for-bit (differential-tested; measured wall-time parity with
-    the aggregate form at sf1).  Docs with no shingles are dropped,
-    same as the aggregate form.  The portable family stays on the
-    aggregate path — its char-fold hash is itself a higher-order fold,
-    and nesting it inside transform would leave codegen."""
+    bit-for-bit per family (differential-tested).  Docs with no
+    shingles are dropped, same as the aggregate form.
+
+    "crc32perm" (default) IS the fused Arrow pass — already per-row,
+    the aggregate and rowwise forms match bit-for-bit.  "xxhash64"
+    keeps the r5 shape: array_min over per-shingle transform hashes
+    (interpreted HOF lambdas — wall-time parity with its aggregate
+    form at sf1, both bounded by the 32 string hashes per shingle).
+    The portable family stays on the aggregate path — its char-fold
+    hash is itself a higher-order fold, and nesting it inside
+    transform would leave codegen."""
+    if hash_family == "crc32perm":
+        from juliadb_jl_spark.functions.text import tokens
+        sig_udf = _crcperm_fused_udf(k, num_hashes)
+        return (_spread(df)
+                .select(F.col(id_col).alias("id"),
+                        sig_udf(tokens(F.col(text_col)))
+                        .alias("signature"))
+                .filter(F.col("signature").isNotNull()))
+    if hash_family != "xxhash64":
+        raise ValueError("rowwise signatures support hash_family "
+                         "'crc32perm' or 'xxhash64'")
+    sets_ = _shingle_sets(df, id_col, text_col, k)
+
     def mk(i):
         return F.array_min(
             F.transform("shset", lambda s: F.xxhash64(F.lit(i), s)))
-    sets_ = _shingle_sets(df, id_col, text_col, k)
     return (sets_.filter(F.size("shset") > 0)
             .select("id", F.array(*[mk(i) for i in range(num_hashes)])
                     .alias("signature")))
@@ -650,15 +807,28 @@ def minhash_signature_rowwise(df: DataFrame, id_col: str,
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str = "text",
                       k: int = 3, num_hashes: int = 32,
-                      hash_family: str = "xxhash64") -> DataFrame:
+                      hash_family: str = "crc32perm") -> DataFrame:
     """Per-doc MinHash signature; signature[i] = min over shingles of
     hash_i(shingle).
 
-    hash_family="xxhash64" (default): hash_i(s) = xxhash64(i, s) — native,
-    JVM-side, the 100-TB path. "portable": hash_i(s) =
-    (a_i*portable_hash(s) + b_i) mod 2^31-1 — slower (char fold) but
-    reproducible in the DuckDB oracle, so the whole signature is
-    value-checked (q67)."""
+    hash_family="crc32perm" (default): the linear-permutation family
+    (a_i·crc32(s)+b_i mod 2^31-1), computed in ONE fused Arrow pass per
+    doc over byte-slice shingles — no shingle strings materialize, no
+    explode, no shuffle; a JVM expression twin + a from-sets Arrow form
+    exist for bit-parity testing. "xxhash64": hash_i(s) =
+    xxhash64(i, s) — all-JVM explode+agg, 32 string hashes per shingle
+    (the pre-r7 default; rung-measured slower than crc32perm, table in
+    SCALING.md). "portable": the same permutation family over the
+    char-fold base the DuckDB oracle can re-derive, so the whole
+    signature is value-checked (q67)."""
+    if hash_family == "crc32perm":
+        from juliadb_jl_spark.functions.text import tokens
+        sig_udf = _crcperm_fused_udf(k, num_hashes)
+        return (_spread(df)
+                .select(F.col(id_col).alias("id"),
+                        sig_udf(tokens(F.col(text_col)))
+                        .alias("signature"))
+                .filter(F.col("signature").isNotNull()))
     return _signature_from_sets(_shingle_sets(df, id_col, text_col, k),
                                 num_hashes, hash_family)
 
@@ -666,7 +836,7 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str = "text",
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                       k: int = 3, num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.5, verify: bool = True,
-                      hash_family: str = "xxhash64",
+                      hash_family: str = "crc32perm",
                       unique_lift: bool | None = None,
                       star_intra: bool = False,
                       bucket_cap: int | str | None = None) -> DataFrame:

@@ -150,7 +150,7 @@ def load_index(table_name: str, spark=None) -> DataFrame:
 
 def minhash_index_banded(index: DataFrame, id_col: str = "id",
                          num_hashes: int = 32, bands: int = 8,
-                         hash_family: str = "xxhash64") -> DataFrame:
+                         hash_family: str = "crc32perm") -> DataFrame:
     """(id, band, bucket) banded layout of an ``(id, signature)`` MinHash
     index — the exact rows ``minhash_against`` probes, precomputed so
     they can be persisted bucketed on (band, bucket) via
@@ -230,21 +230,23 @@ def merge_novelty_index(index: DataFrame, new_index: DataFrame) -> DataFrame:
 
 def minhash_index(df: DataFrame, id_col: str, text_col: str = "text",
                   k: int = 3, num_hashes: int = 32,
-                  hash_family: str = "xxhash64") -> DataFrame:
+                  hash_family: str = "crc32perm") -> DataFrame:
     """``(id, signature)`` MinHash index over (typically already
     exact-deduped) corpus docs — the persistable artifact
     ``minhash_against`` joins new batches onto.  Identical signature
     construction to ``minhash_signature`` (so an index built today
-    matches batches signed tomorrow)."""
-    return _signature_from_sets(_shingle_sets(df, id_col, text_col, k),
-                                num_hashes, hash_family)
+    matches batches signed tomorrow) — delegated to it, so the index
+    build rides the same fused crc32perm path."""
+    from juliadb_jl_spark.functions.dedup import minhash_signature
+    return minhash_signature(df, id_col, text_col, k, num_hashes,
+                             hash_family)
 
 
 def minhash_against(new_df: DataFrame, index: DataFrame, id_col: str,
                     text_col: str = "text", k: int = 3,
                     num_hashes: int = 32, bands: int = 8,
                     threshold: float = 0.5, verify: bool = True,
-                    hash_family: str = "xxhash64",
+                    hash_family: str = "crc32perm",
                     corpus_df: DataFrame | None = None,
                     broadcast_new: bool | None = None,
                     broadcast_threshold_bytes: int = 1 << 30) -> DataFrame:

@@ -462,15 +462,51 @@ def test_clear_dup_stats(spark):
 
 def test_minhash_signature_rowwise_identical(spark):
     """The stateless per-row signature form is bit-identical to the
-    explode+groupBy aggregate form on the real documents table."""
+    explode+groupBy aggregate form on the real documents table — for
+    both the fused-Arrow default family and the all-JVM xxhash64 one."""
     docs = read_table(spark, SF_DIR, "documents")
-    a = DD.minhash_signature(docs, "doc_id", num_hashes=16) \
-        .withColumnRenamed("signature", "sa")
-    b = DD.minhash_signature_rowwise(docs, "doc_id", num_hashes=16) \
-        .withColumnRenamed("signature", "sb")
-    j = a.join(b, "id", "full")
-    assert j.filter(F.col("sa").isNull() | F.col("sb").isNull() |
-                    (F.col("sa") != F.col("sb"))).count() == 0
+    for fam in ("crc32perm", "xxhash64"):
+        a = DD.minhash_signature(docs, "doc_id", num_hashes=16,
+                                 hash_family=fam) \
+            .withColumnRenamed("signature", "sa")
+        b = DD.minhash_signature_rowwise(docs, "doc_id", num_hashes=16,
+                                         hash_family=fam) \
+            .withColumnRenamed("signature", "sb")
+        j = a.join(b, "id", "full")
+        assert j.filter(F.col("sa").isNull() | F.col("sb").isNull() |
+                        (F.col("sa") != F.col("sb"))).count() == 0, fam
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        DD.minhash_signature_rowwise(docs, "doc_id",
+                                     hash_family="portable")
+
+
+def test_minhash_crcperm_three_way_parity(spark):
+    """The crc32perm signature's THREE implementations must be
+    BIT-identical: the fused tokens→byte-slice-shingles→signature
+    Arrow pass (shipped), the from-shingle-sets Arrow pass (the
+    lsh_pairs shape that reuses a persisted shingle frame), and the
+    JVM expression twin (explode + F.crc32 base + 32-min agg) —
+    including empty/None/unicode/dup-window docs, which all forms must
+    drop when shingle-less."""
+    docs = [(1, "a b c d e f g"), (2, "x y z " * 10), (3, ""),
+            (4, None), (5, "déjà vu encore une fois"),
+            (6, "a b c d e f g"), (7, "one two")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sets_ = DD._shingle_sets(df, "doc_id", "text", 3)
+    fused = {r["id"]: tuple(r["signature"])
+             for r in DD.minhash_signature(df, "doc_id", k=3,
+                                           num_hashes=16).collect()}
+    from_sets = {r["id"]: tuple(r["signature"])
+                 for r in DD._signature_from_sets(
+                     sets_, 16, "crc32perm").collect()}
+    expr = {r["id"]: tuple(r["signature"])
+            for r in DD._signature_crcperm_expr(sets_, 16).collect()}
+    assert fused == from_sets == expr
+    assert set(fused) == {1, 2, 5, 6} and fused[1] == fused[6]
+    # values live in the permutation family's range
+    assert all(0 <= v < (1 << 31) - 1
+               for s in fused.values() for v in s)
 
 
 def test_stream_minhash_against_matches_batch(spark, tmp_path):
