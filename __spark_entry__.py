@@ -1818,11 +1818,50 @@ def q87(spark, sf_dir):
     """exact-substring duplicate spans (dedup.duplicate_spans, the Lee
     et al. 2022 operation): rolling 20-token window fingerprints, every
     occurrence outside the lowest-id document is duplicated, windows
-    merge to maximal spans. One explode + one groupBy(fp) + one join —
-    no pairwise self-join, so boilerplate shared by millions of docs
-    costs O(occurrences), not O(occurrences²)."""
+    merge to maximal spans. ONE fused-Arrow window build + ONE fp
+    exchange — keeper election is a window function (min over the fp
+    group), no join-back, no pairwise self-join, so boilerplate shared
+    by millions of docs costs O(occurrences), not O(occurrences²)."""
     d = read_table(spark, sf_dir, "documents")
     return DD.duplicate_spans(d, "doc_id", k=20)
+
+
+@_q("qax_within_doc_spans", r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents),
+w AS (SELECT doc_id, u.s['pos'] AS pos, u.s['fp'] AS fp
+      FROM t, unnest(CASE WHEN len(toks) >= 15
+        THEN [{'pos': i, 'fp': md5(array_to_string(toks[i:i+14], ' '))}
+              FOR i IN range(1, len(toks) - 13)]
+        ELSE [] END) AS u(s)),
+rk AS (SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+       FROM w),
+dup AS (SELECT doc_id, pos AS s, pos + 15 AS e FROM rk WHERE rn > 1),
+pe AS (SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+       FROM dup),
+isl AS (SELECT doc_id, s, e,
+          sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY s
+              ROWS UNBOUNDED PRECEDING) AS g
+        FROM pe),
+merged AS (SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+           FROM isl GROUP BY doc_id, g)
+SELECT doc_id, span_start, span_end FROM merged
+""")
+def qax(spark, sf_dir):
+    """within-document duplicate spans (duplicate_spans within_doc=True):
+    the keeper is the earliest (id, pos) occurrence per fingerprint, so
+    VERBATIM repetitions inside one document are spans too — the
+    intra-doc half of the Lee et al. 2022 operation. Same single-build
+    window-election plan as q87 with a struct min; k=15 so in-doc
+    repeats actually occur on the test corpus. The oracle derives the
+    keeper via row_number over (doc_id, pos) — rn>1 iff the occurrence
+    is not the lexicographic minimum of its fingerprint group."""
+    d = read_table(spark, sf_dir, "documents")
+    return DD.duplicate_spans(d, "doc_id", k=15, within_doc=True)
 
 
 @_q("q88_dedup_substrings", f"""

@@ -69,21 +69,35 @@ def main():
     only = os.environ.get("SPARK_GRAFT_DOCS_OPS")
     if only:
         OPS = {k: v for k, v in OPS.items() if k in only.split(",")}
+    # min-of-N mode (default 1): single-run rows on this host swing up
+    # to ~3x with accumulated memory state (SCALING.md §docs-rung
+    # adjudication) — min-of-2 stabilizes the artifact's
+    # regression-catching purpose at 2x rung cost
+    runs = int(os.environ.get("SPARK_GRAFT_DOCS_RUNS", "1"))
     results, cpu = {}, {}
     n_docs = docs.count()
     for name, fn in OPS.items():
-        c0 = _proc_tree_cpu(me)
-        t0 = time.time()
-        try:
-            fn(docs).write.format("noop").mode("overwrite").save()
-            results[name] = round(time.time() - t0, 2)
-            c1 = _proc_tree_cpu(me)
-            if c0 is not None and c1 is not None:
-                cpu[name] = round(c1 - c0, 1)
-        except Exception as ex:
-            print(f"docs-bench error in {name}: {ex}", file=sys.stderr)
-            results[name] = -1.0
-        print(f"# {name}: {results[name]}s", file=sys.stderr)
+        walls, cpus_ = [], []
+        for _ in range(max(1, runs)):
+            c0 = _proc_tree_cpu(me)
+            t0 = time.time()
+            try:
+                fn(docs).write.format("noop").mode("overwrite").save()
+                walls.append(round(time.time() - t0, 2))
+                c1 = _proc_tree_cpu(me)
+                if c0 is not None and c1 is not None:
+                    cpus_.append(round(c1 - c0, 1))
+            except Exception as ex:
+                print(f"docs-bench error in {name}: {ex}",
+                      file=sys.stderr)
+                walls.append(-1.0)
+                break
+        ok = [w for w in walls if w >= 0]
+        results[name] = min(ok) if ok else -1.0
+        if cpus_:
+            cpu[name] = min(cpus_)
+        print(f"# {name}: {results[name]}s (runs: {walls})",
+              file=sys.stderr)
     out = json.dumps({
         "metric": "docs_rung_total_sec",
         "value": round(sum(v for v in results.values() if v >= 0), 2),
