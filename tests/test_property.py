@@ -422,6 +422,28 @@ def test_split_leakage_fused_matches_shuffle_on_nasty_text(spark, rows):
         key(split_leakage(df, n=3, prune=None))
 
 
+@given(rows=nasty_docs())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_minhash_crcperm_fused_matches_expr_on_nasty_text(spark, rows):
+    """crc32perm fused signature ≡ its JVM expression twin on exotic
+    whitespace/unicode/empty docs — the fused pass re-implements
+    tokenize+shingle+hash in Python byte slices, so this pins the
+    whole chain (Java-\\s tokenization, empty-token-preserving
+    " "-joins, UTF-8 encode, CRC polynomial) against the declarative
+    shape, example by example."""
+    from juliadb_jl_spark.functions import dedup as DD
+    df = spark.createDataFrame([(i, t) for i, _, t in rows],
+                               "doc_id long, text string")
+    fused = {r["id"]: tuple(r["signature"])
+             for r in DD.minhash_signature(df, "doc_id", k=2,
+                                           num_hashes=8).collect()}
+    sets_ = DD._shingle_sets(df, "doc_id", "text", 2)
+    expr = {r["id"]: tuple(r["signature"])
+            for r in DD._signature_crcperm_expr(sets_, 8).collect()}
+    assert fused == expr
+
+
 @given(rows=nasty_docs(), mc=st.integers(1, 3), k=st.integers(1, 8))
 @settings(max_examples=6, deadline=None,
           suppress_health_check=list(HealthCheck))

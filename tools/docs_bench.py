@@ -94,8 +94,12 @@ def main():
                 break
         ok = [w for w in walls if w >= 0]
         results[name] = min(ok) if ok else -1.0
-        if cpus_:
-            cpu[name] = min(cpus_)
+        # negative deltas are sampling artifacts (SIGKILLed workers
+        # reparent to init and their time leaves the process tree —
+        # see SCALING.md footnote ¹), not measurements: drop them
+        pos = [c for c in cpus_ if c >= 0]
+        if pos:
+            cpu[name] = min(pos)
         print(f"# {name}: {results[name]}s (runs: {walls})",
               file=sys.stderr)
     out = json.dumps({
