@@ -272,6 +272,12 @@ def minhash_against(new_df: DataFrame, index: DataFrame, id_col: str,
 
     Precondition: ids are unique ACROSS batch and corpus (standard for
     document ids; the append-ingest contract already assumes it).
+    Precondition: the index was built with the SAME hash_family (and
+    num_hashes/bands) as this call — signatures are family-specific
+    and a mismatch silently yields zero bucket matches. Indices
+    persisted before the r7 crc32perm default change were built with
+    hash_family="xxhash64"; pass that explicitly to query them, or
+    rebuild (signatures are pure functions of the text).
 
     Giant-clique note: unlike minhash_lsh_pairs there is no unique-text
     lift here, because the documented composition already provides it —
