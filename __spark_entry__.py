@@ -3564,7 +3564,8 @@ def q9u(spark, sf_dir):
 WITH c AS (
   SELECT doc_id, text, (doc_id * 37) % 101 AS score FROM documents
   UNION ALL
-  SELECT doc_id + 10000, upper(text), ((doc_id + 10000) * 37) % 101
+  SELECT doc_id + 1000000000, upper(text),
+         ((doc_id + 1000000000) * 37) % 101
   FROM documents WHERE doc_id % 2 = 0),
 r AS (SELECT doc_id, ROW_NUMBER() OVER (
         PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
@@ -3584,7 +3585,7 @@ def q9v(spark, sf_dir):
     score = lambda c: F.pmod(c * 37, F.lit(101))  # noqa: E731
     base = d.withColumn("score", score(F.col("doc_id")))
     copies = (d.filter(F.col("doc_id") % 2 == 0)
-              .select((F.col("doc_id") + 10000).alias("doc_id"),
+              .select((F.col("doc_id") + 1_000_000_000).alias("doc_id"),
                       F.upper("text").alias("text"))
               .withColumn("score", score(F.col("doc_id"))))
     corpus = base.unionByName(copies)
