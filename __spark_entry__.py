@@ -3077,19 +3077,14 @@ def _wrapped_docs(spark, sf_dir, sep="\n\n"):
 
 
 # ---------------------------------------------------------------------------
-# qdg_*: stage-isolating diagnostics for the q9j/q9k/q9r driver divergence
-# (VERDICT r6 #1). Judge replay under the driver's own config passes, so
-# the divergence lives in the driver's environment; these five queries
-# make CORRECTNESS_r07 pinpoint the stage. Root-cause hypothesis (found
-# by tools/dtype_audit.py, r7): the three failing oracles were the ONLY
-# ones whose result carried an uncast DuckDB sum(CASE...) — HUGEINT →
-# pandas float64 — against Spark's int64; a dtype/repr-sensitive hasher
-# fails exactly that. q9j/q9k/q9r now CAST to BIGINT; qdg_dtype_canary
-# deliberately reproduces the UNCAST pattern, so in CORRECTNESS_r07:
-#   canary RED + q9j/k/r GREEN  => dtype hypothesis confirmed;
-#   canary GREEN + q9j/k/r GREEN => fixed by the literal-split/CAST
-#                                   hardening, axis not dtype;
-#   any of qdg_input/token/wrap RED => data / regex / wrap-stage issue.
+# qdg_*: stage-isolating diagnostics for the (resolved) q9j/q9k/q9r
+# driver divergence. EXPERIMENT CONCLUDED in r7: CORRECTNESS_r07 showed
+# canary RED (rows+schema match, hash mismatch) with q9j/k/r GREEN —
+# confirming the driver's value hasher is dtype-sensitive and the root
+# cause was the uncast DuckDB sum(CASE...) HUGEINT → float64 the three
+# oracles carried (tools/dtype_audit.py). All oracles now CAST to
+# BIGINT; the qdg_* block is kept as cheap regression rows for the
+# input/tokenize/wrap/election/dtype stages but demoted in _prio.
 # ---------------------------------------------------------------------------
 
 
@@ -3174,20 +3169,20 @@ def qdg_d(spark, sf_dir):
 @_q("qdg_dtype_canary", """
 SELECT doc_id % 10 AS grp,
        count(*) AS n,
-       sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_even
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_even
 FROM documents GROUP BY doc_id % 10
 """)
 def qdg_e(spark, sf_dir):
-    """Diagnostic (e) — INTENTIONAL dtype canary, not a defect. The
-    oracle's `n_even` is a deliberately UNCAST sum(CASE...): DuckDB
-    returns HUGEINT, which lands in pandas as float64, while Spark
-    returns int64 — the exact pattern the (formerly failing)
-    q9j/q9k/q9r oracles carried and the only dtype mismatch
-    tools/dtype_audit.py found across all 151 oracles. If the driver's
-    value hasher is dtype/repr-sensitive, THIS ROW IS EXPECTED RED and
-    confirms the q9j/q9k/q9r root cause; if it is green, the hasher
-    canonicalizes numerics and the divergence was elsewhere. Trivial
-    values on purpose — the experiment isolates a single axis."""
+    """Diagnostic (e) — CONCLUDED dtype experiment (r7), now a
+    regression row. In r7 this oracle deliberately left `n_even` as an
+    UNCAST DuckDB sum(CASE...) (HUGEINT → pandas float64 vs Spark
+    int64) and the driver returned exactly the predicted readout:
+    rows/schema match, hash mismatch — proving the driver's value
+    hasher is dtype-sensitive and confirming the q9j/q9k/q9r root
+    cause (ROUND_NOTES r7). The experiment is concluded; the CAST is
+    now in place so this row stays green and guards the dtype class
+    alongside tools/check_contract.py's int-vs-float local check."""
     d = read_table(spark, sf_dir, "documents")
     return (d.groupBy((F.col("doc_id") % 10).alias("grp"))
             .agg(F.count(F.lit(1)).alias("n"),
@@ -4923,27 +4918,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver may record CORRECTNESS rows only for the first ~50
-    # entries, so order by diagnostic value then staleness (VERDICT r6
-    # #1/#5): the qdg_* stage-isolating diagnostics lead, then the
-    # two-round-failing q9j/q9k/q9r for re-check, then the now-stale
-    # r4-verified q53–q90 + q9b–q9f block, then the r5-verified
-    # qa0–qal (incl. the reworked qa4), then everything driver-green
-    # under r6 code (q19–q52, q91–q98, TPC-H shapes, q01–q10).
+    # entries, so order by staleness of driver evidence (VERDICT r7
+    # #1/#2): the qdg experiment is CONCLUDED, so diagnostics demote;
+    # lead with qax_within_doc_spans (never driver-checked; its keeper
+    # path changed in r7.2) and the dtype-cast canary regression row,
+    # then the r2-era q02–q18 join/reduce core (stalest green driver
+    # evidence), then the r4-era q88–q90 + q99/q9a–q9f incremental
+    # family, then r5 blocks, then everything re-verified r6/r7.
     def _prio(k: str) -> int:
-        if k.startswith("qdg"):
+        if k == "qax_within_doc_spans" or k == "qdg_dtype_canary":
             return 0
-        if k[:3] in ("q9j", "q9k", "q9r"):
-            return 1
-        if "qaq" <= k < "qax":
-            return 2          # r7-new TPC-H Q16/Q18/Q19 + Q6/Q9/Q10/Q14
-        if ("q53" <= k < "q91") or ("q9b" <= k < "q9g"):
-            return 3
+        if "q02" <= k < "q19" and len(k) > 3 and k[3] == "_":
+            return 1          # r2-era join/reduce/window core block
+        if ("q88" <= k < "q91") or k.startswith("q99") \
+                or ("q9a" <= k < "q9g"):
+            return 2          # r4-era incremental/dedup family
         if "qa0" <= k < "qam":
+            return 3
+        if "qam" <= k < "qax":
             return 4
-        if "qam" <= k < "qaq":
-            return 5
         if ("q19" <= k < "q53") or ("q91" <= k < "q99"):
-            return 6
+            return 5
+        if k.startswith("qdg"):
+            return 6          # concluded-experiment regression rows
         return 7
 
     return {k: _REG[k] for k in sorted(_REG, key=lambda k: (_prio(k), k))}

@@ -858,7 +858,11 @@ def split_leakage(df: DataFrame, id_col: str = "doc_id",
       eval-sized); AQE sizes that join at runtime.
     - ``None``: both sides hash-partition on the gram key — the
       corpus-vs-corpus shape where neither set nor bitmap-miss-rate is
-      small."""
+      small. Since r8 this tier scores on a 128-bit hashed gram key
+      (two seeded xxhash64 lanes): gram TEXT never crosses the
+      exchange — 16 fixed bytes per gram shuffle and sort instead of
+      n-word strings. Result-neutral up to a 2^-128-scale collision;
+      differential-pinned to the string-keyed modes."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -1056,6 +1060,39 @@ def split_leakage(df: DataFrame, id_col: str = "doc_id",
     tg = tr.select(
         F.explode(F.array_distinct(arrow_shingles(F.col(text_col), n)))
         .alias("__g"))
+    if prune is None:
+        # Shuffle tier scores on a 128-bit HASHED gram key (two seeded
+        # xxhash64 lanes — the novelty_scores/frequent_phrases r6/r7
+        # trick): the report needs per-doc counts, never gram text, so
+        # both the train-side distinct and the two-sided sort-merge
+        # join exchange 16 fixed bytes per gram instead of ~n-word
+        # strings (rung-measured on those ops ~2× on this exchange
+        # class). Result-neutral up to a 128-bit collision (~4e-23 at
+        # 38M grams) — the prune-mode differential test pins it to the
+        # string-keyed broadcast/bloom/fused paths. NULL lanes keep
+        # zero-gram eval docs visible (xxhash64 of NULL would collapse
+        # to the seed constant, not NULL).
+        keys = [(1, "__h1"), (2, "__h2")]
+        ev_h = ev_grams.select(
+            F.col(id_col), F.col(split_col),
+            *[F.when(F.col("__g").isNotNull(),
+                     F.xxhash64("__g", F.lit(s))).alias(a)
+              for s, a in keys])
+        bench = (tg.select(*[F.xxhash64("__g", F.lit(s)).alias(a)
+                             for s, a in keys])
+                 .distinct().withColumn("__hit", F.lit(1))
+                 .hint("merge"))
+        joined = ev_h.join(bench, ["__h1", "__h2"], "left")
+        n_grams = F.sum(F.col("__h1").isNotNull().cast("long"))
+        n_hits = F.sum(F.coalesce(F.col("__hit"), F.lit(0)).cast("long"))
+        return (joined.groupBy(id_col, split_col)
+                .agg(n_grams.alias("n_grams"), n_hits.alias("n_hits"))
+                .withColumn("contamination",
+                            F.when(F.col("n_grams") > 0,
+                                   F.col("n_hits") / F.col("n_grams"))
+                            .otherwise(F.lit(0.0)))
+                .select(id_col, split_col, "n_grams", "n_hits",
+                        "contamination"))
     if prune == "broadcast":
         ev_gset = ev_grams.filter(F.col("__g").isNotNull()) \
             .select("__g").distinct()

@@ -650,10 +650,16 @@ def _crcperm_sets_udf(num_hashes: int):
 def _crcperm_fused_udf(k: int, num_hashes: int):
     """tokens → crc32perm MinHash signature, FULLY fused: per doc, the
     k-shingles are byte slices of the pre-joined UTF-8 text (the
-    `_md5_window_digs` offset walk), deduped as a byte-slice set and
-    crc32-hashed WITHOUT ever decoding shingle strings or sending a
-    shingle array back over Arrow — the whole signature costs one
-    tokens transfer in and 8·num_hashes bytes out per doc.  Replaces
+    `_md5_window_digs` offset walk), crc32-hashed and deduped as a set
+    of crc32 VALUES — not of the byte slices themselves — WITHOUT ever
+    decoding shingle strings or sending a shingle array back over
+    Arrow; the whole signature costs one tokens transfer in and
+    8·num_hashes bytes out per doc.  Deduping the crc values is
+    min-equivalent to deduping the shingles: every permutation hash
+    depends only on crc(s), so colliding shingles contribute identical
+    candidates to each min (the only observable difference is that an
+    intra-doc crc collision makes len(hs) count distinct CRCs, not
+    distinct shingles — len(hs) is internal and never emitted).  Replaces
     the arrow_shingles → JVM array_distinct → second Arrow transfer →
     explode → 32-min agg chain of the from-sets path; bit-identical to
     it (the byte slice IS the utf-8 encoding of the " "-joined
@@ -1091,16 +1097,67 @@ def _md5_window_digs(toks, k: int, raw: bool = False) -> list:
             for i in range(nn - k + 1)]
 
 
+_POLY64_P = 1099511628211  # FNV-1a prime (odd → bijective step mod 2^64)
+
+
+def _poly64_window_fps(col, k: int):
+    """8-byte window fingerprints for a BATCH of token lists, fully
+    vectorized: crc32 per token (C-speed, the crc32perm base), then
+    each k-window fp is the degree-(k-1) polynomial
+    Σ crc(t_{i+j})·p^{k-1-j} (mod 2^64, natural uint64 wraparound)
+    over one flat batch-wide array via a strided (windows × k)
+    multiply-sum — no per-window Python call at all, vs ~650 ns of
+    hashlib md5 per window on the md5 path.  Windows that straddle a
+    doc boundary are computed then DROPPED by the per-doc slice (cost:
+    k-1 wasted lanes per doc).  Returns a list of per-doc int64 lists
+    aligned with `col` (empty list for <k-token docs)."""
+    import numpy as np
+    from zlib import crc32 as _crc
+    lens, flat = [], []
+    for toks in col:
+        ts = [] if toks is None else list(toks)
+        lens.append(len(ts))
+        flat.extend(ts)
+    out = []
+    if not flat:
+        return [[] for _ in lens]
+    c = np.fromiter(
+        (_crc(t.encode("utf-8", "surrogatepass")) for t in flat),
+        dtype=np.uint64, count=len(flat))
+    if len(c) >= k:
+        pw = np.array([pow(_POLY64_P, k - 1 - j, 1 << 64)
+                       for j in range(k)], dtype=np.uint64)
+        sw = np.lib.stride_tricks.sliding_window_view(c, k)
+        with np.errstate(over="ignore"):
+            fps_all = (sw * pw).sum(axis=1, dtype=np.uint64) \
+                .view(np.int64)
+    s = 0
+    for nn in lens:
+        if nn < k:
+            out.append([])
+        else:
+            out.append(fps_all[s:s + nn - k + 1].tolist())
+        s += nn
+    return out
+
+
 def _window_fps(df: DataFrame, id_col: str, text_col: str, k: int,
                 method: str = "arrow", fmt: str = "hex") -> DataFrame:
-    """(id, pos, fp): md5 fingerprint of each k-token window (1-based
-    pos). md5 keeps the oracle portable; swap xxhash64 at deploy scale
-    for cheaper hashing — the plan shape is identical.
+    """(id, pos, fp): fingerprint of each k-token window (1-based
+    pos). md5 keeps the oracle portable; swap a cheaper family at
+    deploy scale — the plan shape is identical.
 
     ``fmt="bin"`` emits the 16 raw digest bytes instead of the 32-char
     hex string — same equality semantics, half the shuffle width; use
     it wherever the fp never leaves the plan (duplicate_spans), and
     keep hex where the fp IS the artifact (substring_index).
+    ``fmt="u64"`` (r8, VERDICT r7 #6) goes further: an 8-byte int64
+    fp from crc32-per-token + a vectorized sliding polynomial
+    (`_poly64_window_fps`) — no per-window hash call and half bin's
+    exchange bytes, at a ~2.6e-3 per-corpus collision probability at
+    the 309M-window rung (vs ~0 for md5): acceptable where the fp
+    only ever feeds span DETECTION, wrong where it is a persisted
+    artifact.  Arrow method only.
 
     Default build is the Arrow fused pass (`_md5_window_digs`); the
     expression form (``method="expr"``) is the r5 shape, kept for
@@ -1108,27 +1165,38 @@ def _window_fps(df: DataFrame, id_col: str, text_col: str, k: int,
     and was the hidden floor under every substring-dedup rung number."""
     from juliadb_jl_spark.functions.text import tokens
 
-    if fmt not in ("hex", "bin"):
-        raise ValueError(f"fmt must be 'hex' or 'bin' (got {fmt!r})")
+    if fmt not in ("hex", "bin", "u64"):
+        raise ValueError(f"fmt must be 'hex', 'bin' or 'u64' "
+                         f"(got {fmt!r})")
+    if fmt == "u64" and method != "arrow":
+        raise ValueError("fmt='u64' is Arrow-only (no expr twin)")
     if method == "arrow":
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
         kk, raw = k, fmt == "bin"
 
-        def _fps_fn(col):
-            fps_out, poss_out = [], []
-            for toks in col:
-                # Arrow hands array columns over as numpy arrays, where
-                # `toks or []` raises — explicit None check instead
-                digs = ([] if toks is None
-                        else _md5_window_digs(toks, kk, raw))
-                fps_out.append(digs)
-                poss_out.append(list(range(1, len(digs) + 1)))
-            return pd.DataFrame({"fps": fps_out, "poss": poss_out})
+        if fmt == "u64":
+            def _fps_fn(col):
+                digs_all = _poly64_window_fps(col, kk)
+                return pd.DataFrame(
+                    {"fps": digs_all,
+                     "poss": [list(range(1, len(d) + 1))
+                              for d in digs_all]})
+        else:
+            def _fps_fn(col):
+                fps_out, poss_out = [], []
+                for toks in col:
+                    # Arrow hands array columns over as numpy arrays,
+                    # where `toks or []` raises — explicit None check
+                    digs = ([] if toks is None
+                            else _md5_window_digs(toks, kk, raw))
+                    fps_out.append(digs)
+                    poss_out.append(list(range(1, len(digs) + 1)))
+                return pd.DataFrame({"fps": fps_out, "poss": poss_out})
 
         _fps_fn.__annotations__ = {"col": pd.Series,
                                    "return": pd.DataFrame}
-        ftype = "binary" if raw else "string"
+        ftype = {"hex": "string", "bin": "binary", "u64": "long"}[fmt]
         _fps = pandas_udf(
             f"struct<fps:array<{ftype}>,poss:array<int>>")(_fps_fn)
         return (_spread(df)
@@ -1189,7 +1257,8 @@ def _window_fp_set(df: DataFrame, text_col: str, k: int,
 
 def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
                     k: int = 50, merge: bool = True,
-                    within_doc: bool = False) -> DataFrame:
+                    within_doc: bool = False,
+                    fp_fmt: str = "bin") -> DataFrame:
     """Maximal duplicated spans: for every fingerprint seen more than
     once, each occurrence outside the keeper is a duplicated k-window;
     overlapping/adjacent windows merge into maximal
@@ -1208,20 +1277,29 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
     O(occurrences²); the sort-based window exec spills instead of
     building per-task hash maps (the r6 UNABLE_TO_ACQUIRE_MEMORY
     class), and a giant fp group only grows one spillable buffer.
-    Fingerprints cross the exchange as 16 raw md5 bytes (fmt="bin"),
-    not 32 hex chars. `id != min(id)` implies the fp occurs >= 2
-    times and (id, pos) rows are unique, so no count and no distinct
-    are needed. Span merge is a per-doc window (classic island
-    detection), shuffling only the duplicated windows.
+    Fingerprints cross the exchange as 16 raw md5 bytes (fp_fmt="bin",
+    default), not 32 hex chars; ``fp_fmt="u64"`` (r8 flag, VERDICT r7
+    #6) swaps in the 8-byte vectorized poly-crc fp — no per-window
+    md5 call in the build and half the exchange key bytes, at a
+    ~2.6e-3 per-CORPUS collision probability at the 309M-window rung
+    (one false duplicated window corpus-wide; fps never leave the
+    plan, spans are positions). A/B rung numbers: SCALING.md. `id !=
+    min(id)` implies the fp occurs >= 2 times and (id, pos) rows are
+    unique, so no count and no distinct are needed. Span merge is a
+    per-doc window (classic island detection), shuffling only the
+    duplicated windows.
 
     Plan history: the r6 shape was groupBy(fp) + join-back, which
     priced a SECOND Arrow gram build (~70 s at the 5M rung) plus a
     corpus-sized sort-merge join; the window form halves the builds
-    and removes the join (5M-doc rung 273 s / 4781 CPU-s ->
-    101 s / 1436 CPU-s, table in SCALING.md)."""
+    and removes the join (current rung numbers: the duplicate_spans
+    rows of the SCALING.md table / BENCH_DOCS artifact — the tracked
+    source of truth, not this docstring)."""
     from pyspark.sql import Window
+    if fp_fmt not in ("bin", "u64"):
+        raise ValueError(f"fp_fmt must be 'bin' or 'u64' (got {fp_fmt!r})")
     p4 = 4 * df.sparkSession.sparkContext.defaultParallelism
-    w = (_window_fps(df, id_col, text_col, k, fmt="bin")
+    w = (_window_fps(df, id_col, text_col, k, fmt=fp_fmt)
          .repartition(p4, "fp"))
     grp = Window.partitionBy("fp")
     if within_doc:

@@ -148,6 +148,76 @@ def load_index(table_name: str, spark=None) -> DataFrame:
     return load_table(table_name, spark).df
 
 
+# MinHash build parameters recorded as COLUMN METADATA on the index
+# (signature column of the flat form, bucket column of the pre-banded
+# form).  Spark schema metadata survives parquet writes (stored in the
+# footer's Spark schema) and saveAsTable catalogs, so a reopened index
+# still knows how it was built — closing the silent-zero-matches trap
+# ADVICE r7 flagged: probing an index with a mismatched hash_family (or
+# num_hashes/bands) yields no bucket matches and no error.
+_P31 = 2147483647  # 2^31 - 1 — crc32perm/portable signature modulus
+
+
+def _index_meta(index: DataFrame, col: str) -> dict:
+    """Recorded build-parameter metadata of `col` ({} when absent —
+    e.g. an index persisted before the metadata existed)."""
+    for f in index.schema.fields:
+        if f.name == col:
+            return dict(f.metadata or {})
+    return {}
+
+
+def check_index_family(index: DataFrame, hash_family: str,
+                       num_hashes: int | None = None,
+                       bands: int | None = None,
+                       k: int | None = None) -> None:
+    """Validate a MinHash index's recorded build parameters against the
+    probe's.  Signatures are family-specific, so a mismatched probe
+    joins zero buckets SILENTLY — this turns that into an error.
+
+    Indexes built since r8 carry {hash_family, num_hashes, k[, bands]}
+    as column metadata; any recorded parameter that disagrees with the
+    probe raises.  For metadata-less (pre-r8) flat indexes there is
+    still one definitive check: crc32perm/portable signature values are
+    (a·x+b) mod 2^31-1, so a sampled value outside [0, 2^31-1) proves
+    the index was built with hash_family='xxhash64' (full-range int64).
+    Pre-banded metadata-less indexes are uncheckable (both non-portable
+    families bucket via xxhash64-of-slice) — they pass silently."""
+    col = "bucket" if {"band", "bucket"}.issubset(index.columns) \
+        else "signature"
+    meta = _index_meta(index, col)
+    probe = {"hash_family": hash_family, "num_hashes": num_hashes,
+             "bands": bands, "k": k}
+    bad = {p: (meta[p], v) for p, v in probe.items()
+           if v is not None and p in meta and meta[p] != v}
+    if bad:
+        detail = "; ".join(f"{p}: index={iv!r} vs probe={pv!r}"
+                           for p, (iv, pv) in bad.items())
+        raise ValueError(
+            f"MinHash index build parameters disagree with this probe "
+            f"({detail}). Signatures are family/parameter-specific — a "
+            f"mismatched probe joins ZERO buckets silently. Pass the "
+            f"index's recorded parameters, or rebuild the index "
+            f"(signatures are pure functions of the text).")
+    if not meta and col == "signature" and \
+            hash_family in ("crc32perm", "portable"):
+        row = index.select("signature").head(1)
+        if row and row[0][0] is not None and any(
+                v is not None and not (0 <= v < _P31) for v in row[0][0]):
+            raise ValueError(
+                f"index signature values fall outside [0, 2^31-1), "
+                f"which is impossible under hash_family="
+                f"{hash_family!r} ((a*x+b) mod 2^31-1) — this index "
+                f"was built with hash_family='xxhash64' (the pre-r7 "
+                f"default). Pass hash_family='xxhash64' to probe it, "
+                f"or rebuild it under the current family.")
+
+
+def _stamp_index_meta(df: DataFrame, col: str, **params) -> DataFrame:
+    return df.withMetadata(col, {p: v for p, v in params.items()
+                                 if v is not None})
+
+
 def minhash_index_banded(index: DataFrame, id_col: str = "id",
                          num_hashes: int = 32, bands: int = 8,
                          hash_family: str = "crc32perm") -> DataFrame:
@@ -166,10 +236,14 @@ def minhash_index_banded(index: DataFrame, id_col: str = "id",
                          "are oracle-path only — use hash_family="
                          "'xxhash64' (the scale path)")
     assert num_hashes % bands == 0
+    check_index_family(index, hash_family, num_hashes)
     idx_id = id_col if id_col in index.columns else "id"
-    return band_buckets(
+    banded = band_buckets(
         index.select(F.col(idx_id).alias("id"), "signature"),
         bands, num_hashes // bands, hash_family)
+    return _stamp_index_meta(
+        banded, "bucket", hash_family=hash_family, num_hashes=num_hashes,
+        bands=bands, k=_index_meta(index, "signature").get("k"))
 
 
 def merge_minhash_index(*indexes: DataFrame) -> DataFrame:
@@ -236,10 +310,17 @@ def minhash_index(df: DataFrame, id_col: str, text_col: str = "text",
     ``minhash_against`` joins new batches onto.  Identical signature
     construction to ``minhash_signature`` (so an index built today
     matches batches signed tomorrow) — delegated to it, so the index
-    build rides the same fused crc32perm path."""
+    build rides the same fused crc32perm path.  The build parameters
+    (hash_family/num_hashes/k) are recorded as metadata on the
+    signature column — they survive parquet persistence, and
+    ``minhash_against`` / ``minhash_index_banded`` validate them
+    against the probe's parameters (a silent mismatch would join zero
+    buckets — ADVICE r7)."""
     from juliadb_jl_spark.functions.dedup import minhash_signature
-    return minhash_signature(df, id_col, text_col, k, num_hashes,
-                             hash_family)
+    sig = minhash_signature(df, id_col, text_col, k, num_hashes,
+                            hash_family)
+    return _stamp_index_meta(sig, "signature", hash_family=hash_family,
+                             num_hashes=num_hashes, k=k)
 
 
 def minhash_against(new_df: DataFrame, index: DataFrame, id_col: str,
@@ -274,7 +355,12 @@ def minhash_against(new_df: DataFrame, index: DataFrame, id_col: str,
     document ids; the append-ingest contract already assumes it).
     Precondition: the index was built with the SAME hash_family (and
     num_hashes/bands) as this call — signatures are family-specific
-    and a mismatch silently yields zero bucket matches. Indices
+    and a mismatch silently yields zero bucket matches. ENFORCED since
+    r8: indexes built by ``minhash_index``/``minhash_index_banded``
+    carry their build parameters as column metadata (survives parquet)
+    and ``check_index_family`` raises on disagreement; metadata-less
+    pre-r8 flat indexes get a one-row range check (crc32perm values
+    are mod 2^31-1, xxhash64's are full-range int64). Indices
     persisted before the r7 crc32perm default change were built with
     hash_family="xxhash64"; pass that explicitly to query them, or
     rebuild (signatures are pure functions of the text).
@@ -287,6 +373,7 @@ def minhash_against(new_df: DataFrame, index: DataFrame, id_col: str,
     at most c candidate rows per band, not c². check_invariants.py #6
     deliberately runs the NOT-deduped stress and stays exact."""
     assert num_hashes % bands == 0
+    check_index_family(index, hash_family, num_hashes, bands, k)
     if verify and corpus_df is None:
         raise ValueError("verify=True needs corpus_df (id/text of the "
                          "indexed docs) for the exact-Jaccard check; "

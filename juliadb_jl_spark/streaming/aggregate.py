@@ -125,8 +125,8 @@ def stream_dedup_against(df: DataFrame, index: DataFrame,
 
 def stream_minhash_against(df: DataFrame, index: DataFrame, id_col: str,
                            text_col: str = "text", k: int = 3,
-                           num_hashes: int = 32,
-                           bands: int = 8) -> DataFrame:
+                           num_hashes: int = 32, bands: int = 8,
+                           hash_family: str = "crc32perm") -> DataFrame:
     """Streaming near-dup candidates vs the STATIC MinHash index: each
     streamed doc gets a stateless per-row signature
     (dedup.minhash_signature_rowwise — no aggregation, so it runs
@@ -137,16 +137,25 @@ def stream_minhash_against(df: DataFrame, index: DataFrame, id_col: str,
     needs corpus text; distinct on an unbounded stream would grow
     state forever).  Batch frames take the identical plan, which is
     how the batch-equivalence test checks it against
-    incremental.minhash_against candidates."""
+    incremental.minhash_against candidates.
+
+    ``hash_family`` (default crc32perm, ADVICE r7) must match the
+    index's build family — validated against the index's recorded
+    column metadata by ``incremental.check_index_family`` (the static
+    side, so the check runs at plan time, not per micro-batch); pass
+    hash_family="xxhash64" to probe a pre-r7 index."""
     from juliadb_jl_spark.functions.dedup import (
         band_buckets, minhash_signature_rowwise)
+    from juliadb_jl_spark.functions.incremental import check_index_family
     assert num_hashes % bands == 0
+    check_index_family(index, hash_family, num_hashes, bands, k)
     r = num_hashes // bands
-    sig = minhash_signature_rowwise(df, id_col, text_col, k, num_hashes)
-    n = band_buckets(sig, bands, r).alias("n")
+    sig = minhash_signature_rowwise(df, id_col, text_col, k, num_hashes,
+                                    hash_family)
+    n = band_buckets(sig, bands, r, hash_family).alias("n")
     idx_id = id_col if id_col in index.columns else "id"
     c = band_buckets(index.select(F.col(idx_id).alias("id"), "signature"),
-                     bands, r).alias("c")
+                     bands, r, hash_family).alias("c")
     return (n.join(c, (F.col("n.band") == F.col("c.band")) &
                    (F.col("n.bucket") == F.col("c.bucket")))
             .select(F.col("n.id").alias("id_new"),

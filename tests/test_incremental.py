@@ -601,3 +601,105 @@ def test_stream_full_ingest_dedup_composition(spark, tmp_path):
     got = sorted(r["doc_id"] for r in
                  spark.sql("SELECT * FROM full_ingest_out").collect())
     assert got == want == [11, 14]
+
+
+def test_index_family_metadata_validation(spark, tmp_path):
+    """ADVICE r7 (medium): an index probed with a mismatched hash
+    family / parameters used to join ZERO buckets silently. Indexes now
+    carry their build parameters as column metadata (surviving parquet
+    persistence) and check_index_family raises on disagreement; a
+    metadata-less pre-r8 xxhash64 index probed as crc32perm is caught
+    by the signature value-range heuristic (crc32perm values are
+    mod 2^31-1, xxhash64's are full-range int64)."""
+    import pytest
+
+    import juliadb_jl_spark as jdb
+    from juliadb_jl_spark.functions import incremental as INC
+
+    old, new = _docs(spark, OLD_ROWS), _docs(spark, NEW_ROWS)
+    idx = INC.minhash_index(old, "doc_id", num_hashes=16)
+    meta = dict(idx.schema["signature"].metadata)
+    assert meta == {"hash_family": "crc32perm", "num_hashes": 16, "k": 3}
+
+    # family mismatch raises (both directions of the r7 default flip)
+    with pytest.raises(ValueError, match="hash_family"):
+        INC.minhash_against(new, idx, "doc_id", num_hashes=16, bands=8,
+                            verify=False, hash_family="xxhash64")
+    # parameter mismatch raises
+    with pytest.raises(ValueError, match="num_hashes"):
+        INC.minhash_against(new, idx, "doc_id", num_hashes=32, bands=8,
+                            verify=False)
+    with pytest.raises(ValueError, match="k:"):
+        INC.minhash_against(new, idx, "doc_id", num_hashes=16, bands=8,
+                            k=5, verify=False)
+
+    # metadata survives parquet persistence — the reloaded index still
+    # knows its family and still raises
+    jdb.save(jdb.table(idx), str(tmp_path / "mh_idx_meta"))
+    idx2 = jdb.load(str(tmp_path / "mh_idx_meta"), spark).df
+    assert dict(idx2.schema["signature"].metadata) == meta
+    with pytest.raises(ValueError, match="hash_family"):
+        INC.minhash_against(new, idx2, "doc_id", num_hashes=16, bands=8,
+                            verify=False, hash_family="xxhash64")
+
+    # the banded form validates its input and stamps bucket metadata
+    with pytest.raises(ValueError, match="num_hashes"):
+        INC.minhash_index_banded(idx, num_hashes=32, bands=8)
+    banded = INC.minhash_index_banded(idx, num_hashes=16, bands=8)
+    bmeta = dict(banded.schema["bucket"].metadata)
+    assert bmeta == {"hash_family": "crc32perm", "num_hashes": 16,
+                     "bands": 8, "k": 3}
+    with pytest.raises(ValueError, match="bands"):
+        INC.minhash_against(new, banded, "doc_id", num_hashes=16,
+                            bands=4, verify=False)
+
+    # the streaming probe validates too (static index side, plan time)
+    from juliadb_jl_spark.streaming import aggregate as SA
+    with pytest.raises(ValueError, match="hash_family"):
+        SA.stream_minhash_against(new, idx, "doc_id", num_hashes=16,
+                                  bands=8, hash_family="xxhash64")
+
+    # pre-r8 metadata-less index built under the old xxhash64 default:
+    # probing as crc32perm is caught by the value-range heuristic
+    legacy = DD.minhash_signature(old, "doc_id", num_hashes=16,
+                                  hash_family="xxhash64")
+    assert legacy.schema["signature"].metadata in ({}, None) or \
+        not dict(legacy.schema["signature"].metadata)
+    with pytest.raises(ValueError, match="xxhash64"):
+        INC.minhash_against(new, legacy, "doc_id", num_hashes=16,
+                            bands=8, verify=False)
+    # ...and probing it with the CORRECT family still works
+    assert INC.minhash_against(new, legacy, "doc_id", num_hashes=16,
+                               bands=8, verify=False,
+                               hash_family="xxhash64").count() >= 0
+
+
+def test_stream_minhash_against_xxhash64_family(spark, tmp_path):
+    """ADVICE r7 (low): the streaming probe now takes hash_family, so
+    pre-r7 xxhash64 indexes remain queryable from streams — candidates
+    match the batch path under the same family."""
+    from juliadb_jl_spark.functions import incremental as INC
+    from juliadb_jl_spark.streaming import aggregate as SA
+
+    docs = read_table(spark, SF_DIR, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = DD.minhash_signature(old, "doc_id", num_hashes=16,
+                               hash_family="xxhash64")
+    want = {tuple(r) for r in
+            INC.minhash_against(new, idx, "doc_id", num_hashes=16,
+                                bands=8, verify=False,
+                                hash_family="xxhash64").collect()}
+    src = str(tmp_path / "mh_stream_xx")
+    new.coalesce(1).write.parquet(f"{src}/b0")
+    stream = (spark.readStream.schema(new.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    out = SA.stream_minhash_against(stream, idx, "doc_id", num_hashes=16,
+                                    bands=8, hash_family="xxhash64")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("mh_out_xx").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["id_new"], r["id_corpus"]) for r in
+           spark.sql("SELECT DISTINCT * FROM mh_out_xx").collect()}
+    assert got == want and got

@@ -85,21 +85,29 @@ def main():
                 fn(docs).write.format("noop").mode("overwrite").save()
                 walls.append(round(time.time() - t0, 2))
                 c1 = _proc_tree_cpu(me)
-                if c0 is not None and c1 is not None:
-                    cpus_.append(round(c1 - c0, 1))
+                cpus_.append(round(c1 - c0, 1)
+                             if c0 is not None and c1 is not None
+                             else None)
             except Exception as ex:
                 print(f"docs-bench error in {name}: {ex}",
                       file=sys.stderr)
                 walls.append(-1.0)
+                cpus_.append(None)
                 break
-        ok = [w for w in walls if w >= 0]
-        results[name] = min(ok) if ok else -1.0
-        # negative deltas are sampling artifacts (SIGKILLed workers
-        # reparent to init and their time leaves the process tree —
-        # see SCALING.md footnote ¹), not measurements: drop them
-        pos = [c for c in cpus_ if c >= 0]
-        if pos:
-            cpu[name] = min(pos)
+        # in min-of-N mode report the (wall, cpu) PAIR from the run
+        # with the minimum wall (ADVICE r7: independent minima could
+        # pair one run's wall with another's CPU, muddying wall-vs-CPU
+        # reads); negative CPU deltas are sampling artifacts
+        # (SIGKILLed workers reparent to init and their time leaves
+        # the process tree — SCALING.md footnote ¹), treated as absent
+        pairs = [(w, c) for w, c in zip(walls, cpus_) if w >= 0]
+        if pairs:
+            best_w, best_c = min(pairs, key=lambda p: p[0])
+            results[name] = best_w
+            if best_c is not None and best_c >= 0:
+                cpu[name] = best_c
+        else:
+            results[name] = -1.0
         print(f"# {name}: {results[name]}s (runs: {walls})",
               file=sys.stderr)
     out = json.dumps({
