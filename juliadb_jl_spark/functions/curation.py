@@ -294,15 +294,21 @@ def novelty_scores(df: DataFrame, id_col: str = "doc_id",
     aggregation alive at the 5M-doc rung (both failures observed there
     as AGGREGATE_OUT_OF_MEMORY before the fix):
 
-    - Gram TEXT never leaves its task: each distinct gram is reduced
-      to a 128-bit key (two independent xxhash64 lanes) right after
-      the explode, so the frequency aggregation and the join move
-      24-byte rows, not ~60-byte strings. Collision odds over 10^9
-      distinct grams are ~10^-20 — the same md5-fingerprint exactness
-      class the exact-dedup family already stands on.
-      ``method="exact"`` keys the same plan on the gram TEXT instead
-      (the pre-r6 shape) — the differential-testing escape hatch for
-      the probabilistic contract (ADVICE r6).
+    - Gram TEXT is never BUILT at all (r8): the 128-bit key (two
+      independent polynomial lanes over a 64-bit per-token crc base —
+      `text._gram_lanes_flat`, the crc32perm-minhash lesson applied to
+      gram keys) is computed inside the fused Arrow pass and per-doc
+      deduped there, so what crosses Arrow and the frequency exchange
+      is 16 bytes per distinct gram — no gram strings through Arrow
+      (the r7 shape), no JVM array_distinct/explode/xxhash64 chain.
+      Collision odds match the 2×xxhash64 contract it replaces
+      (~10^-20 at 10^9 grams — the md5-fingerprint exactness class);
+      the per-doc n_grams divisor is a twin fused pass counting
+      distinct (h1, h2) pairs, consistent by construction with the
+      key stream. ``method="exact"`` keys the same plan shape on the
+      gram TEXT instead (string keys via arrow_shingles — the
+      differential-testing escape hatch for the probabilistic
+      contract, ADVICE r6).
     - The frequency count pre-partitions BY THE KEY onto
       4×parallelism partitions and aggregates within them (for a
       high-entropy corpus the map-side partial agg combines nothing
@@ -312,17 +318,56 @@ def novelty_scores(df: DataFrame, id_col: str = "doc_id",
       layout. Nothing is persisted: rebuilding grams is cheap since
       the build is the fused Arrow pass."""
     from juliadb_jl_spark.functions.dedup import _spread
+    from juliadb_jl_spark.functions.text import (_doc_unique_pairs,
+                                                 _gram_lanes_flat,
+                                                 distinct_gram_count_udf,
+                                                 tokens)
     p = df.sparkSession.sparkContext.defaultParallelism
     sp = _spread(df)
-    arr = F.array_distinct(arrow_shingles(F.col(text_col), n))
-    grams = sp.select(F.col(id_col), F.explode(arr).alias("__g"))
     if method == "hashed":
-        keys = [F.xxhash64("__g", F.lit(1)).alias("__h1"),
-                F.xxhash64("__g", F.lit(2)).alias("__h2")]
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+        nn_ = n
+        id_t = df.schema[id_col].dataType
+        key_schema = T.StructType([
+            T.StructField("__id", id_t),
+            T.StructField("__h1", T.LongType()),
+            T.StructField("__h2", T.LongType())])
+
+        def _emit_keys(it):
+            # per-doc DISTINCT (h1, h2) gram keys, exploded to rows
+            # HERE — nothing but 16-byte keys crosses Arrow; gramless
+            # docs emit nothing (the per_doc left join keeps them)
+            for pdf in it:
+                h1, h2, counts = _gram_lanes_flat(pdf["__toks"], nn_)
+                u1s, u2s, ulens = [], [], []
+                for u1, u2 in _doc_unique_pairs(h1, h2, counts):
+                    u1s.append(u1)
+                    u2s.append(u2)
+                    ulens.append(len(u1))
+                if not u1s or not sum(ulens):
+                    continue
+                yield pd.DataFrame(
+                    {"__id": np.repeat(pdf["__id"].values, ulens),
+                     "__h1": np.concatenate(u1s).view(np.int64),
+                     "__h2": np.concatenate(u2s).view(np.int64)})
+
+        grams = (sp.select(F.col(id_col).alias("__id"),
+                           tokens(F.col(text_col)).alias("__toks"))
+                 .mapInPandas(_emit_keys, key_schema)
+                 .withColumnRenamed("__id", id_col))
         knames = ["__h1", "__h2"]
+        per_doc = sp.select(
+            F.col(id_col),
+            distinct_gram_count_udf(n)(tokens(F.col(text_col)))
+            .alias("n_grams"))
     elif method == "exact":
-        keys = [F.col("__g")]
+        arr = F.array_distinct(arrow_shingles(F.col(text_col), n))
+        grams = sp.select(F.col(id_col), F.explode(arr).alias("__g"))
         knames = ["__g"]
+        per_doc = sp.select(F.col(id_col),
+                            F.size(arr).cast("long").alias("n_grams"))
     else:
         raise ValueError(f"method must be 'hashed' or 'exact' "
                          f"(got {method!r})")
@@ -334,7 +379,7 @@ def novelty_scores(df: DataFrame, id_col: str = "doc_id",
     # computing per-doc n_grams (no shuffle beyond the spread), one
     # key-partitioned gram aggregation, a doc-keyed count of the
     # df=1 owners, and a doc-count-sized stitch join.
-    uniq = (grams.select(F.col(id_col), *keys)
+    uniq = (grams.select(F.col(id_col), *knames)
             .repartition(4 * p, *knames)
             .groupBy(*knames)
             .agg(F.count(F.lit(1)).alias("__df"),
@@ -342,8 +387,6 @@ def novelty_scores(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("__df") == 1)
             .groupBy(F.col("__owner").alias(id_col))
             .agg(F.count(F.lit(1)).alias("__nu")))
-    per_doc = sp.select(F.col(id_col),
-                        F.size(arr).cast("long").alias("n_grams"))
     return (per_doc.join(uniq, id_col, "left")
             .select(id_col, "n_grams",
                     (F.col("n_grams") -
@@ -1053,6 +1096,81 @@ def split_leakage(df: DataFrame, id_col: str = "doc_id",
             T.StructField("contamination", T.DoubleType())])
         return df.sparkSession.createDataFrame(rows, res_schema)
 
+    if prune is None:
+        # Shuffle tier scores on a 128-bit HASHED gram key — since r8
+        # the two polynomial lanes of `text._gram_lanes_flat`, computed
+        # and per-doc deduped INSIDE the fused Arrow pass (the
+        # novelty/phrases r8 shape): no gram string is ever
+        # materialized on either side, and the train-side distinct and
+        # the two-sided sort-merge join exchange 16 fixed bytes per
+        # gram instead of ~n-word strings. Result-neutral up to a
+        # 128-bit-class collision (~4e-23 at 38M grams) — the
+        # prune-mode differential test pins it to the string-keyed
+        # broadcast/bloom/fused paths. Zero-gram eval docs emit no key
+        # rows; the final left join onto the column-pruned eval base
+        # keeps them visible with 0/0/0.0.
+        import numpy as np
+        import pandas as pd
+        from juliadb_jl_spark.functions.text import (_doc_unique_pairs,
+                                                     _gram_lanes_flat)
+        from pyspark.sql import types as T
+        nn_ = n
+
+        def _keys_with_doc(with_doc):
+            def _emit(it):
+                for pdf in it:
+                    h1, h2, counts = _gram_lanes_flat(pdf["__toks"],
+                                                      nn_)
+                    u1s, u2s, ulens = [], [], []
+                    for u1, u2 in _doc_unique_pairs(h1, h2, counts):
+                        u1s.append(u1)
+                        u2s.append(u2)
+                        ulens.append(len(u1))
+                    if not u1s or not sum(ulens):
+                        continue
+                    out = {"__h1": np.concatenate(u1s).view(np.int64),
+                           "__h2": np.concatenate(u2s).view(np.int64)}
+                    if with_doc:
+                        out = {"__id": np.repeat(pdf["__id"].values,
+                                                 ulens),
+                               "__split": np.repeat(
+                                   pdf["__split"].values, ulens),
+                               **out}
+                    yield pd.DataFrame(out)
+            return _emit
+
+        ev_schema = T.StructType([
+            T.StructField("__id", df.schema[id_col].dataType),
+            T.StructField("__split", df.schema[split_col].dataType),
+            T.StructField("__h1", T.LongType()),
+            T.StructField("__h2", T.LongType())])
+        ev_h = (ev.select(F.col(id_col).alias("__id"),
+                          F.col(split_col).alias("__split"),
+                          tokens(F.col(text_col)).alias("__toks"))
+                .mapInPandas(_keys_with_doc(True), ev_schema)
+                .withColumnRenamed("__id", id_col)
+                .withColumnRenamed("__split", split_col))
+        bench = (tr.select(tokens(F.col(text_col)).alias("__toks"))
+                 .mapInPandas(_keys_with_doc(False),
+                              "__h1 long, __h2 long")
+                 .distinct().withColumn("__hit", F.lit(1))
+                 .hint("merge"))
+        joined = ev_h.join(bench, ["__h1", "__h2"], "left")
+        n_hits = F.sum(F.coalesce(F.col("__hit"), F.lit(0)).cast("long"))
+        rep = (joined.groupBy(id_col, split_col)
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    n_hits.alias("n_hits")))
+        ev_base = ev.select(F.col(id_col), F.col(split_col))
+        return (ev_base.join(rep, [id_col, split_col], "left")
+                .select(id_col, split_col,
+                        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                        F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+                .withColumn("contamination",
+                            F.when(F.col("n_grams") > 0,
+                                   F.col("n_hits") / F.col("n_grams"))
+                            .otherwise(F.lit(0.0)))
+                .select(id_col, split_col, "n_grams", "n_hits",
+                        "contamination"))
     ev_grams = ev.select(
         F.col(id_col), F.col(split_col),
         F.explode_outer(F.array_distinct(arrow_shingles(F.col(text_col), n)))
@@ -1060,39 +1178,6 @@ def split_leakage(df: DataFrame, id_col: str = "doc_id",
     tg = tr.select(
         F.explode(F.array_distinct(arrow_shingles(F.col(text_col), n)))
         .alias("__g"))
-    if prune is None:
-        # Shuffle tier scores on a 128-bit HASHED gram key (two seeded
-        # xxhash64 lanes — the novelty_scores/frequent_phrases r6/r7
-        # trick): the report needs per-doc counts, never gram text, so
-        # both the train-side distinct and the two-sided sort-merge
-        # join exchange 16 fixed bytes per gram instead of ~n-word
-        # strings (rung-measured on those ops ~2× on this exchange
-        # class). Result-neutral up to a 128-bit collision (~4e-23 at
-        # 38M grams) — the prune-mode differential test pins it to the
-        # string-keyed broadcast/bloom/fused paths. NULL lanes keep
-        # zero-gram eval docs visible (xxhash64 of NULL would collapse
-        # to the seed constant, not NULL).
-        keys = [(1, "__h1"), (2, "__h2")]
-        ev_h = ev_grams.select(
-            F.col(id_col), F.col(split_col),
-            *[F.when(F.col("__g").isNotNull(),
-                     F.xxhash64("__g", F.lit(s))).alias(a)
-              for s, a in keys])
-        bench = (tg.select(*[F.xxhash64("__g", F.lit(s)).alias(a)
-                             for s, a in keys])
-                 .distinct().withColumn("__hit", F.lit(1))
-                 .hint("merge"))
-        joined = ev_h.join(bench, ["__h1", "__h2"], "left")
-        n_grams = F.sum(F.col("__h1").isNotNull().cast("long"))
-        n_hits = F.sum(F.coalesce(F.col("__hit"), F.lit(0)).cast("long"))
-        return (joined.groupBy(id_col, split_col)
-                .agg(n_grams.alias("n_grams"), n_hits.alias("n_hits"))
-                .withColumn("contamination",
-                            F.when(F.col("n_grams") > 0,
-                                   F.col("n_hits") / F.col("n_grams"))
-                            .otherwise(F.lit(0.0)))
-                .select(id_col, split_col, "n_grams", "n_hits",
-                        "contamination"))
     if prune == "broadcast":
         ev_gset = ev_grams.filter(F.col("__g").isNotNull()) \
             .select("__g").distinct()

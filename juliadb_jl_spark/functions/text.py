@@ -449,6 +449,117 @@ def _gram_join_udf(n: int, drop_empty: bool = True):
     return pandas_udf("array<string>")(_fn)
 
 
+# ---------------------------------------------------------------------------
+# Fused 128-bit gram keys (r8): two vectorized polynomial lanes over a
+# 64-bit per-token crc base — the crc32perm-minhash lesson (dedup.py
+# `_crcperm_fused_udf`) applied to the hashed-gram-key family that
+# novelty_scores / frequent_phrases / split_leakage's shuffle tier ride.
+# The r6/r7 shape materialized every gram STRING through Arrow
+# (`arrow_shingles`) and hashed it JVM-side (2× xxhash64); these helpers
+# hash the TOKEN once (two C-speed zlib.crc32 calls) and derive every
+# gram key from the flat token-hash array with two strided
+# multiply-sums — no gram string is ever built, and the Arrow transfer
+# shrinks from ~n-word strings to 16 bytes per gram.
+#
+# Exactness class: identical to the 2×xxhash64 contract it replaces —
+# distinct grams collide only if (a) two distinct tokens collide on the
+# full 64-bit base (~V²/2⁶⁵: ~0.03 expected pairs at a 10⁹-token
+# vocabulary) or (b) two distinct token-hash sequences collide on BOTH
+# lanes (degree-(n−1) polynomials with independent odd multipliers,
+# ~2⁻¹²⁸ heuristic). Fixed-n grams are in bijection with their joined
+# strings (tokens are whitespace-free), so token-sequence identity IS
+# gram identity.
+# ---------------------------------------------------------------------------
+
+_POLY_A = 1099511628211          # FNV-1a 64-bit prime (odd)
+_POLY_B = 6364136223846793005    # Knuth MMIX LCG multiplier (odd)
+
+
+def _gram_lanes_flat(col, n: int, drop_empty: bool = False):
+    """Both 64-bit gram-key lanes for a BATCH of token lists, fully
+    vectorized. Returns (h1_all, h2_all, lens): flat uint64 lane
+    arrays over every doc's grams in order, plus the per-doc gram
+    counts (0 for <n-token docs) aligned with `col`. Token base =
+    crc32(bytes) in the high word, crc32(bytes + b'\\x9e') in the low
+    word (a suffix byte, NOT a seeded crc32 — crc is affine in the
+    seed, so same-length collisions would survive any seed)."""
+    import numpy as np
+    from zlib import crc32 as _crc
+    lens, flat = [], []
+    for toks in col:
+        if toks is None:
+            ts = []
+        elif drop_empty:
+            ts = [t for t in toks if t]
+        else:
+            ts = list(toks)
+        lens.append(len(ts))
+        flat.extend(ts)
+    counts = [max(0, m - n + 1) for m in lens]
+    if not flat or max(lens) < n:
+        z = np.empty(0, dtype=np.uint64)
+        return z, z, [0] * len(lens)
+    enc = [t.encode("utf-8", "surrogatepass") for t in flat]
+    c = np.fromiter(((_crc(b) << 32) | _crc(b + b"\x9e") for b in enc),
+                    dtype=np.uint64, count=len(enc))
+    sw = np.lib.stride_tricks.sliding_window_view(c, n)
+    pw1 = np.array([pow(_POLY_A, n - 1 - j, 1 << 64) for j in range(n)],
+                   dtype=np.uint64)
+    pw2 = np.array([pow(_POLY_B, n - 1 - j, 1 << 64) for j in range(n)],
+                   dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h1_all = (sw * pw1).sum(axis=1, dtype=np.uint64)
+        h2_all = (sw * pw2).sum(axis=1, dtype=np.uint64)
+    # drop the k-1 straddle lanes per doc (the _poly64_window_fps trick:
+    # compute over the flat array, slice per doc)
+    keep = np.zeros(len(c) - n + 1, dtype=bool)
+    s = 0
+    for m, cnt in zip(lens, counts):
+        if cnt:
+            keep[s:s + cnt] = True
+        s += m
+    return h1_all[keep], h2_all[keep], counts
+
+
+def _doc_unique_pairs(h1_all, h2_all, counts):
+    """Per-doc DISTINCT (h1, h2) pairs from `_gram_lanes_flat` output:
+    yields one (u1, u2) uint64 array pair per doc (empty for gramless
+    docs). Dedup is a bytes-view np.unique over the (m, 2) pair rows —
+    pair identity, no Python-object keys."""
+    import numpy as np
+    s = 0
+    pair_t = np.dtype([("a", "<u8"), ("b", "<u8")])
+    for cnt in counts:
+        if not cnt:
+            yield (np.empty(0, dtype=np.uint64),) * 2
+            continue
+        buf = np.empty(cnt, dtype=pair_t)
+        buf["a"] = h1_all[s:s + cnt]
+        buf["b"] = h2_all[s:s + cnt]
+        u = np.unique(buf)
+        yield np.ascontiguousarray(u["a"]), np.ascontiguousarray(u["b"])
+        s += cnt
+
+
+def distinct_gram_count_udf(n: int, drop_empty: bool = False):
+    """pandas_udf: token array → count of DISTINCT word n-grams,
+    computed from the fused lane pass (no gram strings, no array
+    column back over Arrow — one int64 per doc out). Counts distinct
+    (h1, h2) PAIRS so it is consistent by construction with the rows a
+    fused gram-key emitter would produce for the same doc (novelty's
+    n_grams divisor must match its exploded key stream exactly)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fn(col):
+        h1, h2, counts = _gram_lanes_flat(col, n, drop_empty)
+        return pd.Series([len(u1) for u1, _ in
+                          _doc_unique_pairs(h1, h2, counts)])
+
+    _fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf("long")(_fn)
+
+
 def arrow_shingles(col: Column, k: int = 3) -> Column:
     """`shingles()` built through the fused Arrow byte-slice pass —
     bit-identical output (empty tokens preserved, " "-joined), ~20×
@@ -504,9 +615,11 @@ def frequent_phrases(df: DataFrame, n: int = 3, min_count: int = 10,
         raise ValueError(f"need min_count >= 1 (got {min_count})")
     from juliadb_jl_spark.functions.dedup import _spread
 
+    fused = method == "arrow" and not prune
     if method == "arrow":
         src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-        grams = _gram_join_udf(n)(tokens(src))
+        if not fused:
+            grams = _gram_join_udf(n)(tokens(src))
     elif method == "expr":
         toks = tokens(F.col(text_col))
         if lowercase:
@@ -524,57 +637,162 @@ def frequent_phrases(df: DataFrame, n: int = 3, min_count: int = 10,
     else:
         raise ValueError(f"method must be 'arrow' or 'expr' "
                          f"(got {method!r})")
-    g = _spread(df).select(F.explode(grams).alias("phrase"))
-    # The count aggregation rides a 128-bit hashed gram key (2× seeded
-    # xxhash64 — the novelty_scores r6 trick): phrase TEXT never crosses
-    # the count shuffle, whose entries shrink to 24 bytes however long
-    # the phrases are. Text is recovered afterwards by joining the gram
-    # stream back against the (frequent-set-sized, broadcastable) hash
-    # counts and taking min(phrase) per key with map-side combine — only
-    # frequent phrases' text moves, and tie-break/top-k semantics stay
+    # The count aggregation rides a 128-bit hashed gram key: phrase
+    # TEXT never crosses the count shuffle, whose entries shrink to 24
+    # bytes however long the phrases are. In the default fused mode
+    # (method="arrow", prune=False) the keys are the two polynomial
+    # lanes of `_gram_lanes_flat` computed INSIDE the Arrow pass — no
+    # gram string is ever materialized on the count side (r8; the r7
+    # shape built every gram string through Arrow and xxhashed it
+    # JVM-side). The prune/expr paths still need gram strings, so they
+    # keep the 2×-seeded-xxhash64 keys — the key family is internal to
+    # one call, never persisted. Text is recovered afterwards from a
+    # second gram pass joined against the (frequent-set-sized) hash
+    # counts with min(phrase) per key; tie-break/top-k semantics stay
     # exact because ordering happens after recovery. Cross-lane hash
     # collisions would merge two phrases' counts (probabilistic,
-    # ~1e-20 at 1e9 grams — the documented novelty_scores contract).
-    hkeys = [F.xxhash64(F.col("phrase"), F.lit(1)).alias("__h1"),
-             F.xxhash64(F.col("phrase"), F.lit(2)).alias("__h2")]
-    gc = g
-    if prune:
-        # Apriori prune on the COUNT input only — the recovery pass
-        # needs no prune, its inner join against the frequent-fp set
-        # prunes perfectly by construction.
-        wf = word_freqs(df, text_col, lowercase=lowercase) \
-            .filter(F.col("freq") >= min_count).select("word")
-        words = F.split(F.col("phrase"), " ")
-        for i in range(n):
-            gc = gc.withColumn(f"__w{i}", words.getItem(i)) \
-                .join(F.broadcast(wf.withColumnRenamed("word", f"__w{i}")),
-                      f"__w{i}", "left_semi")
-        gc = gc.select("phrase")
-    gc = gc.select(*hkeys)
-    if not prune:
+    # ~1e-20 at 1e9 grams — the documented novelty_scores contract,
+    # same class for either key family).
+    p4 = 4 * df.sparkSession.sparkContext.defaultParallelism
+    if fused:
+        import numpy as np
+        import pandas as pd
+        nn_ = n
+
+        def _emit_occ(it):
+            # every gram OCCURRENCE as its 16-byte key pair — nothing
+            # else crosses Arrow on the count side
+            for pdf in it:
+                h1, h2, _ = _gram_lanes_flat(pdf["__toks"], nn_,
+                                             drop_empty=True)
+                if not len(h1):
+                    continue
+                yield pd.DataFrame({"__h1": h1.view(np.int64),
+                                    "__h2": h2.view(np.int64)})
+
+        toks_src = _spread(df).select(tokens(src).alias("__toks"))
         # unpruned, the stream's long tail is singleton grams — map-side
         # partial agg combines nothing and builds a per-task map of
         # nearly every distinct key (the r6 bounded-agg rung class).
         # Pre-partition by the hash key so each count map holds
-        # distinct/partitions — now 24-byte rows, not phrase text.
-        p4 = 4 * df.sparkSession.sparkContext.defaultParallelism
-        gc = gc.repartition(p4, "__h1", "__h2")
+        # distinct/partitions — 16-byte rows, not phrase text.
+        gc = (toks_src.mapInPandas(_emit_occ, "__h1 long, __h2 long")
+              .repartition(p4, "__h1", "__h2"))
+    else:
+        g = _spread(df).select(F.explode(grams).alias("phrase"))
+        hkeys = [F.xxhash64(F.col("phrase"), F.lit(1)).alias("__h1"),
+                 F.xxhash64(F.col("phrase"), F.lit(2)).alias("__h2")]
+        gc = g
+        if prune:
+            # Apriori prune on the COUNT input only — the recovery pass
+            # needs no prune, its inner join against the frequent-fp
+            # set prunes perfectly by construction.
+            wf = word_freqs(df, text_col, lowercase=lowercase) \
+                .filter(F.col("freq") >= min_count).select("word")
+            words = F.split(F.col("phrase"), " ")
+            for i in range(n):
+                gc = gc.withColumn(f"__w{i}", words.getItem(i)) \
+                    .join(F.broadcast(
+                        wf.withColumnRenamed("word", f"__w{i}")),
+                        f"__w{i}", "left_semi")
+            gc = gc.select("phrase")
+        gc = gc.select(*hkeys)
+        if not prune:
+            gc = gc.repartition(p4, "__h1", "__h2")
     cnt = (gc.groupBy("__h1", "__h2")
            .agg(F.count(F.lit(1)).alias("freq"))
            .filter(F.col("freq") >= min_count))
 
-    def _recover(matches):
-        return (g.select(F.col("phrase"), *hkeys)
-                .join(matches, ["__h1", "__h2"])
-                .groupBy("__h1", "__h2", "freq")
-                .agg(F.min("phrase").alias("phrase"))
-                .select("phrase", "freq"))
+    if fused:
+        import numpy as np
+        import pandas as pd
+        from juliadb_jl_spark.functions.curation import _doc_gram_offsets
+        nn_ = n
+        sc = df.sparkSession.sparkContext
+
+        def _recover(matches, cand_keys=None):
+            # Fused text recovery: a second gram pass that re-derives
+            # (phrase, h1, h2) per occurrence — but slices the phrase
+            # string ONLY for grams that survive the candidate test
+            # (driver-held key set, pushed into the Arrow pass like
+            # split_leakage's fused tier; np.isin on the h1 lane does
+            # the vectorized coarse cut, the exact pair set confirms).
+            # Per-task key-dedup bounds emitted rows by |candidates|.
+            bc = (sc.broadcast((np.sort(
+                np.array([kk_[0] for kk_ in cand_keys],
+                         dtype=np.int64)), frozenset(cand_keys)))
+                if cand_keys is not None else None)
+
+            def _emit_phr(it):
+                cand = bc.value if bc is not None else None
+                seen = set()
+                for pdf in it:
+                    col = pdf["__toks"]
+                    h1, h2, counts = _gram_lanes_flat(col, nn_,
+                                                      drop_empty=True)
+                    s1, s2 = h1.view(np.int64), h2.view(np.int64)
+                    phr, o1, o2 = [], [], []
+                    s = 0
+                    for toks, cn in zip(col, counts):
+                        if not cn:
+                            continue
+                        if cand is None:
+                            # full-report recovery: every occurrence
+                            # (key columns sliced, no per-gram Python)
+                            ts = [t for t in toks if t]
+                            js, off = _doc_gram_offsets(ts, nn_)
+                            phr.extend(js[off[i]:off[i + nn_] - 1]
+                                       for i in range(cn))
+                            o1.append(s1[s:s + cn])
+                            o2.append(s2[s:s + cn])
+                        else:
+                            # candidate mode: vectorized h1 coarse cut,
+                            # exact pair confirm, per-task key-dedup
+                            idx = np.nonzero(np.isin(s1[s:s + cn],
+                                                     cand[0]))[0]
+                            if len(idx):
+                                ts = [t for t in toks if t]
+                                js, off = _doc_gram_offsets(ts, nn_)
+                                for i in idx:
+                                    key = (int(s1[s + i]),
+                                           int(s2[s + i]))
+                                    if key not in cand[1] \
+                                            or key in seen:
+                                        continue
+                                    seen.add(key)
+                                    phr.append(
+                                        js[off[i]:off[i + nn_] - 1])
+                                    o1.append(np.array(
+                                        [key[0]], dtype=np.int64))
+                                    o2.append(np.array(
+                                        [key[1]], dtype=np.int64))
+                        s += cn
+                    if phr:
+                        yield pd.DataFrame(
+                            {"phrase": phr,
+                             "__h1": np.concatenate(o1),
+                             "__h2": np.concatenate(o2)})
+
+            rec = toks_src.mapInPandas(
+                _emit_phr, "phrase string, __h1 long, __h2 long")
+            return (rec.join(matches, ["__h1", "__h2"])
+                    .groupBy("__h1", "__h2", "freq")
+                    .agg(F.min("phrase").alias("phrase"))
+                    .select("phrase", "freq"))
+    else:
+        def _recover(matches, cand_keys=None):
+            return (g.select(F.col("phrase"), *hkeys)
+                    .join(matches, ["__h1", "__h2"])
+                    .groupBy("__h1", "__h2", "freq")
+                    .agg(F.min("phrase").alias("phrase"))
+                    .select("phrase", "freq"))
 
     if k is None:
         # Full report: the output IS the frequent set (38M rows at the
-        # 5M-doc rung — NOT broadcastable). Honest sort-merge recovery:
-        # the gram stream's text crosses one fp-keyed exchange, the
-        # recovery agg reuses that partitioning.
+        # 5M-doc rung — NOT broadcastable, so no candidate pushdown).
+        # Honest sort-merge recovery: the gram stream's text crosses
+        # one fp-keyed exchange, the recovery agg reuses that
+        # partitioning.
         return _recover(cnt.hint("merge"))
     # Top-k: recover text for only the candidate fps at/above the exact
     # k-th frequency. cnt is persisted for the two jobs that need it
@@ -601,12 +819,21 @@ def frequent_phrases(df: DataFrame, n: int = 3, min_count: int = 10,
             if n_cand >= k:
                 break
         cand = cnt.filter(F.col("freq") >= kth)
+        cand_keys = None
+        if fused and n_cand <= 1_000_000:
+            # push the candidate-key set INTO the recovery Arrow pass
+            # (split_leakage's fused-tier trick): only candidate
+            # phrases' text is ever sliced or emitted, and per-task
+            # dedup bounds emitted rows by |candidates| — the collect
+            # is exact-count-gated, never estimated
+            cand_keys = {(r["__h1"], r["__h2"])
+                         for r in cand.select("__h1", "__h2").collect()}
         if n_cand <= 2_000_000:
             cand = F.broadcast(cand)
         else:
             # boundary ties blew the candidate set up — honest SMJ
             cand = cand.hint("merge")
-        rows = (_recover(cand)
+        rows = (_recover(cand, cand_keys)
                 .orderBy(F.desc("freq"), F.asc("phrase")).limit(k)
                 .collect())
     finally:

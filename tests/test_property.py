@@ -474,3 +474,23 @@ def test_frequent_phrases_matches_brute_force_on_nasty_text(
            frequent_phrases(df, n=n, min_count=mc, k=k)
            .orderBy(F.desc("freq"), F.asc("phrase")).collect()]
     assert got == want
+
+
+@given(rows=nasty_docs())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_novelty_hashed_matches_exact_on_nasty_text(spark, rows):
+    """r8 fused poly128 gram keys ≡ the string-keyed exact path on
+    exotic whitespace/unicode/empty docs — pins the Python
+    tokenize+lane build (and the twin distinct-count divisor) against
+    the declarative arrow_shingles shape, example by example."""
+    from juliadb_jl_spark.functions.curation import novelty_scores
+    df = spark.createDataFrame([(i, t) for i, _, t in rows],
+                               "doc_id long, text string")
+
+    def key(out):
+        return sorted((r["doc_id"], r["n_grams"], r["n_shared"],
+                       round(r["novelty"], 9)) for r in out.collect())
+
+    assert key(novelty_scores(df, "doc_id", n=3)) == \
+        key(novelty_scores(df, "doc_id", n=3, method="exact"))
