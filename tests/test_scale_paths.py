@@ -329,3 +329,44 @@ def test_spread_rules(spark, tables):
     # guarantee for post-shuffle/skewed inputs (ADVICE r6)
     local = spark.createDataFrame([(i,) for i in range(100)], ["x"])
     assert _spread(local).rdd.getNumPartitions() == p
+
+
+def test_document_ops_never_touch_rdd_on_plan_path(spark, tables,
+                                                   monkeypatch):
+    """Planning-cost regression (VERDICT r7 #8): pre-r7 `_spread` called
+    `rdd.getNumPartitions()`, which forces a SECOND full physical
+    planning per document-op call (and lies downstream of a shuffle).
+    Guard the whole class: poison `DataFrame.rdd` and build every heavy
+    document-op plan through analysis — any helper that sneaks a
+    `.rdd` back onto the plan path fails loudly here."""
+    from pyspark.sql import DataFrame as _DF
+    from juliadb_jl_spark.functions import curation as CU
+    from juliadb_jl_spark.functions import dedup as DD
+    from juliadb_jl_spark.functions import text as TX
+
+    docs = tables["documents"].df
+
+    def _poisoned(self):
+        raise AssertionError(
+            ".rdd accessed on a document-op plan path — this forces a "
+            "second physical planning per call (the ADVICE r6 class)")
+
+    monkeypatch.setattr(_DF, "rdd", property(_poisoned))
+    plans = [
+        DD._spread(docs),
+        CU.paragraph_dedup(docs, "doc_id", "text"),
+        CU.novelty_scores(docs, "doc_id", "text"),
+        CU.split_leakage(docs.withColumn(
+            "split", F.when(F.col("doc_id") % 5 == 0, "eval")
+            .otherwise("train")), "doc_id", "text", "split",
+            prune=None),     # the shuffle tier — plan-only, no jobs
+        TX.frequent_phrases(docs, n=3, min_count=2),
+        DD.dedup_exact(docs, "doc_id", "text"),
+        DD.minhash_signature(docs, "doc_id", "text"),
+        DD.duplicate_spans(docs, "doc_id", "text", k=15),
+    ]
+    for df in plans:
+        # force full analysis (what queries() construction does); the
+        # poisoned property would fire if any plan path touched .rdd
+        df._jdf.queryExecution().analyzed()
+        assert len(df.columns) > 0

@@ -65,10 +65,18 @@ def main():
         "duplicate_spans_k20": lambda d: DD.duplicate_spans(
             d, "doc_id", k=20),
         "substring_index_k20": lambda d: _substring_index(d),
+        # A/B variant (VERDICT r7 #6): 8-byte poly-crc window fp vs the
+        # 16-byte md5 default. Opt-in only (name it in
+        # SPARK_GRAFT_DOCS_OPS) — not part of the tracked rung total.
+        "duplicate_spans_k20_u64": lambda d: DD.duplicate_spans(
+            d, "doc_id", k=20, fp_fmt="u64"),
     }
+    AB_ONLY = {"duplicate_spans_k20_u64"}
     only = os.environ.get("SPARK_GRAFT_DOCS_OPS")
     if only:
         OPS = {k: v for k, v in OPS.items() if k in only.split(",")}
+    else:
+        OPS = {k: v for k, v in OPS.items() if k not in AB_ONLY}
     # min-of-N mode (default 1): single-run rows on this host swing up
     # to ~3x with accumulated memory state (SCALING.md §docs-rung
     # adjudication) — min-of-2 stabilizes the artifact's
