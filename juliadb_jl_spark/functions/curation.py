@@ -1097,74 +1097,52 @@ def split_leakage(df: DataFrame, id_col: str = "doc_id",
         return df.sparkSession.createDataFrame(rows, res_schema)
 
     if prune is None:
-        # Shuffle tier scores on a 128-bit HASHED gram key — since r8
-        # the two polynomial lanes of `text._gram_lanes_flat`, computed
-        # and per-doc deduped INSIDE the fused Arrow pass (the
-        # novelty/phrases r8 shape): no gram string is ever
-        # materialized on either side, and the train-side distinct and
-        # the two-sided sort-merge join exchange 16 fixed bytes per
-        # gram instead of ~n-word strings. Result-neutral up to a
-        # 128-bit-class collision (~4e-23 at 38M grams) — the
-        # prune-mode differential test pins it to the string-keyed
-        # broadcast/bloom/fused paths. Zero-gram eval docs emit no key
-        # rows; the final left join onto the column-pruned eval base
-        # keeps them visible with 0/0/0.0.
-        import numpy as np
-        import pandas as pd
-        from juliadb_jl_spark.functions.text import (_doc_unique_pairs,
-                                                     _gram_lanes_flat)
-        from pyspark.sql import types as T
-        nn_ = n
-
-        def _keys_with_doc(with_doc):
-            def _emit(it):
-                for pdf in it:
-                    h1, h2, counts = _gram_lanes_flat(pdf["__toks"],
-                                                      nn_)
-                    u1s, u2s, ulens = [], [], []
-                    for u1, u2 in _doc_unique_pairs(h1, h2, counts):
-                        u1s.append(u1)
-                        u2s.append(u2)
-                        ulens.append(len(u1))
-                    if not u1s or not sum(ulens):
-                        continue
-                    out = {"__h1": np.concatenate(u1s).view(np.int64),
-                           "__h2": np.concatenate(u2s).view(np.int64)}
-                    if with_doc:
-                        out = {"__id": np.repeat(pdf["__id"].values,
-                                                 ulens),
-                               "__split": np.repeat(
-                                   pdf["__split"].values, ulens),
-                               **out}
-                    yield pd.DataFrame(out)
-            return _emit
-
-        ev_schema = T.StructType([
-            T.StructField("__id", df.schema[id_col].dataType),
-            T.StructField("__split", df.schema[split_col].dataType),
-            T.StructField("__h1", T.LongType()),
-            T.StructField("__h2", T.LongType())])
-        ev_h = (ev.select(F.col(id_col).alias("__id"),
-                          F.col(split_col).alias("__split"),
-                          tokens(F.col(text_col)).alias("__toks"))
-                .mapInPandas(_keys_with_doc(True), ev_schema)
-                .withColumnRenamed("__id", id_col)
-                .withColumnRenamed("__split", split_col))
-        bench = (tr.select(tokens(F.col(text_col)).alias("__toks"))
-                 .mapInPandas(_keys_with_doc(False),
-                              "__h1 long, __h2 long")
+        # Shuffle tier scores on a 128-bit HASHED gram key (two seeded
+        # xxhash64 lanes over the fused-Arrow gram STRINGS): the report
+        # needs per-doc counts, never gram text, so both the train-side
+        # distinct and the two-sided sort-merge join exchange 16 fixed
+        # bytes per gram instead of ~n-word strings. Result-neutral up
+        # to a 128-bit collision (~4e-23 at 38M grams) — the prune-mode
+        # differential test pins it to the string-keyed broadcast/
+        # bloom/fused paths. NULL lanes keep zero-gram eval docs
+        # visible (xxhash64 of NULL would collapse to the seed
+        # constant, not NULL).
+        #
+        # Measured NEGATIVE result (r8, SCALING.md §docs-rung): moving
+        # the lane computation INTO the Arrow pass (text._gram_lanes_
+        # flat + per-doc np.unique, the shape that wins for novelty/
+        # phrases) measured 1825 → 3376 CPU-s / 65 → 116 s wall at the
+        # 5M rung — here BOTH sides need only an explode of the already
+        # -fused arrow_shingles strings plus two JVM codegen hashes,
+        # and the Python-side crc+poly+np.unique work costs more than
+        # the string transfer it avoids (novelty/phrases won because
+        # their pre-shapes also paid JVM array_distinct on long string
+        # arrays and string-keyed recovery joins, which leakage never
+        # had). Kept string-keyed on purpose; do not "unify" without
+        # re-measuring.
+        ev_grams0 = ev.select(
+            F.col(id_col), F.col(split_col),
+            F.explode_outer(
+                F.array_distinct(arrow_shingles(F.col(text_col), n)))
+            .alias("__g"))
+        tg0 = tr.select(
+            F.explode(F.array_distinct(arrow_shingles(F.col(text_col), n)))
+            .alias("__g"))
+        keys = [(1, "__h1"), (2, "__h2")]
+        ev_h = ev_grams0.select(
+            F.col(id_col), F.col(split_col),
+            *[F.when(F.col("__g").isNotNull(),
+                     F.xxhash64("__g", F.lit(s))).alias(a)
+              for s, a in keys])
+        bench = (tg0.select(*[F.xxhash64("__g", F.lit(s)).alias(a)
+                              for s, a in keys])
                  .distinct().withColumn("__hit", F.lit(1))
                  .hint("merge"))
         joined = ev_h.join(bench, ["__h1", "__h2"], "left")
+        n_grams = F.sum(F.col("__h1").isNotNull().cast("long"))
         n_hits = F.sum(F.coalesce(F.col("__hit"), F.lit(0)).cast("long"))
-        rep = (joined.groupBy(id_col, split_col)
-               .agg(F.count(F.lit(1)).alias("n_grams"),
-                    n_hits.alias("n_hits")))
-        ev_base = ev.select(F.col(id_col), F.col(split_col))
-        return (ev_base.join(rep, [id_col, split_col], "left")
-                .select(id_col, split_col,
-                        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-                        F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+        return (joined.groupBy(id_col, split_col)
+                .agg(n_grams.alias("n_grams"), n_hits.alias("n_hits"))
                 .withColumn("contamination",
                             F.when(F.col("n_grams") > 0,
                                    F.col("n_hits") / F.col("n_grams"))
