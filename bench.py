@@ -26,6 +26,24 @@ consumed, so cross-round comparisons should read `queries_cpu` first.
 (Chosen over the REST /api/v1 stage `executorCpuTime` because the
 process tree also counts pandas-UDF worker CPU, which stage metrics
 book as executor wait, and it is immune to retained-stage eviction.)
+
+Load gate + control op (VERDICT r8 #1): BENCH_r08 was recorded at
+load_start 11.35 on this 32-CPU box and its wall numbers overstated
+qa4 by 1.9× vs idle — contaminated artifacts cost a judge session to
+re-adjudicate.  Two defenses, both in-artifact:
+ - the bench WAITS (up to $SPARK_GRAFT_BENCH_IDLE_TIMEOUT s, default
+   600) for the 1-min load to drop below $SPARK_GRAFT_BENCH_MAX_LOAD
+   (default 2.0) before measuring; if the host never goes idle it
+   proceeds but stamps ``"noisy": true`` into the final line so the
+   driver's parse can never mistake a loaded-host number for a
+   regression.
+ - ``q29_stack`` is designated the unchanged-code CONTROL op: its
+   idle-host minimum is pinned in ``CONTROL_REF`` and every artifact
+   carries ``control: {op, min, ref, drift}`` — drift > ~0.2 on the
+   control means the whole artifact's walls are inflated by ambient
+   contention, not by code (this op's plan is a pure native unpivot
+   that no round has touched since r6).  Update CONTROL_REF only when
+   the control op's code or the host changes, with a same-session A/B.
 """
 
 from __future__ import annotations
@@ -50,7 +68,8 @@ HEADLINE = [
     "q33_sessionize",        # lag + gap sessionization
     "q34_dedup_exact",       # fingerprint hash-groupBy dedup
     "q35_ngram_jaccard",     # shingle inverted-index self-join
-    "q36_minhash_lsh",       # minhash signatures + banded LSH
+    "qb0_minhash_lsh_scale",  # minhash signatures + banded LSH (crc32perm
+                              # scale family; q36 is its portable oracle twin)
     "q38_similarity_topk",   # brute-force cosine top-k
     "q99_shipping_priority",  # TPC-H Q3 shape: 3-table join + agg + top-10
     "q9a_regional_supplier_volume",  # TPC-H Q5 shape: 6-table join chain
@@ -66,6 +85,38 @@ HEADLINE = [
     "qa4_split_leakage",      # eval-gram-pruned train join (r6)
     "qam_min_cost_supplier",  # TPC-H Q2 shape: rank-1 window over agg
 ]
+
+
+# Idle-host minimum of the control op (q29_stack) on this 32-CPU box,
+# from the judge's round-8 idle re-run (VERDICT r8: 0.09 s) and the r8
+# tracked artifact (0.0936 at load 11 — the op is too short to inflate
+# much, which is exactly what makes it a good canary for *ambient*
+# contention rather than data-size drift).
+CONTROL_OP = "q29_stack"
+CONTROL_REF = 0.093
+
+
+def _await_idle() -> tuple[list[float] | None, bool]:
+    """Block until the 1-min load average drops below
+    $SPARK_GRAFT_BENCH_MAX_LOAD (default 2.0) or
+    $SPARK_GRAFT_BENCH_IDLE_TIMEOUT seconds (default 600) elapse.
+    Returns (final load sample, noisy) — noisy=True means the gate
+    timed out and the artifact's walls must be read as contaminated."""
+    try:
+        max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+        timeout = float(os.environ.get(
+            "SPARK_GRAFT_BENCH_IDLE_TIMEOUT", "600"))
+        deadline = time.time() + timeout
+        load = [round(x, 2) for x in os.getloadavg()]
+        while load[0] > max_load and time.time() < deadline:
+            print(f"# load gate: 1-min load {load[0]} > {max_load}, "
+                  f"waiting (deadline in {deadline - time.time():.0f}s)",
+                  file=sys.stderr)
+            time.sleep(min(15.0, max(1.0, deadline - time.time())))
+            load = [round(x, 2) for x in os.getloadavg()]
+        return load, load[0] > max_load
+    except OSError:
+        return None, False  # no loadavg on this platform → ungated
 
 
 def _proc_tree_cpu(root: int) -> float | None:
@@ -153,12 +204,19 @@ def main():
     # the testdata is single-row-group parquet Spark can't split, so this
     # also restores scan parallelism
     os.environ.setdefault("SPARK_GRAFT_CACHE_INPUT", "1")
-    try:
-        # pre-run sample: the end-of-run loadavg is dominated by this
-        # bench's own 32 threads; ambient contention shows up HERE
-        load_start = [round(x, 2) for x in os.getloadavg()]
-    except OSError:
-        load_start = None
+    # pre-run sample + gate: the end-of-run loadavg is dominated by
+    # this bench's own 32 threads; ambient contention shows up HERE.
+    # The gate waits for idle (or times out and stamps noisy=true).
+    # --one subprocesses skip the wait (the full-run parent gates once;
+    # 28 per-query waits would multiply the timeout).
+    if only is None:
+        load_start, noisy = _await_idle()
+    else:
+        try:
+            load_start = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            load_start = None
+        noisy = False
     import __spark_entry__ as E
     from juliadb_jl_spark.session import get_spark
 
@@ -220,6 +278,14 @@ def main():
         load = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load = None
+    control = None
+    if minima.get(CONTROL_OP, -1.0) >= 0:
+        control = {
+            "op": CONTROL_OP,
+            "min": minima[CONTROL_OP],
+            "ref": CONTROL_REF,
+            "drift": round(minima[CONTROL_OP] / CONTROL_REF - 1.0, 2),
+        }
     full = {
         "metric": "total_median_sec",
         "value": round(sum(ok.values()), 4),
@@ -231,6 +297,8 @@ def main():
         "total_cpu_sec": round(sum(cpus_med.values()), 4),
         "load": load,
         "load_start": load_start,
+        "noisy": noisy,
+        "control": control,
         "runs": runs,
         "sf": sf_val,
     }
@@ -255,6 +323,9 @@ def main():
         "total_median_sec": full["value"],
         "total_cpu_sec": full["total_cpu_sec"],
         "load": load,
+        "load_start": load_start,
+        "noisy": noisy,
+        "control": control,
         "runs": runs,
         "sf": sf_val,
         "full_report": full_path,

@@ -1101,10 +1101,14 @@ def split_leakage(df: DataFrame, id_col: str = "doc_id",
         # xxhash64 lanes over the fused-Arrow gram STRINGS): the report
         # needs per-doc counts, never gram text, so both the train-side
         # distinct and the two-sided sort-merge join exchange 16 fixed
-        # bytes per gram instead of ~n-word strings. Result-neutral up
-        # to a 128-bit collision (~4e-23 at 38M grams) — the prune-mode
-        # differential test pins it to the string-keyed broadcast/
-        # bloom/fused paths. NULL lanes keep zero-gram eval docs
+        # bytes per gram instead of ~n-word strings. The two seeded
+        # xxhash64 lanes are effectively 128-bit for NATURAL text
+        # (xxhash64 is non-cryptographic, so lane independence across
+        # seeds 1/2 is heuristic, not a provable 2^-128 bound, and an
+        # adversary could engineer cross-lane collisions) — the stated
+        # guarantee is the prune-mode differential test, which pins
+        # this tier's output to the string-keyed broadcast/bloom/fused
+        # paths on every gate run. NULL lanes keep zero-gram eval docs
         # visible (xxhash64 of NULL would collapse to the seed
         # constant, not NULL).
         #

@@ -960,9 +960,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text",
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                   max_hamming: int = 3,
                   unique_lift: bool | None = None,
-                  star_intra: bool = False) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming, blocked on four
-    16-bit bands (any pair within hamming 3 shares ≥1 exact band).
+                  star_intra: bool = False,
+                  bits: int = 64,
+                  hash_family: str = "xxhash64") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming, blocked on
+    four ceil(bits/4)-bit bands (any pair within hamming 3 shares ≥1
+    exact band; above 3 recall follows the banded-LSH curve — the
+    blocking, not just the signature, is part of the operator's
+    contract and is mirrored verbatim in the q37 oracle SQL).
+
+    hash_family="portable" (31-bit char-fold hash, bits<=31) makes the
+    WHOLE pipeline — signature, band keys, candidate join, hamming —
+    bit-reproducible in ANSI SQL, so q37 is value-checked end-to-end
+    (VERDICT r8 #3); "xxhash64" (default) is the 64-bit deploy family.
 
     Giant-clique guard (same reasoning as minhash_lsh_pairs): c identical
     texts share every band key, so the banded self-join emits 4·c²/2
@@ -979,14 +989,19 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text",
         return _unique_text_lift(
             df, id_col, text_col, 1,
             lambda rep_df: simhash_pairs(rep_df, id_col, text_col,
-                                         max_hamming, unique_lift=False),
+                                         max_hamming, unique_lift=False,
+                                         bits=bits,
+                                         hash_family=hash_family),
             val_col="hamming", val_lit=0, star=star_intra)
-    sig = simhash(df, id_col, text_col).cache()
+    sig = simhash(df, id_col, text_col, bits=bits,
+                  hash_family=hash_family).cache()
+    width = -(-bits // 4)  # ceil: 16 for 64-bit, 8 for the 31-bit family
+    mask = (1 << width) - 1
     banded = sig.select(
         "id", "simhash",
         F.posexplode(F.array(*[
-            F.shiftrightunsigned(F.col("simhash"), 16 * i)
-            .bitwiseAND(F.lit(0xFFFF)) for i in range(4)])).alias("band", "key"))
+            F.shiftrightunsigned(F.col("simhash"), width * i)
+            .bitwiseAND(F.lit(mask)) for i in range(4)])).alias("band", "key"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
                    (F.col("a.key") == F.col("b.key")) &
@@ -1284,10 +1299,15 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
     ``fp_fmt="bin"`` (the 16-raw-md5-byte differential twin, kept).
     The price is a ~2.6e-3 per-CORPUS collision probability at the
     309M-window rung (≈ one false duplicated k-window corpus-wide,
-    quadratic in window count: a few expected at 10^10 windows) —
-    acceptable because fps never leave the plan (spans are positions)
-    and a collision costs one spurious span, not a wrong artifact;
-    keep ``fp_fmt="bin"`` where even that is unacceptable.
+    quadratic in window count: a few expected at 10^10 windows).
+    For DETECTION consumers (audits, reports, qa-style span counts) a
+    collision costs one spurious span.  For REWRITE consumers the
+    spans feed `cut_spans`, which deletes the flagged tokens from the
+    output corpus — there a collision destroys a real k-token window,
+    which is why `dedup_substrings`/`dedup_substrings_multi` default
+    to ``fp_fmt="bin"`` (collision-free md5) and only opt into u64
+    explicitly; keep ``fp_fmt="bin"`` anywhere a false span would be
+    an artifact defect rather than a report blemish.
     A/B rung numbers: SCALING.md. `id !=
     min(id)` implies the fp occurs >= 2 times and (id, pos) rows are
     unique, so no count and no distinct are needed. Span merge is a
@@ -1345,7 +1365,8 @@ def merge_spans(dup: DataFrame, id_col: str) -> DataFrame:
 
 def dedup_substrings(df: DataFrame, id_col: str, text_col: str = "text",
                      k: int = 50, within_doc: bool = False,
-                     out_col: str | None = None) -> DataFrame:
+                     out_col: str | None = None,
+                     fp_fmt: str = "bin") -> DataFrame:
     """Exact substring dedup: cut every cross-document verbatim span of
     >= k tokens, keeping the occurrence in the lowest-id document
     (earliest in-document occurrence too when `within_doc=True`).
@@ -1353,11 +1374,18 @@ def dedup_substrings(df: DataFrame, id_col: str, text_col: str = "text",
     with single spaces — token-level reconstruction, documented
     divergence from raw byte slicing.
 
+    ``fp_fmt`` defaults to ``"bin"`` (collision-free md5), NOT
+    `duplicate_spans`' u64 default: this path REWRITES text, so a u64
+    fp collision would delete a real k-token window from the output
+    corpus rather than merely report a spurious span (ADVICE r8).
+    Pass ``fp_fmt="u64"`` explicitly to trade that (~2.6e-3 per corpus
+    at the 309M-window rung, quadratic) for the −42%-wall rung win.
+
     Scale: spans are tiny relative to the corpus; they come back as one
     per-doc array via a left join, and the cut is a per-row native
     filter over token positions."""
     spans = duplicate_spans(df, id_col, text_col, k,
-                            within_doc=within_doc)
+                            within_doc=within_doc, fp_fmt=fp_fmt)
     return cut_spans(df, spans, id_col, text_col, out_col)
 
 
@@ -1391,7 +1419,8 @@ def dedup_substrings_multi(df: DataFrame, id_col: str,
                            text_col: str = "text",
                            ks: tuple[int, ...] = (50, 20),
                            within_doc: bool = False,
-                           out_col: str | None = None) -> DataFrame:
+                           out_col: str | None = None,
+                           fp_fmt: str = "bin") -> DataFrame:
     """Composed substring-dedup passes at decreasing window sizes —
     the documented answer to the single-pass recall bound (SCALING.md):
     a k-window pass cuts every duplicated span of >= k tokens and none
@@ -1400,7 +1429,9 @@ def dedup_substrings_multi(df: DataFrame, id_col: str,
     + join (no pairwise work). Shorter windows trade false-positive
     risk explicitly (short n-grams repeat by chance) — callers choose
     the ladder. Passes must descend: an ascending k would re-find spans
-    the previous pass already cut.
+    the previous pass already cut.  ``fp_fmt`` defaults to ``"bin"``
+    for the same reason as `dedup_substrings`: every pass rewrites
+    text, so fp collisions would cut real tokens (ADVICE r8).
 
     At 100 TB each pass is a full corpus rewrite — materialize between
     passes (parquet at deploy scale); here the composition itself is
@@ -1412,7 +1443,8 @@ def dedup_substrings_multi(df: DataFrame, id_col: str,
     col = text_col
     for k in ks:
         cur = dedup_substrings(cur, id_col, col, k=k,
-                               within_doc=within_doc, out_col=out_col)
+                               within_doc=within_doc, out_col=out_col,
+                               fp_fmt=fp_fmt)
         col = out_col
     return cur
 

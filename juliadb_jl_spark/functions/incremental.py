@@ -612,10 +612,14 @@ def duplicate_spans_against(new_df: DataFrame, index: DataFrame,
     in the index is duplicated (the corpus keeps its copy); with
     ``within_batch`` the min-id keeper rule also marks intra-batch
     repeats.  Both span sources are computed on the ORIGINAL batch
-    text and merged before any cut, which makes the composition
-    EXACTLY equal to the one-shot ``duplicate_spans(old ∪ new)``
-    restricted to batch ids when the corpus is pre-deduped and batch
-    ids sort last (property-tested).
+    text and merged before any cut.  Fingerprints here are md5 (the
+    index artifact's collision-free family), so the composition is
+    EXACTLY equal to the one-shot ``duplicate_spans(old ∪ new,
+    fp_fmt="bin")`` restricted to batch ids when the corpus is
+    pre-deduped and batch ids sort last (property-tested with that
+    fp_fmt pinned); vs the one-shot's u64 DEFAULT it is equal only up
+    to the one-shot's ~2.6e-3-per-corpus u64 collision class — the
+    incremental path never inherits those collisions (ADVICE r8).
 
     Scale: one batch window explode; the index is semi-joined (never
     scanned), intra-batch resolution is the same groupBy(fp)+join shape

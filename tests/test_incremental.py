@@ -200,8 +200,11 @@ def test_substring_against_equals_oneshot_slice(spark):
     assert got[102] == "lead1 lead2"               # intra-batch cut
     assert got[103] == rows_new[3][1]              # untouched bytes
     # span tables agree too (merge + ids)
+    # fp_fmt="bin" pinned: the incremental path fingerprints with md5,
+    # so EXACT equality is vs the one-shot's md5 form (ADVICE r8)
     sp_one = {tuple(r) for r in
-              DD.duplicate_spans(old.unionByName(new), "doc_id", k=k)
+              DD.duplicate_spans(old.unionByName(new), "doc_id", k=k,
+                                 fp_fmt="bin")
               .filter(F.col("doc_id") >= 100).collect()}
     sp_inc = {tuple(r) for r in
               INC.duplicate_spans_against(new, idx, "doc_id", k=k).collect()}

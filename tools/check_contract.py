@@ -35,12 +35,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-# Sliced-oracle fallback targets: {query: keep doc_id % mod == 0}.
-# mod=5 keeps ~20% of docs (10k at sf1) — near-dup pairs are spread
-# uniformly across the id range (fixture property), so ~4% of true
-# pairs land inside the slice: a real value signal, at a DuckDB cost
-# comparable to the (feasible) full sf0.1 oracle.
-SLICED = {"q35_ngram_jaccard": 5, "qa7_dedup_rate_curve": 5}
+# Sliced-oracle fallback: {query: target docs kept in the slice}; the
+# mod is computed from the rung's actual doc count (r9, VERDICT r8 #4 —
+# a fixed mod sized for sf1 would keep 100k docs at sf10 and the
+# oracle dies again).  10k docs ≈ 2× the sf0.1 corpus: near-dup pairs
+# are spread uniformly across the id range (fixture property), so a
+# 1/m slice keeps ~1/m² of true pairs — a real value signal at a
+# DuckDB cost comparable to the (feasible) full sf0.1 oracle.  q37
+# targets 5k: 31-bit simhashes of the template fixture cluster hard,
+# so its pair count grows ~n².
+SLICED_TARGET = {"q35_ngram_jaccard": 10_000, "qa7_dedup_rate_curve": 10_000,
+                 "q37_simhash": 5_000}
+
+
+def sliced_mods(sf: str) -> dict[str, int]:
+    """Per-query doc_id mod for this rung: keep ~target docs (mod 1 =
+    the full corpus, i.e. slicing degenerates to the plain check)."""
+    p = os.path.join(sf, "documents.parquet")
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{p}')").fetchone()[0]
+    return {q: max(1, round(n / t)) for q, t in SLICED_TARGET.items()}
 
 
 def _sliced_dir(sf: str, mod: int) -> str:
@@ -82,6 +96,13 @@ def _full_corpus_invariants(name: str, pdf: pd.DataFrame) -> list[str]:
             probs.append("duplicate (id_a, id_b) pairs")
         if len(pdf) and not pdf["jaccard"].between(0.5, 1.0).all():
             probs.append("jaccard outside [threshold, 1]")
+    elif name == "q37_simhash":
+        if not (pdf["id_a"] < pdf["id_b"]).all():
+            probs.append("pair not canonicalized: some id_a >= id_b")
+        if pdf.duplicated(["id_a", "id_b"]).any():
+            probs.append("duplicate (id_a, id_b) pairs")
+        if len(pdf) and not pdf["hamming"].between(0, 3).all():
+            probs.append("hamming outside [0, max_hamming]")
     elif name == "qa7_dedup_rate_curve":
         c = pdf.sort_values("threshold", ignore_index=True)
         for col in ("n_pairs", "n_docs_flagged"):
@@ -134,15 +155,53 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, osql = E.queries(), E.oracle_sql()
-    n_pass = n_fail = n_rowsonly = 0
+    mods = sliced_mods(sf) if sliced_mode else {}
+    n_pass = n_fail = n_rowsonly = n_capacity = 0
     records: dict[str, dict] = {}
     cross: dict[str, float] = {}  # q35-vs-qa7 full-corpus consistency
+    # Per-query capacity watchdog (r9, VERDICT r8 #4): at sf10 a single
+    # runaway oracle (or a Spark plan that only works smaller) must be
+    # RECORDED as a capacity boundary, not hang the whole sweep.  0
+    # disables; on expiry the watchdog cancels the running Spark jobs /
+    # interrupts the DuckDB connection and the query is booked as
+    # status="capacity" with the phase that hit the wall.
+    q_timeout = float(os.environ.get("SPARK_GRAFT_CHECK_TIMEOUT", "0") or 0)
+
+    def _with_timeout(run, cancel, phase, name):
+        """run() under the watchdog; returns (result, None) or
+        (None, capacity-record)."""
+        if not q_timeout:
+            return run(), None
+        import threading
+        fired = threading.Event()
+
+        def _kill():
+            fired.set()
+            try:
+                cancel()
+            except Exception:
+                pass
+        t = threading.Timer(q_timeout, _kill)
+        t.start()
+        try:
+            out = run()
+            return (None, {"status": "capacity", "phase": phase,
+                           "timeout_sec": q_timeout}) if fired.is_set() \
+                else (out, None)
+        except Exception as ex:
+            if fired.is_set():
+                return None, {"status": "capacity", "phase": phase,
+                              "timeout_sec": q_timeout}
+            raise ex
+        finally:
+            t.cancel()
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        if sliced_mode and name in SLICED:
+        if sliced_mode and name in mods and mods[name] > 1:
             st = _check_sliced(spark, E, con, sf, name, fn,
-                               osql[name], SLICED[name], cross)
+                               osql[name], mods[name], cross)
             records[name] = st
             if st["status"] == "pass_sliced":
                 n_pass += 1
@@ -151,7 +210,14 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf).toPandas()
+            sdf, cap = _with_timeout(
+                lambda: fn(spark, sf).toPandas(),
+                spark.sparkContext.cancelAllJobs, "spark", name)
+            if cap:
+                print(f"CAP   {name}: spark exceeded {q_timeout:.0f}s")
+                records[name] = cap
+                n_capacity += 1
+                continue
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
             records[name] = {"status": "fail", "error": f"spark: {ex}"}
@@ -165,7 +231,16 @@ def main():
             n_rowsonly += 1
             continue
         try:
-            odf = con.execute(osql[name]).df()
+            odf, cap = _with_timeout(
+                lambda: con.execute(osql[name]).df(),
+                con.interrupt, "oracle", name)
+            if cap:
+                print(f"CAP   {name}: oracle exceeded {q_timeout:.0f}s "
+                      f"(engine side finished: {len(sdf)} rows)")
+                cap["rows"] = len(sdf)
+                records[name] = cap
+                n_capacity += 1
+                continue
         except Exception as ex:
             print(f"FAIL  {name}: oracle error: {ex}")
             records[name] = {"status": "fail", "error": f"oracle: {ex}"}
@@ -225,12 +300,15 @@ def main():
         else:
             print(f"PASS  cross-invariant: q35 pairs == qa7 n_pairs@0.5 "
                   f"== {int(cross['q35_full_rows'])}")
-    print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
+    cap_note = f", {n_capacity} capacity" if n_capacity else ""
+    print(f"\n{n_pass} pass, {n_rowsonly} rows-only, "
+          f"{n_fail} fail{cap_note}")
     if json_out:
         with open(json_out, "w") as fh:
             json.dump({"sf_dir": sf, "sliced_oracle": sliced_mode,
                        "n_pass": n_pass, "n_rows_only": n_rowsonly,
-                       "n_fail": n_fail, "queries": records}, fh, indent=1)
+                       "n_fail": n_fail, "n_capacity": n_capacity,
+                       "queries": records}, fh, indent=1)
         print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 

@@ -7,6 +7,15 @@ prints ONE JSON line; the per-round table lives in SCALING.md §docs-rung.
 Usage: python tools/docs_bench.py [rung_dir]   (default .testdata/sfdocs)
 Each op runs ONCE (they are minutes-long); wall + process-tree CPU both
 reported — CPU is the load-robust statistic, as in bench.py.
+
+Load gate + control (VERDICT r8 #1): BENCH_DOCS_r08 ran at ambient
+load ~35 and its 826 s total was not comparable to r7's idle 612 s.
+The rung now waits for an idle host before measuring (same gate as
+bench.py; stamps ``"noisy": true`` on timeout) and carries a control
+row: ``dedup_exact`` — a pure fingerprint hash-groupBy untouched since
+r4, measured 5.47/5.43 s in r7/r8 under wildly different ambient load
+(its 32-thread saturated shape self-normalizes) — so drift on the
+control marks the artifact, not the code.
 """
 
 from __future__ import annotations
@@ -18,7 +27,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _proc_tree_cpu  # noqa: E402
+from bench import _await_idle, _proc_tree_cpu  # noqa: E402
+
+DOCS_CONTROL_OP = "dedup_exact"
+DOCS_CONTROL_REF = 5.45  # r7 idle 5.47 / r8 loaded 5.43 — stable
 
 
 def main():
@@ -33,6 +45,7 @@ def main():
     from juliadb_jl_spark.session import get_spark
     from juliadb_jl_spark.sources.testdata import read_table
 
+    load_start, noisy = _await_idle()
     spark = get_spark("docs-bench", cpus=32, shuffle_partitions=64)
     docs = read_table(spark, rung, "documents")
     me = os.getpid()
@@ -65,13 +78,15 @@ def main():
         "duplicate_spans_k20": lambda d: DD.duplicate_spans(
             d, "doc_id", k=20),
         "substring_index_k20": lambda d: _substring_index(d),
-        # A/B variant (VERDICT r7 #6): 8-byte poly-crc window fp vs the
-        # 16-byte md5 default. Opt-in only (name it in
-        # SPARK_GRAFT_DOCS_OPS) — not part of the tracked rung total.
-        "duplicate_spans_k20_u64": lambda d: DD.duplicate_spans(
-            d, "doc_id", k=20, fp_fmt="u64"),
+        # A/B twin: since r8 flipped duplicate_spans' default to u64,
+        # the tracked row above IS the 8-byte poly-crc path; this twin
+        # is the 16-byte md5 escape hatch (the dedup_substrings rewrite
+        # default). Opt-in only (name it in SPARK_GRAFT_DOCS_OPS) — not
+        # part of the tracked rung total.
+        "duplicate_spans_k20_md5": lambda d: DD.duplicate_spans(
+            d, "doc_id", k=20, fp_fmt="bin"),
     }
-    AB_ONLY = {"duplicate_spans_k20_u64"}
+    AB_ONLY = {"duplicate_spans_k20_md5"}
     only = os.environ.get("SPARK_GRAFT_DOCS_OPS")
     if only:
         OPS = {k: v for k, v in OPS.items() if k in only.split(",")}
@@ -118,12 +133,22 @@ def main():
             results[name] = -1.0
         print(f"# {name}: {results[name]}s (runs: {walls})",
               file=sys.stderr)
+    control = None
+    if results.get(DOCS_CONTROL_OP, -1.0) >= 0:
+        control = {
+            "op": DOCS_CONTROL_OP,
+            "min": results[DOCS_CONTROL_OP],
+            "ref": DOCS_CONTROL_REF,
+            "drift": round(
+                results[DOCS_CONTROL_OP] / DOCS_CONTROL_REF - 1.0, 2),
+        }
     out = json.dumps({
         "metric": "docs_rung_total_sec",
         "value": round(sum(v for v in results.values() if v >= 0), 2),
         "unit": "sec", "queries": results, "queries_cpu": cpu,
         "n_docs": n_docs, "rung": rung,
         "load": [round(x, 2) for x in os.getloadavg()],
+        "load_start": load_start, "noisy": noisy, "control": control,
     })
     print(out)
     # tracked gate artifact (VERDICT r6 #7): BENCH_DOCS_r{N}.json diffs
