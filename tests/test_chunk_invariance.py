@@ -291,12 +291,14 @@ def test_winnow_partition_invariant(spark):
 
 
 def test_duplicate_spans_u64_fp_matches_md5(spark, tables):
-    """fp_fmt="u64" (VERDICT r7 #6: 8-byte vectorized poly-crc window
-    fp behind a flag) must produce the exact span set of the md5 path
-    on real data — at test scale a 64-bit collision is ~impossible, so
-    any difference is a build bug, not a collision. Also pins the u64
-    fp builder's structure: per-doc window counts match md5's, and fps
-    are deterministic across repartitionings."""
+    """fp_fmt="u64" (the r8 default: 8-byte vectorized poly-crc window
+    fp) must produce the exact span set of the md5 "bin" path on real
+    data — at test scale a 64-bit collision is ~impossible, so any
+    difference is a build bug, not a collision.  (r9: both sides are
+    now EXPLICIT — when u64 became the default, the original
+    default-vs-u64 form silently compared u64 to itself.)  Also pins
+    the u64 fp builder's structure: per-doc window counts match md5's,
+    and fps are deterministic across repartitionings."""
     from juliadb_jl_spark.functions.dedup import _window_fps, duplicate_spans
     docs = tables["documents"].df.select("doc_id", "text").limit(200)
     uni = spark.createDataFrame(
@@ -306,7 +308,8 @@ def test_duplicate_spans_u64_fp_matches_md5(spark, tables):
     docs = docs.unionByName(uni)
     for within in (False, True):
         a = {tuple(r) for r in duplicate_spans(
-            docs, "doc_id", k=8, within_doc=within).collect()}
+            docs, "doc_id", k=8, within_doc=within,
+            fp_fmt="bin").collect()}
         b = {tuple(r) for r in duplicate_spans(
             docs, "doc_id", k=8, within_doc=within,
             fp_fmt="u64").collect()}

@@ -1159,3 +1159,32 @@ def test_frequent_phrases_partition_invariant(spark):
          frequent_phrases(d.repartition(7), n=2,
                           min_count=6).collect()}
     assert a == b and len(a) > 0
+
+
+def test_dedup_substrings_fp_fmt_plumbed(spark):
+    """ADVICE r8: the text-REWRITING paths default to collision-free
+    md5 ("bin") and expose fp_fmt; on collision-free data the u64
+    opt-in must rewrite identically (any difference is a build bug)."""
+    shared = " ".join(f"s{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, f"alpha {shared} omega"),
+         (2, f"head {shared} tail"),
+         (3, "unrelated " + " ".join(f"u{i}" for i in range(25)))],
+        ["doc_id", "text"])
+    import inspect
+    assert inspect.signature(
+        DD.dedup_substrings).parameters["fp_fmt"].default == "bin"
+    assert inspect.signature(
+        DD.dedup_substrings_multi).parameters["fp_fmt"].default == "bin"
+    want = {r["doc_id"]: r["text"] for r in
+            DD.dedup_substrings(df, "doc_id", k=20).collect()}
+    got = {r["doc_id"]: r["text"] for r in
+           DD.dedup_substrings(df, "doc_id", k=20,
+                               fp_fmt="u64").collect()}
+    assert got == want
+    assert shared in want[1] and shared not in want[2]  # keeper = min id
+    m_want = {r["doc_id"]: r["text"] for r in DD.dedup_substrings_multi(
+        df, "doc_id", ks=(25, 20)).collect()}
+    m_got = {r["doc_id"]: r["text"] for r in DD.dedup_substrings_multi(
+        df, "doc_id", ks=(25, 20), fp_fmt="u64").collect()}
+    assert m_got == m_want

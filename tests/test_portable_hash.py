@@ -111,3 +111,52 @@ def test_simhash_portable_bits_and_dup_invariance(docs):
 def test_simhash_portable_rejects_wide_bits(docs):
     with pytest.raises(ValueError, match="bits<=31"):
         DD.simhash(docs, "doc_id", bits=64, hash_family="portable")
+
+
+def test_simhash_pairs_portable_matches_bruteforce_banding(docs):
+    """simhash_pairs(bits=31, portable) ≡ a brute-force recomputation of
+    its whole contract — signature, four 8-bit band keys, candidate
+    blocking, hamming cut — from the collected signatures (the same
+    construction the q37 oracle SQL mirrors)."""
+    sig = {r["id"]: r["simhash"] for r in
+           DD.simhash(docs, "doc_id", bits=31,
+                      hash_family="portable").collect()}
+    width, mask = 8, 0xFF
+    want = {}
+    ids = sorted(sig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shares_band = any(
+                ((sig[a] >> (width * k)) & mask) ==
+                ((sig[b] >> (width * k)) & mask) for k in range(4))
+            ham = bin(sig[a] ^ sig[b]).count("1")
+            if shares_band and ham <= 3:
+                want[(a, b)] = ham
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           DD.simhash_pairs(docs, "doc_id", max_hamming=3, bits=31,
+                            hash_family="portable",
+                            unique_lift=False).collect()}
+    assert got == want
+    assert (1, 4) in got and got[(1, 4)] == 0  # exact dup: hamming 0
+
+
+def test_simhash_pairs_band_width_adapts_to_bits(docs):
+    """64-bit default keeps the original 16-bit bands (same results as
+    before the bits param existed); the unique-lift path propagates
+    bits/hash_family (dup docs 1/4 always pair at hamming 0)."""
+    base = {(r["id_a"], r["id_b"]) for r in
+            DD.simhash_pairs(docs, "doc_id", max_hamming=3,
+                             unique_lift=False).collect()}
+    lifted = {(r["id_a"], r["id_b"]) for r in
+              DD.simhash_pairs(docs, "doc_id", max_hamming=3,
+                               unique_lift=True).collect()}
+    assert (1, 4) in base and base == lifted
+    lifted_p = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+                DD.simhash_pairs(docs, "doc_id", max_hamming=3, bits=31,
+                                 hash_family="portable",
+                                 unique_lift=True).collect()}
+    direct_p = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+                DD.simhash_pairs(docs, "doc_id", max_hamming=3, bits=31,
+                                 hash_family="portable",
+                                 unique_lift=False).collect()}
+    assert lifted_p == direct_p

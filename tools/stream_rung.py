@@ -32,10 +32,13 @@ N_FILES = 10
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     json_out = None
-    if "--json" in sys.argv:
-        json_out = sys.argv[sys.argv.index("--json") + 1]
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    args = [a for a in argv if not a.startswith("--")]
     rung = args[0] if args else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".testdata/sfdocs")
@@ -52,7 +55,17 @@ def main():
 
     spark = get_spark("stream-rung", cpus=32, shuffle_partitions=32)
     docs = read_table(spark, rung, "documents")
-    corpus = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    # corpus = ~25% of DISTINCT TEXTS (hash-of-text selector, so a
+    # text is either fully indexed or fully novel); stream = the odd
+    # doc_id half.  An id-parity corpus would degenerate on the 5M
+    # rung: its cliques alternate member parity (make_docs_rung
+    # offset_parity=odd), so every streamed text would already be
+    # indexed and the run would check 0 == 0.  This split makes all
+    # three claims non-trivial: the anti-join drops ~1/4 of the
+    # stream, the within-stream dedup collapses the ~5 odd copies per
+    # surviving clique, and the state row count must equal the
+    # surviving distinct-fp census.
+    corpus = docs.filter(F.pmod(F.xxhash64("text"), F.lit(4)) == 0)
     newhalf = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
 
     work = tempfile.mkdtemp(prefix="jdbspark_stream_rung_")
