@@ -21,7 +21,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 @pytest.fixture(scope="session")
 def spark():
     from juliadb_jl_spark.session import get_spark
-    s = get_spark("juliadb_jl_spark-tests", cpus=8, shuffle_partitions=8)
+    # cpus=16 (r9, VERDICT r8 #7): tests run serially against one
+    # session on a 32-core host, so wider jobs cut suite wall directly;
+    # shuffle_partitions stays 8 so shuffle-shape assertions and
+    # per-partition semantics are unchanged (tests that need a specific
+    # layout repartition explicitly).  Override via SPARK_GRAFT_TEST_CPUS.
+    cpus = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "16"))
+    s = get_spark("juliadb_jl_spark-tests", cpus=cpus,
+                  shuffle_partitions=8)
     yield s
 
 
