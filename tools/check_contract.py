@@ -148,11 +148,18 @@ def main():
     from juliadb_jl_spark.session import get_spark
     spark = get_spark("contract-check", cpus=16, shuffle_partitions=16)
 
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(sf, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # Fresh DuckDB connection per oracle (r9): at the sf10 rung a
+    # long-lived connection accumulated state across big/interrupted
+    # queries until 16 KB allocations failed — q9a (green at sf1)
+    # spuriously "OOM"ed.  Views are cheap to recreate; the state is not.
+    def _fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            p = os.path.join(sf, f"{t}.parquet")
+            if os.path.exists(p):
+                c.execute(f"CREATE VIEW {t} AS "
+                          f"SELECT * FROM read_parquet('{p}')")
+        return c
 
     qs, osql = E.queries(), E.oracle_sql()
     mods = sliced_mods(sf) if sliced_mode else {}
@@ -200,11 +207,14 @@ def main():
         if only and name not in only:
             continue
         if sliced_mode and name in mods and mods[name] > 1:
-            st = _check_sliced(spark, E, con, sf, name, fn,
+            st = _check_sliced(spark, E, None, sf, name, fn,
                                osql[name], mods[name], cross)
             records[name] = st
             if st["status"] == "pass_sliced":
                 n_pass += 1
+            elif st["status"] == "invariants_only":
+                n_rowsonly += 1     # invariants green, value compare
+                n_capacity += 1     # over the capacity budget
             else:
                 n_fail += 1
             continue
@@ -231,9 +241,19 @@ def main():
             n_rowsonly += 1
             continue
         try:
-            odf, cap = _with_timeout(
-                lambda: con.execute(osql[name]).df(),
-                con.interrupt, "oracle", name)
+            con = _fresh_con()
+            try:
+                odf, cap = _with_timeout(
+                    lambda: con.execute(osql[name]).df(),
+                    con.interrupt, "oracle", name)
+            finally:
+                # close promptly: an open connection keeps its worker
+                # threads and any spilled/retained query memory — 7
+                # unclosed ones starved the process of threads at sf10
+                try:
+                    con.close()
+                except Exception:
+                    pass
             if cap:
                 print(f"CAP   {name}: oracle exceeded {q_timeout:.0f}s "
                       f"(engine side finished: {len(sdf)} rows)")
@@ -242,6 +262,15 @@ def main():
                 n_capacity += 1
                 continue
         except Exception as ex:
+            if "Out of Memory" in str(ex):
+                # DuckDB OOM is the same class as the timeout: the
+                # ORACLE exceeded local capacity, the engine finished
+                print(f"CAP   {name}: oracle out of memory "
+                      f"(engine side finished: {len(sdf)} rows)")
+                records[name] = {"status": "capacity", "phase": "oracle",
+                                 "error": "oracle OOM", "rows": len(sdf)}
+                n_capacity += 1
+                continue
             print(f"FAIL  {name}: oracle error: {ex}")
             records[name] = {"status": "fail", "error": f"oracle: {ex}"}
             n_fail += 1
@@ -313,7 +342,8 @@ def main():
     sys.exit(1 if n_fail else 0)
 
 
-def _check_sliced(spark, E, con, sf, name, fn, sql, mod, cross):
+def _check_sliced(spark, E, _unused_con, sf, name, fn, sql, mod,
+                  cross):
     """Bounded correctness for an oracle-infeasible rung query: full
     engine-vs-oracle compare on the doc_id % mod == 0 slice (identical
     restricted inputs on both sides) + structural invariants on the
@@ -327,6 +357,30 @@ def _check_sliced(spark, E, con, sf, name, fn, sql, mod, cross):
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     problems = []
     t0 = time.time()
+    # slice-phase watchdog (r9 follow-up): the qa7 slice ORACLE ran
+    # ~50 min at the sf10 rung while every other phase was capped —
+    # interrupt DuckDB at the same budget and record capacity (the
+    # full-corpus invariants still run; sf1 keeps the slice value
+    # signal for this query).
+    sl_timeout = float(os.environ.get("SPARK_GRAFT_CHECK_TIMEOUT", "0") or 0)
+    sl_timer = None
+    slice_cap = False
+    if sl_timeout:
+        import threading
+
+        def _kill_slice():
+            nonlocal slice_cap
+            slice_cap = True
+            try:
+                scon.interrupt()
+            except Exception:
+                pass
+            try:
+                spark.sparkContext.cancelAllJobs()
+            except Exception:
+                pass
+        sl_timer = threading.Timer(sl_timeout, _kill_slice)
+        sl_timer.start()
     try:
         sdf = fn(spark, sdir).toPandas()
         odf = scon.execute(sql).df()
@@ -339,8 +393,23 @@ def _check_sliced(spark, E, con, sf, name, fn, sql, mod, cross):
             problems.append("slice value hash mismatch")
         slice_rows = len(sdf)
     except Exception as ex:
-        problems.append(f"slice error: {ex}")
-        slice_rows = None
+        if slice_cap:
+            slice_rows = None
+        else:
+            problems.append(f"slice error: {ex}")
+            slice_rows = None
+    finally:
+        if sl_timer is not None:
+            sl_timer.cancel()
+        try:
+            scon.close()
+        except Exception:
+            pass
+    if slice_cap:
+        # slice compare over budget: not a failure — fall through to the
+        # full-corpus structural invariants and record the boundary
+        problems = [p for p in problems
+                    if not p.startswith("slice error")]
     t_slice = time.time() - t0
     t0 = time.time()
     # Full-corpus invariants run SPARK-SIDE as aggregates (r9): at sf10
@@ -383,12 +452,18 @@ def _check_sliced(spark, E, con, sf, name, fn, sql, mod, cross):
         print(f"FAIL  {name}: {'; '.join(problems)}")
         return {"status": "fail", "problems": problems,
                 "slice_mod": mod}
-    print(f"PASS* {name}: sliced-oracle green ({slice_rows} slice rows "
+    sl_note = (f"{slice_rows} slice rows" if not slice_cap
+               else f"slice capacity at {sl_timeout:.0f}s")
+    print(f"PASS* {name}: sliced-oracle green ({sl_note} "
           f"{t_slice:.1f}s; full {full_rows} rows {t_full:.1f}s, "
           f"{'invariants ok' if full_note is None else full_note})")
-    rec = {"status": "pass_sliced", "slice_mod": mod,
+    rec = {"status": ("pass_sliced" if not slice_cap
+                      else "invariants_only"),
+           "slice_mod": mod,
            "slice_rows": slice_rows, "rows": full_rows,
            "sec": round(t_slice + t_full, 2)}
+    if slice_cap:
+        rec["slice"] = f"capacity at {sl_timeout:.0f}s"
     if full_note:
         rec["full_corpus"] = full_note
     return rec

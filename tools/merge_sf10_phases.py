@@ -1,0 +1,88 @@
+"""One-shot merge of the two-phase sf10 sweep into
+CORRECTNESS_SF10_r09.json (r9): phase 1 (34 queries) was stopped when
+qa7's slice oracle ran ~60 min with no watchdog on the slice phase —
+its per-query results exist only as stdout PASS/PASS*/CAP/rows lines
+(.sf10_phase1.log); phase 2 re-ran the remaining 21 queries under the
+fixed slice-phase watchdog into .sf10_phase2.json.  The merged
+artifact records per-query status for all 55 and the phase split.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+P1 = ".sf10_phase1.log"
+P2 = ".sf10_phase2.json"
+P3 = ".sf10_phase3.json"   # re-run of the 7 queries the phase-2
+#                            poisoned DuckDB connection spuriously
+#                            OOMed/stalled (fresh-con fix); wins over P2
+OUT = "CORRECTNESS_SF10_r09.json"
+
+records: dict[str, dict] = {}
+
+pass_re = re.compile(r"^PASS\s+(\S+): (\d+) rows \(([\d.]+)s\)")
+slice_re = re.compile(
+    r"^PASS\* (\S+): sliced-oracle green \((\d+) slice rows ([\d.]+)s; "
+    r"full (\S+) rows ([\d.]+)s, (.+)\)")
+cap_re = re.compile(r"^CAP\s+(\S+): (spark|oracle) exceeded ([\d.]+)s"
+                    r"(?: \(engine side finished: (\d+) rows\))?")
+rows_re = re.compile(r"^rows\s+(\S+): (\d+) rows \(([\d.]+)s\)")
+
+for line in open(P1):
+    line = line.strip()
+    if m := pass_re.match(line):
+        records[m[1]] = {"status": "pass", "rows": int(m[2]),
+                         "sec": float(m[3]), "phase": 1}
+    elif m := slice_re.match(line):
+        rec = {"status": "pass_sliced", "slice_rows": int(m[2]),
+               "rows": None if m[4] == "None" else int(m[4]),
+               "sec": round(float(m[3]) + float(m[5]), 2), "phase": 1}
+        if m[6] != "invariants ok":
+            rec["full_corpus"] = m[6]
+        records[m[1]] = rec
+    elif m := cap_re.match(line):
+        rec = {"status": "capacity", "phase_hit": m[2],
+               "timeout_sec": float(m[3]), "phase": 1}
+        if m[4]:
+            rec["rows"] = int(m[4])
+        records[m[1]] = rec
+    elif m := rows_re.match(line):
+        records[m[1]] = {"status": "rows_only", "rows": int(m[2]),
+                         "sec": float(m[3]), "phase": 1}
+
+p2 = json.load(open(P2))
+for k, v in p2["queries"].items():
+    v["phase"] = 2
+    records[k] = v
+p3 = json.load(open(P3))
+for k, v in p3["queries"].items():
+    v["phase"] = 3
+    records[k] = v
+
+n_pass = sum(1 for v in records.values()
+             if v["status"] in ("pass", "pass_sliced"))
+n_rows = sum(1 for v in records.values()
+             if v["status"] in ("rows_only", "invariants_only"))
+n_cap = sum(1 for v in records.values() if v["status"] == "capacity") \
+    + sum(1 for v in records.values()
+          if v["status"] == "invariants_only")
+n_fail = sum(1 for v in records.values() if v["status"] == "fail")
+
+out = {
+    "sf_dir": "/root/repo/.testdata/sf10",
+    "sliced_oracle": True,
+    "note": ("curated 55-query document-op + small-output TPC-H sweep "
+             "at sf10 (500k docs / 60M lineitem / 200k embeddings); "
+             "three phases: phase 1 stopped at qa7 (slice oracle had "
+             "no watchdog pre-fix), phase 2 ran the remaining 21 under "
+             "the slice-phase watchdog but its long-lived DuckDB "
+             "connection degraded into spurious OOMs after the qa7 "
+             "interrupt, phase 3 re-ran those 7 with a fresh "
+             "connection per oracle (the shipped fix)"),
+    "n_pass": n_pass, "n_rows_only": n_rows, "n_fail": n_fail,
+    "n_capacity": n_cap, "queries": records,
+}
+json.dump(out, open(OUT, "w"), indent=1)
+print(f"{n_pass} pass, {n_rows} rows-only, {n_fail} fail, "
+      f"{n_cap} capacity -> {OUT} ({len(records)} queries)")
