@@ -68,6 +68,9 @@ HEADLINE = [
     "q33_sessionize",        # lag + gap sessionization
     "q34_dedup_exact",       # fingerprint hash-groupBy dedup
     "q35_ngram_jaccard",     # shingle inverted-index self-join
+    "q36_minhash_lsh",       # minhash + banded LSH (portable family since
+                             # r9 — same declared query the driver has
+                             # benched every round; never drop bench rows)
     "qb0_minhash_lsh_scale",  # minhash signatures + banded LSH (crc32perm
                               # scale family; q36 is its portable oracle twin)
     "q38_similarity_topk",   # brute-force cosine top-k
