@@ -485,9 +485,18 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     paragraph text crosses exactly two exchanges — (fp, para) election
     and the kept-only reconstruction — vs three in the join-back shape
     this replaced (r6: 2.0 s → 1.2 s warm at sf0.1)."""
-    sep = _SPLITTERS[granularity][1] if sep is None else sep
+    splitter, default_sep = _SPLITTERS[granularity]
+    sep = default_sep if sep is None else sep
     paras = exploded_paragraphs(df, id_col, text_col, granularity)
-    counts = paras.groupBy(id_col).agg(F.count("para").alias("n_paras"))
+    # Per-doc totals straight off the split array — one row per doc, no
+    # explode and no aggregation shuffle (r9; the former shape re-ran
+    # the corpus explode a second time and map+final aggregated it just
+    # to count units per doc).  count("para") over posexplode_outer ==
+    # size(splitter(text)): splitter never yields NULL elements and an
+    # empty array outer-explodes to a single NULL-para row counted 0.
+    counts = df.select(F.col(id_col),
+                       F.size(splitter(F.col(text_col)))
+                       .cast("long").alias("n_paras"))
     first = (paras.filter(F.col("para").isNotNull())
              .groupBy("__fp", "para")
              .agg(F.min(F.struct(F.col(id_col).alias("kid"),
@@ -1094,7 +1103,17 @@ def split_leakage(df: DataFrame, id_col: str = "doc_id",
             T.StructField("n_grams", T.LongType()),
             T.StructField("n_hits", T.LongType()),
             T.StructField("contamination", T.DoubleType())])
-        return df.sparkSession.createDataFrame(rows, res_schema)
+        if not rows:
+            return df.sparkSession.createDataFrame([], res_schema)
+        # Arrow-backed local result (r9): a list-of-tuples createDataFrame
+        # executes through a pickled Python RDD — every downstream action
+        # spins up one Python worker per slice just to unpickle a handful
+        # of rows (measured 0.62 s / 8.5 CPU-s per action at sf0.1 vs
+        # 0.16 s / 0.5 CPU-s via pandas+Arrow, which lands as a
+        # JVM-local Arrow relation).
+        res_pdf = pd.DataFrame(
+            rows, columns=[f.name for f in res_schema.fields])
+        return df.sparkSession.createDataFrame(res_pdf, res_schema)
 
     if prune is None:
         # Shuffle tier scores on a 128-bit HASHED gram key (two seeded

@@ -232,7 +232,6 @@ def dsir_fit_and_score(df: DataFrame, id_col: str, target: Column,
 
     Returns (id_col, n_grams, logw) for every input document."""
     from juliadb_jl_spark.functions import scratch
-    spark = df.sparkSession
     g = _spread(df).select(
         F.col(id_col), target.alias("__t"),
         F.explode_outer(word_grams(F.col(text_col), bigrams))
@@ -247,27 +246,37 @@ def dsir_fit_and_score(df: DataFrame, id_col: str, target: Column,
         .agg(F.sum(F.col("bucket").isNotNull().cast("long")).alias("cnt"))
         .persist())
 
-    def _logp(counts: DataFrame) -> DataFrame:
-        all_b = spark.range(n_buckets).select(F.col("id").cast("int")
-                                              .alias("bucket"))
-        full = (all_b.join(counts, "bucket", "left")
-                .select("bucket", F.coalesce("c", F.lit(0)).alias("c")))
-        total = full.agg(F.sum("c").alias("__tot"))
-        return (full.crossJoin(F.broadcast(total))
-                .select("bucket",
-                        F.log((F.col("c") + F.lit(float(smoothing))) /
-                              (F.col("__tot") +
-                               F.lit(float(smoothing * n_buckets))))
-                        .alias("logp")))
-
+    # Raw and target bucket counts in ONE aggregation pass (r9: the
+    # former two-branch shape re-read bc twice and zero-filled both
+    # branches against a range(B) join before joining them back —
+    # 2 aggregations + 2 range joins + 2 total crossJoins + 1 join,
+    # ~8 tiny stages per run, all to produce B rows.  A bucket with
+    # raw count 0 occurs in no document, so it can never be referenced
+    # by the final per-doc join — the zero-fill only ever mattered for
+    # target-absent buckets, which coalesce(0) covers.  The log
+    # expressions are unchanged (same doubles in, same Math.log, so
+    # bit-identical logratios; the dsir_logratios differential test
+    # pins this).
     real = bc.filter(F.col("bucket").isNotNull())
-    raw_c = real.groupBy("bucket").agg(F.sum("cnt").alias("c"))
-    tgt_c = real.filter(F.col("__t")).groupBy("bucket") \
-        .agg(F.sum("cnt").alias("c"))
-    ratio = (_logp(tgt_c).withColumnRenamed("logp", "__lt")
-             .join(_logp(raw_c).withColumnRenamed("logp", "__lr"), "bucket")
+    joint = real.groupBy("bucket").agg(
+        F.sum("cnt").alias("__raw"),
+        F.coalesce(F.sum(F.when(F.col("__t"), F.col("cnt"))),
+                   F.lit(0)).alias("__tgt"))
+    # Totals via an all-rows window over the B-sized joint table (B
+    # rows in one partition — driver-safe at any corpus scale) instead
+    # of a separate agg + crossJoin(broadcast): one stage fewer, and
+    # the joint aggregation is executed once, not once per branch.
+    from pyspark.sql import Window as _W
+    wall = _W.partitionBy()
+    a = F.lit(float(smoothing))
+    ab = F.lit(float(smoothing * n_buckets))
+    ratio = (joint
+             .withColumn("__tr", F.sum("__raw").over(wall))
+             .withColumn("__tt", F.sum("__tgt").over(wall))
              .select("bucket",
-                     (F.col("__lt") - F.col("__lr")).alias("logratio")))
+                     (F.log((F.col("__tgt") + a) / (F.col("__tt") + ab)) -
+                      F.log((F.col("__raw") + a) / (F.col("__tr") + ab)))
+                     .alias("logratio")))
     joined = bc.join(F.broadcast(ratio), "bucket", "left")
     return (joined.groupBy(id_col)
             .agg(F.sum("cnt").alias("n_grams"),

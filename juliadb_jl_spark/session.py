@@ -46,6 +46,12 @@ def get_spark(app_name: str = "juliadb_jl_spark",
         # broadcast/shuffle GC otherwise blocks job submission for seconds
         # at a time on iterated queries (observed as 5-12s latency outliers)
         .config("spark.cleaner.referenceTracking.blocking", "false")
+        # let AQE coalesce the output partitioning of plans being cached
+        # (off by default): multi-pass document ops persist small
+        # intermediates whose 32-way layout otherwise forces 32 tasks on
+        # every downstream stage (r9; scale-neutral — AQE sizes by bytes)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
