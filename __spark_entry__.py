@@ -2839,7 +2839,10 @@ def q9b(spark, sf_dir):
     old = d.filter(F.col("doc_id") % 2 == 0)
     new = d.filter(F.col("doc_id") % 2 == 1)
     idx = INC.dedup_index(old, "doc_id")
-    return INC.dedup_exact_against(new, idx, "doc_id").select("doc_id")
+    # keys_only: the query returns keeper ids only, so the operator's
+    # row-recovery semi-join (one more corpus scan + exchange) is dead
+    # weight here (r9 optimization; id set identical by construction)
+    return INC.dedup_exact_against(new, idx, "doc_id", keys_only=True)
 
 
 @_q("q9c_minhash_incremental", f"""

@@ -84,18 +84,26 @@ def merge_dedup_index(*indexes: DataFrame) -> DataFrame:
 
 def dedup_exact_against(new_df: DataFrame, index: DataFrame, id_col: str,
                         text_col: str = "text",
-                        normalized: bool = True) -> DataFrame:
+                        normalized: bool = True,
+                        keys_only: bool = False) -> DataFrame:
     """Rows of ``new_df`` that survive exact dedup against the corpus
     index AND within the batch (min-id keeper both times).
 
     Shape: anti-join on fp (drops texts the corpus already has) →
     min-id groupBy on the same fp (intra-batch dedup; reuses the
     anti-join's partitioning) → semi-join back to full rows.  The
-    index is only ever joined, never scanned twice."""
+    index is only ever joined, never scanned twice.
+
+    ``keys_only=True`` returns just the surviving ``id_col`` values and
+    skips the row-recovery semi-join — one less corpus scan and one
+    less exchange for consumers that only need the keeper ids (r9;
+    identical id set by construction, pinned by test)."""
     keep = (new_df.select(F.col(id_col), _fp(text_col, normalized).alias("fp"))
             .join(index.select("fp"), "fp", "left_anti")
             .groupBy("fp").agg(F.min(id_col).alias(id_col))
             .select(id_col))
+    if keys_only:
+        return keep
     return new_df.join(keep, id_col, "left_semi")
 
 

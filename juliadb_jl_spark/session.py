@@ -53,6 +53,16 @@ def get_spark(app_name: str = "juliadb_jl_spark",
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
                 "true")
     )
+    # Env-level conf passthrough (r9): "k=v;k=v" in SPARK_GRAFT_EXTRA_CONF
+    # applies before caller extra_conf — used for A/B measurement and for
+    # cluster-side overrides of any scale-dependent default without code
+    # edits (the bench contract keeps local defaults; production values
+    # ride this knob).
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in env_conf.split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1001,3 +1001,23 @@ def test_release_manifest_roundtrip(spark, tmp_path):
     write_release_manifest(cur, str(tmp_path / "r2"), stages=stages)
     assert set(read_release_manifest(spark, str(tmp_path / "r2"))) == \
         {"report", "funnel"}
+
+
+def test_paragraph_counts_match_explode_on_edges(spark):
+    """r9: n_paras is now size(splitter(text)) on the un-exploded corpus
+    (no second explode pass).  Pin it to the explode-based count on
+    whitespace/NULL/blank-separator edge cases, both granularities."""
+    rows = [(1, "a b\n\n  \n\nc"),      # blank middle unit is dropped
+            (2, ""), (3, None),
+            (4, "  \n \n  "),           # whitespace-only text
+            (5, "x\ny\n\nz"),           # \n inside a paragraph
+            (6, "solo")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for gran in ("paragraph", "line"):
+        exploded = CU.exploded_paragraphs(df, "doc_id", "text", gran)
+        want = {r["doc_id"]: r["n"] for r in
+                exploded.groupBy("doc_id")
+                .agg(F.count("para").alias("n")).collect()}
+        got = {r["doc_id"]: r["n_paras"] for r in
+               CU.paragraph_dedup(df, granularity=gran).collect()}
+        assert got == want, (gran, got, want)

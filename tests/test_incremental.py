@@ -706,3 +706,16 @@ def test_stream_minhash_against_xxhash64_family(spark, tmp_path):
     got = {(r["id_new"], r["id_corpus"]) for r in
            spark.sql("SELECT DISTINCT * FROM mh_out_xx").collect()}
     assert got == want and got
+
+
+def test_dedup_exact_against_keys_only_matches_full(spark):
+    """keys_only=True returns exactly the full path's surviving id set
+    (the r9 optimization that lets id-only consumers skip the
+    row-recovery semi-join)."""
+    old, new = _docs(spark, OLD_ROWS), _docs(spark, NEW_ROWS)
+    idx = INC.dedup_index(old, "doc_id")
+    full = INC.dedup_exact_against(new, idx, "doc_id")
+    keys = INC.dedup_exact_against(new, idx, "doc_id", keys_only=True)
+    assert keys.columns == ["doc_id"]
+    assert (sorted(r["doc_id"] for r in full.select("doc_id").collect())
+            == sorted(r["doc_id"] for r in keys.collect()))
