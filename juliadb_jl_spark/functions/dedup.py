@@ -526,21 +526,48 @@ def verify_pairs_jaccard(df: DataFrame, cand: DataFrame, id_col: str,
 
 _P31 = 2147483647  # 2^31 - 1, Mersenne prime
 
+# Codegen'd flat-polynomial width for portable_hash: strings up to this
+# many chars hash without the interpreted HOF fold.  31^j mod p weights
+# for the j-th character from the END of the string.
+_PH_FLAT_MAX = 64
+_PH_POWS = [pow(31, j, _P31) for j in range(_PH_FLAT_MAX)]
+
 
 def portable_hash(col: Column) -> Column:
     """31-bit polynomial string hash: fold (h*31 + codepoint) mod 2^31-1
     over the characters. Pure ANSI arithmetic — bit-identical in Spark
-    (aggregate over sequence) and in the DuckDB oracle (list_reduce), so
-    hash-family operators built on it are fully oracle-checkable.
-    All intermediates fit int64 under ANSI overflow checking
-    (h < 2^31, h*31 + c < 2^36)."""
+    and in the DuckDB oracle (list_reduce), so hash-family operators
+    built on it are fully oracle-checkable.
+
+    r9 evaluation shape: the original `aggregate` higher-order fold is
+    CodegenFallback — interpreted per CHARACTER (~the 25× portable_hash
+    _md5 cliff; measured 70 CPU-s of q36's sf1 run).  For strings up to
+    `_PH_FLAT_MAX` chars the fold is algebraically a flat polynomial
+    Σ ascii(c_{L−j})·31^j mod p with position-FROM-THE-END weights, so
+    the weights are fixed literals and the whole hash stays inside
+    whole-stage codegen: term j < 102·2^31, the ≤64-term sum < 2^44 —
+    exact in int64, one mod at the end ≡ the fold's per-step mods.
+    Longer strings (rare: shingles/tokens) take the interpreted fold —
+    CaseWhen branches evaluate lazily, so only those rows pay it.
+    Bit-identity flat-vs-fold is property-tested incl. unicode/empty."""
+    length = F.length(col)
+    flat_total = None
+    for j in range(_PH_FLAT_MAX):
+        term = F.when(
+            length > j,
+            F.ascii(col.substr(length - F.lit(j), F.lit(1))).cast("long")
+            * F.lit(_PH_POWS[j])).otherwise(F.lit(0).cast("long"))
+        flat_total = term if flat_total is None else flat_total + term
+    flat = flat_total % F.lit(_P31)
     fold = F.aggregate(
-        F.sequence(F.lit(1), F.length(col)),
+        F.sequence(F.lit(1), length),
         F.lit(0).cast("long"),
         lambda h, i: (h * 31 + F.ascii(F.substring(col, i, F.lit(1))))
         % F.lit(_P31))
-    # sequence(1, 0) counts DOWN — guard the empty string explicitly
-    return F.when(F.length(col) == 0, F.lit(0).cast("long")).otherwise(fold)
+    # sequence(1, 0) counts DOWN — the L == 0 case lands in the flat
+    # branch, where every term guards to 0 (hash 0, same as the fold's
+    # empty-string value)
+    return F.when(length <= _PH_FLAT_MAX, flat).otherwise(fold)
 
 
 # 31^k mod (2^31-1) for k = 31..0 — the per-position weights of the

@@ -160,3 +160,25 @@ def test_simhash_pairs_band_width_adapts_to_bits(docs):
                                  hash_family="portable",
                                  unique_lift=False).collect()}
     assert lifted_p == direct_p
+
+
+def test_portable_hash_flat_vs_fold_boundary(spark):
+    """r9: portable_hash evaluates ≤64-char strings as a flat codegen
+    polynomial and longer ones with the interpreted fold — both must be
+    bit-identical to the raw HOF fold at the boundary and on unicode."""
+    cases = ["x" * 63, "y" * 64, "z" * 65, "w" * 64 + "q",
+             "中" * 64, "中" * 65, "é" * 63 + "中文",
+             "", "a", " b ", "tab\tsep", "x" * 1000]
+    df = spark.createDataFrame([(s,) for s in cases], ["s"])
+    raw_fold = F.when(
+        F.length("s") == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), F.length("s")),
+            F.lit(0).cast("long"),
+            lambda h, i: (h * 31 + F.ascii(F.substring(F.col("s"), i,
+                                                       F.lit(1))))
+            % F.lit(DD._P31)))
+    rows = df.select("s", DD.portable_hash(F.col("s")).alias("new"),
+                     raw_fold.alias("ref")).collect()
+    for r in rows:
+        assert r["new"] == r["ref"], (r["s"][:20], r["new"], r["ref"])
