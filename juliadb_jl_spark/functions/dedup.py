@@ -385,7 +385,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                         broadcast_verify: bool | None = None,
                         broadcast_threshold_bytes: int = 1 << 30,
                         unique_lift: bool = True,
-                        star_intra: bool = False) -> DataFrame:
+                        star_intra: bool = False,
+                        verify: str = "count") -> DataFrame:
     """All pairs (a < b) with shingle-set Jaccard ≥ threshold.
 
     Exact semantics: candidates = docs sharing ≥1 shingle (a pair below
@@ -405,6 +406,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     candidates get a size filter (t·na ≤ nb ∧ t·nb ≤ na), and the few
     survivors are verified exactly with array_intersect.
 
+    `verify="count"` (default, r9): skip the prefix/verify split —
+    full inverted-index self-join + one codegen count aggregation gives
+    every pair's exact intersection directly (no array_intersect, no
+    verify join; measured 2.6× on the q35 kernel, identical output —
+    differential-tested against `verify="arrays"`, the prefix+
+    array_intersect path above, which `broadcast_verify`/
+    `broadcast_threshold_bytes` configure).
+
     `broadcast_verify=None` (default) is size-aware auto: the shingle-hash
     side is estimated from Catalyst's plan statistics for the input
     (`optimizedPlan().stats().sizeInBytes` — file sizes for parquet scans,
@@ -418,6 +427,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     deliberately biased toward shuffling: a needless shuffle costs
     seconds, a needless broadcast can cost the driver."""
     t = float(threshold)
+    if verify not in ("count", "arrays"):
+        raise ValueError(f"verify must be 'count' or 'arrays', got {verify!r}")
     if unique_lift and not df_cap:
         # duplicate-dense corpora (every web crawl): shingle + verify
         # only one representative per distinct text, lift pairs back to
@@ -437,16 +448,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                     rep_df, id_col, text_col, k=k, threshold=threshold,
                     df_cap=None, broadcast_verify=broadcast_verify,
                     broadcast_threshold_bytes=broadcast_threshold_bytes,
-                    unique_lift=False), star=star_intra)
+                    unique_lift=False, verify=verify), star=star_intra)
     sets_ = _shingle_sets(df, id_col, text_col, k)
-    hashed = sets_.select(
-        "id",
-        F.array_sort(F.transform("shset", lambda s: F.xxhash64(s))).alias("hs"))
-    hashed = hashed.withColumn("n", F.size("hs"))
-    # hashed feeds three branches (prefix index + both verify sides) —
-    # persist so the shingle pass runs once, as a multi-pass algorithm
-    # should (spills to disk at scale; ~1% the size of the raw corpus)
-    hashed = scratch.register(hashed.persist())
+    hashed = None
+    if verify == "arrays" or df_cap:
+        hashed = sets_.select(
+            "id",
+            F.array_sort(F.transform("shset",
+                                     lambda s: F.xxhash64(s))).alias("hs"))
+        hashed = hashed.withColumn("n", F.size("hs"))
+        # hashed feeds three branches (prefix index + both verify
+        # sides) — persist so the shingle pass runs once, as a
+        # multi-pass algorithm should (spills to disk at scale; ~1%
+        # the size of the raw corpus)
+        hashed = scratch.register(hashed.persist())
     if df_cap == "auto":
         # one histogram agg over the persisted shingle pass decides from
         # the corpus's own df distribution; None → the exact path below
@@ -458,6 +473,52 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
         kept = (flat.join(hot, "h", "left_anti").groupBy("id")
                 .agg(F.array_sort(F.collect_list("h")).alias("hs")))
         hashed = kept.withColumn("n", F.size("hs"))
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if verify == "count":
+        # r9: count-based exact intersection — full inverted-index
+        # self-join + ONE codegen hash aggregation, no per-pair
+        # array_intersect and no verify join at all.  ~4× the prefix
+        # join's fanout (suffix elements index too) but each row is a
+        # 24-byte count-agg input instead of a pair of full shingle
+        # arrays fed to an interpreted set intersect: measured 2.6×
+        # on the q35 kernel, identical output (pairs sharing only
+        # suffix elements stay below t by the prefix lemma and fall to
+        # the jaccard filter).  The quadratic hot-shingle risk is the
+        # same class as the prefix join's and keeps the same guards
+        # (unique-text lift, df_cap, explicit spread).
+        #
+        # Index construction: with no df_cap there is no hs array at
+        # all — explode the shingle SET and hash natively per row
+        # (codegen xxhash64; no interpreted transform-HOF, no
+        # array_sort).  The flat index is persisted POST-repartition so
+        # the Arrow shingle pass runs once and both self-join sides
+        # read the cache already hash-partitioned on h (zero further
+        # exchanges; identical-subtree aliases do NOT get exchange
+        # reuse in the AQE initial plan — measured 3× CPU without the
+        # persist).  24 B/row, ~1-2 % of corpus bytes.
+        if hashed is not None:
+            flat = hashed.select("id", "n", F.explode("hs").alias("h"))
+        else:
+            flat = (sets_.select("id", F.size("shset").alias("n"),
+                                 F.explode("shset").alias("sh"))
+                    .select("id", "n", F.xxhash64("sh").alias("h")))
+        flat = scratch.register(flat.repartition(p, "h").persist())
+        fa, fb = flat.alias("a"), flat.alias("b")
+        pc = (fa.join(fb.hint("shuffle_hash"),
+                      (F.col("a.h") == F.col("b.h")) &
+                      (F.col("a.id") < F.col("b.id")) &
+                      (F.col("b.n") >= F.col("a.n") * t) &
+                      (F.col("a.n") >= F.col("b.n") * t))
+              .groupBy(F.col("a.id").alias("id_a"),
+                       F.col("b.id").alias("id_b"),
+                       F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
+              .agg(F.count(F.lit(1)).alias("inter")))
+        return (pc.withColumn(
+                    "jaccard",
+                    F.col("inter") / (F.col("na") + F.col("nb")
+                                      - F.col("inter")))
+                .filter(F.col("jaccard") >= t)
+                .select("id_a", "id_b", "jaccard"))
     if broadcast_verify is None:
         est_bytes = int(df._jdf.queryExecution().optimizedPlan()
                         .stats().sizeInBytes())
@@ -469,7 +530,6 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     # The prefix self-join fans out from a byte-small input; planner/AQE
     # size heuristics would run it in one task via broadcast. Explicit
     # co-partitioning by shingle hash keeps the fanout spread out.
-    p = df.sparkSession.sparkContext.defaultParallelism
     idx = idx.repartition(p, "h")
     a, b = idx.alias("a"), idx.alias("b")
     # candidate pairs are kept WITH duplicates (a pair sharing k prefix
@@ -550,6 +610,70 @@ def portable_hash(col: Column) -> Column:
     Longer strings (rare: shingles/tokens) take the interpreted fold —
     CaseWhen branches evaluate lazily, so only those rows pay it.
     Bit-identity flat-vs-fold is property-tested incl. unicode/empty."""
+    # Construction cost matters too: the 64-term tree is ~650 Column
+    # API calls = ~650 synchronous py4j round trips PER portable_hash
+    # call (measured 1.3 s of q36's per-run build, guide §1.1).  When
+    # the input column's unresolved expression round-trips through SQL
+    # text (every non-lambda call site), build the whole thing as ONE
+    # F.expr parse instead.  Lambda variables (classifier's transform)
+    # don't round-trip — they keep the Column-API construction.
+    inner = _col_sql(col)
+    if inner is not None:
+        return F.expr(_ph_sql(inner))
+    return _ph_column(col)
+
+
+def _col_sql(col: Column) -> str | None:
+    """SQL text of a Column's unresolved expression if it provably
+    round-trips through the SQL parser, else None.  The guard is exact:
+    the text is accepted only when re-parsing it yields a node with the
+    IDENTICAL sql text — this rejects lambda variables (print as bare
+    generated names that would re-parse as ordinary attributes),
+    unquoted weird identifiers, and anything else lossy."""
+    import re
+
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None
+    try:
+        sql = col._jc.node().sql()
+        # real parse round-trip (F.expr defers parsing, so it cannot
+        # validate): reject anything whose parsed form prints
+        # differently — attribute names that read as operators, names
+        # needing quoting, etc.  Rejection only costs speed: the
+        # caller keeps the Column-API construction.
+        parsed = (spark._jsparkSession.sessionState().sqlParser()
+                  .parseExpression(sql))
+        if parsed.sql() != sql:
+            return None
+    except Exception:
+        return None
+    # pyspark HOF lambda variables print as bare generated names
+    # (x_3, y_7, ...) that would re-parse as ordinary attributes and
+    # break the binding — never splice them (pinned by test)
+    if re.search(r"\b[xyz]_\d+\b", sql):
+        return None
+    return sql
+
+
+def _ph_sql(x: str) -> str:
+    """portable_hash as SQL text over the expression string `x`.
+    Arithmetic is term-for-term identical to `_ph_column` (int literals
+    where that path uses int lits, bigint casts where it casts) so the
+    two constructions are bit-identical — property-tested."""
+    terms = " + ".join(
+        f"IF(length({x}) > {j}, CAST(ascii(substring({x}, length({x}) - {j}"
+        f", 1)) AS BIGINT) * {_PH_POWS[j]}, CAST(0 AS BIGINT))"
+        for j in range(_PH_FLAT_MAX))
+    fold = (f"aggregate(sequence(1, length({x})), CAST(0 AS BIGINT), "
+            f"(h, i) -> (h * 31 + ascii(substring({x}, i, 1))) % {_P31})")
+    return (f"CASE WHEN length({x}) <= {_PH_FLAT_MAX} THEN ({terms}) % {_P31} "
+            f"ELSE {fold} END")
+
+
+def _ph_column(col: Column) -> Column:
+    """Column-API construction of portable_hash (lambda-variable-safe)."""
     length = F.length(col)
     flat_total = None
     for j in range(_PH_FLAT_MAX):
@@ -588,6 +712,12 @@ def portable_hash_md5(col: Column) -> Column:
     Bit-identical to `portable_hash(F.md5(col))` — equality is tested —
     so every oracle that inlines the DuckDB `list_reduce` fold is
     unaffected."""
+    inner = _col_sql(col)
+    if inner is not None:
+        terms = " + ".join(
+            f"CAST(ascii(substring(md5({inner}), {i + 1}, 1)) AS BIGINT)"
+            f" * {w}" for i, w in enumerate(_MD5_POWS))
+        return F.expr(f"({terms}) % {_P31}")
     hexd = F.md5(col)
     terms = [F.ascii(F.substring(hexd, i + 1, 1)).cast("long") * F.lit(w)
              for i, w in enumerate(_MD5_POWS)]
@@ -768,9 +898,10 @@ def _signature_from_sets(sets_: DataFrame, num_hashes: int,
     if hash_family == "portable":
         a_, b_ = perm_constants(num_hashes)
         sh = sh.select("id", portable_hash(F.col("sh")).alias("hb"))
-        mins = [F.min((F.lit(a_[i]) * F.col("hb") + F.lit(b_[i]))
-                      % F.lit(_P31)).alias(f"h{i}")
-                for i in range(num_hashes)]
+        # one F.expr parse per permutation instead of ~8 py4j calls
+        # (arithmetic identical: int literal × bigint hb, one mod)
+        mins = [F.expr(f"min(({a_[i]} * hb + {b_[i]}) % {_P31})")
+                .alias(f"h{i}") for i in range(num_hashes)]
     else:
         mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
                 for i in range(num_hashes)]

@@ -52,6 +52,14 @@ def get_spark(app_name: str = "juliadb_jl_spark",
         # every downstream stage (r9; scale-neutral — AQE sizes by bytes)
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
                 "true")
+        # PySpark 4 captures a Python stack trace + an extra py4j round
+        # trip on EVERY DataFrame/Column API call to enrich error
+        # messages with the call site.  Wide expression builders
+        # (minhash families, selectors) make thousands of such calls
+        # per plan; disabling origin capture only loses the Python-line
+        # annotation on analysis errors (r9: q36 build 2.3s -> see
+        # OPTIMIZATION_r09.md).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     # Env-level conf passthrough (r9): "k=v;k=v" in SPARK_GRAFT_EXTRA_CONF
     # applies before caller extra_conf — used for A/B measurement and for

@@ -1021,3 +1021,34 @@ def test_paragraph_counts_match_explode_on_edges(spark):
         got = {r["doc_id"]: r["n_paras"] for r in
                CU.paragraph_dedup(df, granularity=gran).collect()}
         assert got == want, (gran, got, want)
+
+
+def test_jaccard_count_vs_arrays_verify_differential(spark):
+    """r9: verify="count" (inverted-index count aggregation) must be
+    row- and value-identical to verify="arrays" (prefix join +
+    array_intersect verify) on a corpus with near-dups, exact dups,
+    disjoint docs, and shingle-free docs — at two thresholds."""
+    from juliadb_jl_spark.functions import dedup as DD
+    import random
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        n = rng.randint(4, 24)
+        rows.append((i, " ".join(rng.choice(words) for _ in range(n))))
+    rows += [(100, rows[0][1]), (101, rows[0][1] + " extra tail words"),
+             (102, "xq yq zq unique island doc"), (103, "shrt")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import pandas as pd
+    for t in (0.2, 0.5):
+        cnt = DD.ngram_jaccard_pairs(df, "doc_id", k=3, threshold=t,
+                                     unique_lift=False,
+                                     verify="count").toPandas()
+        arr = DD.ngram_jaccard_pairs(df, "doc_id", k=3, threshold=t,
+                                     unique_lift=False,
+                                     verify="arrays").toPandas()
+        key = ["id_a", "id_b"]
+        cnt = cnt.sort_values(key, ignore_index=True)
+        arr = arr.sort_values(key, ignore_index=True)
+        assert len(cnt) > 0
+        pd.testing.assert_frame_equal(cnt, arr)

@@ -182,3 +182,29 @@ def test_portable_hash_flat_vs_fold_boundary(spark):
                      raw_fold.alias("ref")).collect()
     for r in rows:
         assert r["new"] == r["ref"], (r["s"][:20], r["new"], r["ref"])
+
+
+def test_portable_hash_sql_vs_column_construction(spark):
+    """r9: portable_hash builds via ONE F.expr parse when the input
+    column round-trips through SQL text, and via the Column API for
+    lambda variables.  The two constructions must be bit-identical,
+    and lambda-variable inputs must route to the Column path."""
+    cases = ["x" * 63, "y" * 64, "z" * 65, "中" * 64, "中" * 65,
+             "", "a", "it's \"quoted\"", "back\\slash", "x" * 200]
+    df = spark.createDataFrame([(s,) for s in cases], ["s"])
+    rows = df.select(
+        DD.portable_hash(F.col("s")).alias("sql_path"),
+        DD._ph_column(F.col("s")).alias("col_path"),
+        DD.portable_hash_md5(F.col("s")).alias("md5_sql"),
+        DD.portable_hash(F.md5(F.col("s"))).alias("md5_ref")).collect()
+    for r in rows:
+        assert r["sql_path"] == r["col_path"]
+        assert r["md5_sql"] == r["md5_ref"]
+    # lambda variables cannot be spliced into SQL text: the dispatch
+    # must fall back to the Column construction and stay correct
+    arr = df.select(F.array("s").alias("a"), F.col("s"))
+    lam = arr.select(
+        F.transform("a", lambda w: DD.portable_hash(w))[0].alias("h"),
+        DD.portable_hash(F.col("s")).alias("ref")).collect()
+    for r in lam:
+        assert r["h"] == r["ref"]

@@ -156,9 +156,13 @@ def test_jaccard_nonbroadcast_path_same_result(tables):
     # results
     from juliadb_jl_spark.functions.dedup import ngram_jaccard_pairs
     docs = tables["documents"].df
-    auto = ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.5)
+    # broadcast_verify configures the verify="arrays" path (the r9
+    # default verify="count" has no verify join at all)
+    auto = ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.5,
+                               verify="arrays")
     shuffled = ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.5,
-                                   broadcast_threshold_bytes=0)
+                                   broadcast_threshold_bytes=0,
+                                   verify="arrays")
     a, b = _norm(auto.toPandas()), _norm(shuffled.toPandas())
     pd.testing.assert_frame_equal(a, b)
     # assert the STATIC choice: no broadcast hint planted on the verify
@@ -168,7 +172,7 @@ def test_jaccard_nonbroadcast_path_same_result(tables):
     logical = shuffled._jdf.queryExecution().optimizedPlan().toString()
     assert "ResolvedHint" not in logical
     forced = ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.5,
-                                 broadcast_verify=True)
+                                 broadcast_verify=True, verify="arrays")
     assert "broadcast" in forced._jdf.queryExecution().analyzed().toString()
 
 
