@@ -42,7 +42,18 @@ from juliadb_jl_spark.functions.similarity import dot_expr, norm_expr
 def sq_dist_expr(vec: Column, centroid: list[float]) -> Column:
     """Squared Euclidean distance from `vec` (array<double>) to a literal
     centroid — a single sequential left-to-right fold, matching the
-    ordinal-ordered SQL sum for oracle comparison."""
+    ordinal-ordered SQL sum for oracle comparison.
+
+    r9: the centroid's length is the dimension, so vectors of exactly
+    that size take a flat unrolled codegen sum (the fold is interpreted
+    per element — the portable_hash cliff class); other shapes keep the
+    fold verbatim.  Bit-identical on every input, ONE parsed SQL
+    expression per centroid (the Column construction was ~6 py4j round
+    trips per coordinate)."""
+    from juliadb_jl_spark.functions._exprutil import col_sql, flat_sqdist_sql
+    vsql = col_sql(vec)
+    if vsql is not None:
+        return F.expr(flat_sqdist_sql(vsql, [float(x) for x in centroid]))
     lit = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)),
                        F.lit(0.0), lambda acc, x: acc + x)
@@ -207,7 +218,8 @@ def cluster_pairs_exact(df: DataFrame, centroids: list[list[float]],
     va = mv.select(F.col("id").alias("id_a"), F.col("v").alias("__va"))
     vb = mv.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"))
     return (cand.join(F.broadcast(va), "id_a").join(F.broadcast(vb), "id_b")
-            .withColumn("cosine", cosine_expr(F.col("__va"), F.col("__vb")))
+            .withColumn("cosine", cosine_expr(F.col("__va"), F.col("__vb"),
+                                              len(centroids[0])))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
 
@@ -256,8 +268,9 @@ def prototype_scores(df: DataFrame, centroids: list[list[float]],
     """+ `cell`, + `proto` = cosine(vec, centroid(cell)) — how typical
     the row is of its own cluster (1 = sits on the prototype)."""
     a = _cast_vec(kmeans_assign(df, centroids, vec_col), vec_col)
-    cos = [dot_expr(F.col("__v"), F.array(*[F.lit(float(x)) for x in c]))
-           / (norm_expr(F.col("__v"))
+    cos = [dot_expr(F.col("__v"), F.array(*[F.lit(float(x)) for x in c]),
+                    len(c))
+           / (norm_expr(F.col("__v"), len(c))
               * F.lit(float(sum(x * x for x in c) ** 0.5)))
            for c in centroids]
     proto = F.array(*cos)[F.col("cell")]

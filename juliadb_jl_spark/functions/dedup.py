@@ -624,37 +624,9 @@ def portable_hash(col: Column) -> Column:
 
 
 def _col_sql(col: Column) -> str | None:
-    """SQL text of a Column's unresolved expression if it provably
-    round-trips through the SQL parser, else None.  The guard is exact:
-    the text is accepted only when re-parsing it yields a node with the
-    IDENTICAL sql text — this rejects lambda variables (print as bare
-    generated names that would re-parse as ordinary attributes),
-    unquoted weird identifiers, and anything else lossy."""
-    import re
-
-    from pyspark.sql import SparkSession
-    spark = SparkSession.getActiveSession()
-    if spark is None:
-        return None
-    try:
-        sql = col._jc.node().sql()
-        # real parse round-trip (F.expr defers parsing, so it cannot
-        # validate): reject anything whose parsed form prints
-        # differently — attribute names that read as operators, names
-        # needing quoting, etc.  Rejection only costs speed: the
-        # caller keeps the Column-API construction.
-        parsed = (spark._jsparkSession.sessionState().sqlParser()
-                  .parseExpression(sql))
-        if parsed.sql() != sql:
-            return None
-    except Exception:
-        return None
-    # pyspark HOF lambda variables print as bare generated names
-    # (x_3, y_7, ...) that would re-parse as ordinary attributes and
-    # break the binding — never splice them (pinned by test)
-    if re.search(r"\b[xyz]_\d+\b", sql):
-        return None
-    return sql
+    """See `_exprutil.col_sql` (shared with similarity/clustering)."""
+    from juliadb_jl_spark.functions._exprutil import col_sql
+    return col_sql(col)
 
 
 def _ph_sql(x: str) -> str:
@@ -1184,18 +1156,39 @@ def hyperplane_bucket(vec_col: str, dim: int, n_planes: int = 8,
     from `seed`.  Shared by the self-join blocker
     (embedding_neardup_pairs) and the incremental new-vs-index path
     (incremental.embedding_against) — both sides MUST use the same
-    (dim, n_planes, seed) for buckets to be comparable."""
+    (dim, n_planes, seed) for buckets to be comparable.
+
+    r9 evaluation shape: the original `aggregate(zip_with(...))` fold
+    is CodegenFallback — interpreted per ELEMENT per plane (dim ×
+    n_planes lambda steps per row, the portable_hash cliff class).
+    `dim` is a declared parameter, so rows whose vector has exactly
+    that size take a FLAT unrolled dot product (element_at × double
+    literal, left-associated adds = the fold's exact summation order —
+    0.0+x differs from x only on -0.0, which cannot flip `> 0`), fully
+    inside whole-stage codegen; other shapes (short/long/NULL vectors)
+    keep the fold branch verbatim, so output is bit-identical on every
+    input (property-tested).  The whole expression is ONE parsed SQL
+    string — the Column-API construction would be ~4k py4j calls."""
     import numpy as np
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
-    bucket = None
+    v = "`" + vec_col.replace("`", "``") + "`"
+
+    def _bit(dot_sql: str, i: int) -> str:
+        return f"(CASE WHEN ({dot_sql}) > 0 THEN {1 << i} ELSE 0 END)"
+
+    flat_bits, fold_bits = [], []
     for i in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
-        dot = F.aggregate(F.zip_with(F.col(vec_col), plane, lambda a, b: a * b),
-                          F.lit(0.0), lambda acc, x: acc + x)
-        bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
-    return bucket
+        lits = [repr(float(x)) + "D" for x in planes[i]]
+        flat = " + ".join(f"(element_at({v}, {j + 1}) * {w})"
+                          for j, w in enumerate(lits))
+        fold = (f"aggregate(zip_with({v}, array({', '.join(lits)}), "
+                f"(a, b) -> a * b), 0.0D, (acc, x) -> acc + x)")
+        flat_bits.append(_bit(flat, i))
+        fold_bits.append(_bit(fold, i))
+    return F.expr(
+        f"CASE WHEN size({v}) = {dim} THEN {' | '.join(flat_bits)} "
+        f"ELSE {' | '.join(fold_bits)} END")
 
 
 def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
@@ -1227,7 +1220,7 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
     cand = a.join(b.hint("shuffle_hash"),
                   (F.col("a.bucket") == F.col("b.bucket")) &
                   (F.col("a.id") < F.col("b.id")))
-    cos = cosine_expr(F.col("a.v"), F.col("b.v"))
+    cos = cosine_expr(F.col("a.v"), F.col("b.v"), dim)
     return (cand.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                         cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
@@ -1662,7 +1655,8 @@ def embedding_pairs_exact(df: DataFrame, id_col: str, vec_col: str,
     va = keyed.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = keyed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (cand.join(F.broadcast(va), "id_a").join(F.broadcast(vb), "id_b")
-            .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+            .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb"),
+                                              int(Mn.shape[1])))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
 

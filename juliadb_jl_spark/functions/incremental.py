@@ -524,7 +524,7 @@ def embedding_against(new_df: DataFrame, index: DataFrame, id_col: str,
         # shuffles — same rationale as minhash_against
         n = n.hint("shuffle_hash")
     n, c = n.alias("n"), c.alias("c")
-    cos = cosine_expr(F.col("n.v"), F.col("c.v"))
+    cos = cosine_expr(F.col("n.v"), F.col("c.v"), dim)
     return (c.join(n, F.col("n.bucket") == F.col("c.bucket"))
             .select(F.col("n.id").alias("id_new"),
                     F.col("c.id").alias("id_corpus"), cos.alias("cosine"))
@@ -578,7 +578,8 @@ def _cross_pairs_exact(batch_keyed: DataFrame, index: DataFrame,
     nv = batch_keyed.select(F.col("id").alias("id_new"),
                             F.col("v").alias("nv"))
     return (cand.join(cv, "id_corpus").join(F.broadcast(nv), "id_new")
-            .withColumn("cosine", cosine_expr(F.col("nv"), F.col("cv")))
+            .withColumn("cosine", cosine_expr(F.col("nv"), F.col("cv"),
+                                              int(Bn.shape[1])))
             .filter(F.col("cosine") >= threshold)
             .select("id_new", "id_corpus", "cosine"))
 
@@ -707,7 +708,7 @@ def embedding_against_ivf(new_df: DataFrame, tagged_corpus: DataFrame,
         F.col(id_col).alias("cid"),
         F.col(vec_col).cast("array<double>").alias("cv"),
         "cell").alias("c")
-    cos = cosine_expr(F.col("n.v"), F.col("c.cv"))
+    cos = cosine_expr(F.col("n.v"), F.col("c.cv"), int(cents.shape[1]))
     return (c.join(n, F.col("n.cell") == F.col("c.cell"))
             .select(F.col("n.id").alias("id_new"),
                     F.col("c.cid").alias("id_corpus"), cos.alias("cosine"))

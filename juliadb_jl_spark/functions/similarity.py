@@ -14,19 +14,36 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def dot_expr(a: Column, b: Column) -> Column:
+def dot_expr(a: Column, b: Column, dim: int | None = None) -> Column:
     """Sequential left-to-right fold — deterministic, matches a SQL
-    ordinal-ordered SUM for oracle comparison."""
+    ordinal-ordered SUM for oracle comparison.
+
+    With `dim` (r9): rows whose arrays have exactly that size take a
+    flat unrolled sum that stays inside whole-stage codegen (the
+    `aggregate`/`zip_with` fold is CodegenFallback — interpreted per
+    element); any other shape keeps the fold branch verbatim, so the
+    result is bit-identical on every input (property-tested)."""
+    if dim:
+        from juliadb_jl_spark.functions._exprutil import col_sql, flat_dot_sql
+        asql, bsql = col_sql(a), col_sql(b)
+        if asql is not None and bsql is not None:
+            return F.expr(flat_dot_sql(asql, bsql, dim))
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
-def norm_expr(a: Column) -> Column:
+def norm_expr(a: Column, dim: int | None = None) -> Column:
+    if dim:
+        from juliadb_jl_spark.functions._exprutil import (col_sql,
+                                                          flat_sqnorm_sql)
+        asql = col_sql(a)
+        if asql is not None:
+            return F.sqrt(F.expr(flat_sqnorm_sql(asql, dim)))
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+def cosine_expr(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot_expr(a, b, dim) / (norm_expr(a, dim) * norm_expr(b, dim))
 
 
 def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
@@ -194,7 +211,8 @@ def ivf_topk(tagged_corpus: DataFrame, centroids, queries: DataFrame,
     scored = (joined.filter(F.col(id_col) != F.col("query_id"))
               .select("query_id", F.col(id_col).alias("neighbor_id"),
                       cosine_expr(F.col(vec_col).cast("array<double>"),
-                                  F.col("qv")).alias("cosine")))
+                                  F.col("qv"),
+                                  int(cents.shape[1])).alias("cosine")))
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                           F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -143,7 +143,8 @@ def centroid_scores(df: DataFrame, vec_col: str,
         cvec = F.array(*[F.lit(float(x)) for x in centroids[lbl]])
         structs.append(F.struct(
             F.lit(lbl).alias(label_out),
-            cosine_expr(F.col(vec_col).cast("array<double>"), cvec)
+            cosine_expr(F.col(vec_col).cast("array<double>"), cvec,
+                        len(centroids[lbl]))
             .alias(score_out)))
     keep = [c for c in df.columns if c != vec_col]
     return df.select(*keep, F.explode(F.array(*structs)).alias("__sc")) \
@@ -159,7 +160,8 @@ def nearest_centroid_classify(df: DataFrame, vec_col: str,
     from juliadb_jl_spark.functions.similarity import cosine_expr
     labels = sorted(centroids)
     cos = [cosine_expr(F.col(vec_col).cast("array<double>"),
-                       F.array(*[F.lit(float(x)) for x in centroids[lbl]]))
+                       F.array(*[F.lit(float(x)) for x in centroids[lbl]]),
+                       len(centroids[lbl]))
            for lbl in labels]
     arr = F.array(*cos)
     idx = F.array_position(arr, F.array_max(arr)).cast("int")

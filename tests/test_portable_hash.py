@@ -208,3 +208,85 @@ def test_portable_hash_sql_vs_column_construction(spark):
         DD.portable_hash(F.col("s")).alias("ref")).collect()
     for r in lam:
         assert r["h"] == r["ref"]
+
+
+def test_hyperplane_bucket_flat_vs_fold(spark):
+    """r9: hyperplane_bucket unrolls the dot product into flat codegen
+    for vectors of the declared dim and keeps the interpreted fold for
+    every other shape.  Must be bit-identical to the original
+    aggregate(zip_with) construction on: exact-dim float32 vectors,
+    short/long vectors, NULL, empty, and near-zero dots."""
+    import numpy as np
+    rng = np.random.RandomState(3)
+    dim = 16
+    rows = [(i, [float(x) for x in rng.randn(dim).astype("float32")])
+            for i in range(50)]
+    rows += [(100, [0.0] * dim), (101, None), (102, []),
+             (103, [1.0] * (dim - 3)), (104, [1.0] * (dim + 5))]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    rng2 = np.random.RandomState(42)
+    planes = rng2.randn(8, dim)
+    ref = None
+    for i in range(8):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        dot = F.aggregate(F.zip_with(F.col("v"), plane,
+                                     lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        ref = bit if ref is None else ref.bitwiseOR(bit)
+    out = df.select("id", DD.hyperplane_bucket("v", dim).alias("new"),
+                    ref.alias("ref")).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        assert r["new"] == r["ref"], (r["id"], r["new"], r["ref"])
+
+
+def test_flat_vector_kernels_vs_fold(spark):
+    """r9: dot_expr/norm_expr/cosine_expr with a declared `dim` unroll
+    into flat codegen for exact-dim rows and keep the interpreted fold
+    for every other shape.  Must be bit-identical to the dim-less fold
+    construction on float32/float64 vectors, short/long/NULL/empty
+    arrays, zero vectors, and the sq_dist centroid kernel."""
+    import numpy as np
+
+    from juliadb_jl_spark.functions import clustering as KM
+    from juliadb_jl_spark.functions import similarity as SIM
+    rng = np.random.RandomState(7)
+    dim = 12
+    rows = [(i, [float(x) for x in rng.randn(dim).astype("float32")],
+             [float(x) for x in rng.randn(dim)]) for i in range(40)]
+    rows += [(100, [0.0] * dim, [0.0] * dim), (101, None, [1.0] * dim),
+             (102, [], []), (103, [1.0] * (dim - 2), [1.0] * (dim - 2)),
+             (104, [0.5] * (dim + 3), [0.5] * (dim + 3))]
+    df = spark.createDataFrame(rows, "id long, a array<float>, b array<double>")
+    ad = F.col("a").cast("array<double>")
+    centroid = [float(x) for x in rng.randn(dim)]
+    out = df.select(
+        "id",
+        SIM.dot_expr(ad, F.col("b"), dim).alias("dot_f"),
+        SIM.dot_expr(ad, F.col("b")).alias("dot_r"),
+        SIM.norm_expr(F.col("b"), dim).alias("nrm_f"),
+        SIM.norm_expr(F.col("b")).alias("nrm_r"),
+        # cosine divides by the norms — NULL/zero/empty vectors raise
+        # under ANSI in BOTH branches (pre-existing contract), so guard
+        # the degenerate rows out of the cosine columns only
+        F.when(F.col("id").isin(100, 101, 102), F.lit(None))
+        .otherwise(SIM.cosine_expr(ad, F.col("b"), dim)).alias("cos_f"),
+        F.when(F.col("id").isin(100, 101, 102), F.lit(None))
+        .otherwise(SIM.cosine_expr(ad, F.col("b"))).alias("cos_r"),
+        KM.sq_dist_expr(F.col("b"), centroid).alias("sq_f"),
+        F.aggregate(F.zip_with(F.col("b"),
+                               F.array(*[F.lit(c) for c in centroid]),
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x).alias("sq_r"),
+    ).collect()
+    import math
+    assert len(out) == len(rows)
+    for r in out:
+        for f, ref in (("dot_f", "dot_r"), ("nrm_f", "nrm_r"),
+                       ("cos_f", "cos_r"), ("sq_f", "sq_r")):
+            x, y = r[f], r[ref]
+            assert (x == y or (x is None and y is None)
+                    or (isinstance(x, float) and isinstance(y, float)
+                        and math.isnan(x) and math.isnan(y))), \
+                (r["id"], f, x, y)
