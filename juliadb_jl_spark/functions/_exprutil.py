@@ -78,6 +78,23 @@ def flat_sqnorm_sql(asql: str, dim: int) -> str:
     return f"CASE WHEN size({asql}) = {dim} THEN {flat} ELSE {fold} END"
 
 
+def flat_dot_lit_sql(asql: str, centroid: list[float]) -> str:
+    """Σ a[j]·c[j] against a LITERAL centroid — the per-index literal is
+    inlined, where `flat_dot_sql` would repeat the centroid's whole
+    O(dim) ``array(...)`` text once per term (O(dim²) SQL to parse and
+    analyze).  Bit-identical to flat_dot_sql over the literal array:
+    ``element_at(array(c1..), j)`` constant-folds to the same double
+    the inline literal denotes, products/casts/add order unchanged."""
+    dim = len(centroid)
+    flat = " + ".join(
+        f"CAST((element_at({asql}, {j + 1}) * {dlit(c)}) AS DOUBLE)"
+        for j, c in enumerate(centroid))
+    lits = ", ".join(dlit(c) for c in centroid)
+    fold = (f"aggregate(zip_with({asql}, array({lits}), (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)")
+    return f"CASE WHEN size({asql}) = {dim} THEN {flat} ELSE {fold} END"
+
+
 def flat_sqdist_sql(asql: str, centroid: list[float]) -> str:
     """Σ (a[j]−c[j])² against a literal centroid (dim = len(centroid))."""
     dim = len(centroid)

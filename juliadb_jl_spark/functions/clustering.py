@@ -268,8 +268,8 @@ def prototype_scores(df: DataFrame, centroids: list[list[float]],
     """+ `cell`, + `proto` = cosine(vec, centroid(cell)) — how typical
     the row is of its own cluster (1 = sits on the prototype)."""
     a = _cast_vec(kmeans_assign(df, centroids, vec_col), vec_col)
-    cos = [dot_expr(F.col("__v"), F.array(*[F.lit(float(x)) for x in c]),
-                    len(c))
+    from juliadb_jl_spark.functions.similarity import dot_lit_expr
+    cos = [dot_lit_expr(F.col("__v"), c)
            / (norm_expr(F.col("__v"), len(c))
               * F.lit(float(sum(x * x for x in c) ** 0.5)))
            for c in centroids]

@@ -429,6 +429,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     t = float(threshold)
     if verify not in ("count", "arrays"):
         raise ValueError(f"verify must be 'count' or 'arrays', got {verify!r}")
+    if verify == "count" and broadcast_verify is not None:
+        # an EXPLICIT broadcast_verify is a plan choice that only the
+        # arrays path implements — honor it (pre-r9 semantics) instead
+        # of silently ignoring the argument on the count path
+        verify = "arrays"
     if unique_lift and not df_cap:
         # duplicate-dense corpora (every web crawl): shingle + verify
         # only one representative per distinct text, lift pairs back to
@@ -1170,6 +1175,8 @@ def hyperplane_bucket(vec_col: str, dim: int, n_planes: int = 8,
     input (property-tested).  The whole expression is ONE parsed SQL
     string — the Column-API construction would be ~4k py4j calls."""
     import numpy as np
+
+    from juliadb_jl_spark.functions._exprutil import dlit
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
     v = "`" + vec_col.replace("`", "``") + "`"
@@ -1179,7 +1186,7 @@ def hyperplane_bucket(vec_col: str, dim: int, n_planes: int = 8,
 
     flat_bits, fold_bits = [], []
     for i in range(n_planes):
-        lits = [repr(float(x)) + "D" for x in planes[i]]
+        lits = [dlit(x) for x in planes[i]]
         flat = " + ".join(f"(element_at({v}, {j + 1}) * {w})"
                           for j, w in enumerate(lits))
         fold = (f"aggregate(zip_with({v}, array({', '.join(lits)}), "

@@ -46,6 +46,33 @@ def cosine_expr(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot_expr(a, b, dim) / (norm_expr(a, dim) * norm_expr(b, dim))
 
 
+def dot_lit_expr(a: Column, centroid: list[float]) -> Column:
+    """dot_expr(a, F.array(*lits), len(centroid)) with the literal
+    centroid inlined per index — the generic flat path would repeat the
+    whole O(dim) array text per term (O(dim²) SQL).  Bit-identical
+    (see _exprutil.flat_dot_lit_sql); falls back to the generic form
+    when `a` doesn't round-trip the parser."""
+    from juliadb_jl_spark.functions._exprutil import (col_sql,
+                                                      flat_dot_lit_sql)
+    c = [float(x) for x in centroid]
+    asql = col_sql(a)
+    if asql is not None:
+        return F.expr(flat_dot_lit_sql(asql, c))
+    return dot_expr(a, F.array(*[F.lit(x) for x in c]), len(c))
+
+
+def cosine_lit_expr(a: Column, centroid: list[float]) -> Column:
+    """cosine_expr(a, F.array(*lits), len(centroid)), literal-inlined.
+    The centroid's norm is a Python-computed double literal — the same
+    left-associated Σc² the runtime flat kernel folds to (Catalyst
+    constant-folds it anyway) and IEEE sqrt both sides, so the value
+    is bit-identical (the prototype_scores precedent)."""
+    import math
+    c = [float(x) for x in centroid]
+    nc = math.sqrt(sum(x * x for x in c))
+    return dot_lit_expr(a, c) / (norm_expr(a, len(c)) * F.lit(nc))
+
+
 def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
                         bits: int = 8,
                         out_col: str = "q_codes",

@@ -137,14 +137,13 @@ def centroid_scores(df: DataFrame, vec_col: str,
 
     Output: one row per (input row, class): all input columns except
     `vec_col`, plus `label_out` and `score_out`."""
-    from juliadb_jl_spark.functions.similarity import cosine_expr
+    from juliadb_jl_spark.functions.similarity import cosine_lit_expr
     structs = []
     for lbl in sorted(centroids):
-        cvec = F.array(*[F.lit(float(x)) for x in centroids[lbl]])
         structs.append(F.struct(
             F.lit(lbl).alias(label_out),
-            cosine_expr(F.col(vec_col).cast("array<double>"), cvec,
-                        len(centroids[lbl]))
+            cosine_lit_expr(F.col(vec_col).cast("array<double>"),
+                            centroids[lbl])
             .alias(score_out)))
     keep = [c for c in df.columns if c != vec_col]
     return df.select(*keep, F.explode(F.array(*structs)).alias("__sc")) \
@@ -157,11 +156,10 @@ def nearest_centroid_classify(df: DataFrame, vec_col: str,
     """Predicted class = argmax cosine over the centroid set (ties break
     toward the smaller label; array-argmax shape, same codegen-safe
     pattern as text.lang_id). One native projection, zero shuffle."""
-    from juliadb_jl_spark.functions.similarity import cosine_expr
+    from juliadb_jl_spark.functions.similarity import cosine_lit_expr
     labels = sorted(centroids)
-    cos = [cosine_expr(F.col(vec_col).cast("array<double>"),
-                       F.array(*[F.lit(float(x)) for x in centroids[lbl]]),
-                       len(centroids[lbl]))
+    cos = [cosine_lit_expr(F.col(vec_col).cast("array<double>"),
+                           centroids[lbl])
            for lbl in labels]
     arr = F.array(*cos)
     idx = F.array_position(arr, F.array_max(arr)).cast("int")

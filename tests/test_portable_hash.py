@@ -290,3 +290,43 @@ def test_flat_vector_kernels_vs_fold(spark):
                     or (isinstance(x, float) and isinstance(y, float)
                         and math.isnan(x) and math.isnan(y))), \
                 (r["id"], f, x, y)
+
+
+def test_lit_centroid_kernels_vs_generic(spark):
+    """r9: dot_lit_expr/cosine_lit_expr inline the literal centroid per
+    index (the generic flat path repeats the O(dim) array text per term
+    — O(dim²) SQL).  Must be bit-identical to the generic dim-flagged
+    forms on exact-dim/short/long/NULL/empty vectors."""
+    import math
+
+    import numpy as np
+
+    from juliadb_jl_spark.functions import similarity as SIM
+    rng = np.random.RandomState(11)
+    dim = 16
+    rows = [(i, [float(x) for x in rng.randn(dim)]) for i in range(30)]
+    rows += [(100, [0.0] * dim), (101, None), (102, []),
+             (103, [1.0] * (dim - 2)), (104, [0.5] * (dim + 4))]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    centroid = [float(x) for x in rng.randn(dim)]
+    cvec = F.array(*[F.lit(x) for x in centroid])
+    out = df.select(
+        "id",
+        SIM.dot_lit_expr(F.col("v"), centroid).alias("dot_l"),
+        SIM.dot_expr(F.col("v"), cvec, dim).alias("dot_g"),
+        # zero/NULL/empty vectors divide by a 0/NULL norm in BOTH
+        # branches — guard those out of the cosine columns only
+        F.when(F.col("id").isin(100, 101, 102), F.lit(None))
+        .otherwise(SIM.cosine_lit_expr(F.col("v"), centroid))
+        .alias("cos_l"),
+        F.when(F.col("id").isin(100, 101, 102), F.lit(None))
+        .otherwise(SIM.cosine_expr(F.col("v"), cvec, dim)).alias("cos_g"),
+    ).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        for f, g in (("dot_l", "dot_g"), ("cos_l", "cos_g")):
+            x, y = r[f], r[g]
+            assert (x == y or (x is None and y is None)
+                    or (isinstance(x, float) and isinstance(y, float)
+                        and math.isnan(x) and math.isnan(y))), \
+                (r["id"], f, x, y)

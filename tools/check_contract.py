@@ -213,8 +213,10 @@ def main():
             if st["status"] == "pass_sliced":
                 n_pass += 1
             elif st["status"] == "invariants_only":
-                n_rowsonly += 1     # invariants green, value compare
-                n_capacity += 1     # over the capacity budget
+                # invariants green, value compare over the capacity
+                # budget — ONE booking (capacity), so the four category
+                # counts always sum to the number of queries checked
+                n_capacity += 1
             else:
                 n_fail += 1
             continue
@@ -420,10 +422,18 @@ def _check_sliced(spark, E, _unused_con, sf, name, fn, sql, mod,
     full_note = None
     q_timeout = float(os.environ.get("SPARK_GRAFT_CHECK_TIMEOUT", "0") or 0)
     timer = None
+    full_cap = False
     if q_timeout:
         import threading
-        timer = threading.Timer(q_timeout,
-                                spark.sparkContext.cancelAllJobs)
+
+        def _kill_full():
+            nonlocal full_cap
+            full_cap = True
+            try:
+                spark.sparkContext.cancelAllJobs()
+            except Exception:
+                pass
+        timer = threading.Timer(q_timeout, _kill_full)
         timer.start()
     try:
         fdf = fn(spark, sf)
@@ -441,9 +451,16 @@ def _check_sliced(spark, E, _unused_con, sf, name, fn, sql, mod,
                 cross["q35_full_rows"] = full_rows
     except Exception as ex:
         # the slice compare is the value signal; a full-corpus pass
-        # that exceeds local capacity is RECORDED, not failed
-        full_note = f"full-corpus capacity: {type(ex).__name__}"
-        full_rows = None
+        # that exceeds local capacity is RECORDED, not failed — but
+        # ONLY when the watchdog actually fired (same contract as
+        # _with_timeout): a genuine error with no watchdog, or before
+        # it fires, is a real regression and must FAIL the gate
+        if full_cap:
+            full_note = f"full-corpus capacity: {type(ex).__name__}"
+            full_rows = None
+        else:
+            problems.append(f"full-corpus error: {ex}")
+            full_rows = None
     finally:
         if timer is not None:
             timer.cancel()

@@ -62,11 +62,11 @@ for k, v in p3["queries"].items():
 
 n_pass = sum(1 for v in records.values()
              if v["status"] in ("pass", "pass_sliced"))
-n_rows = sum(1 for v in records.values()
-             if v["status"] in ("rows_only", "invariants_only"))
-n_cap = sum(1 for v in records.values() if v["status"] == "capacity") \
-    + sum(1 for v in records.values()
-          if v["status"] == "invariants_only")
+# invariants_only books ONCE (capacity) so the four category counts
+# sum to len(records) — matches check_contract.py's booking
+n_rows = sum(1 for v in records.values() if v["status"] == "rows_only")
+n_cap = sum(1 for v in records.values()
+            if v["status"] in ("capacity", "invariants_only"))
 n_fail = sum(1 for v in records.values() if v["status"] == "fail")
 
 out = {
