@@ -17,6 +17,10 @@ P2 = ".sf10_phase2.json"
 P3 = ".sf10_phase3.json"   # re-run of the 7 queries the phase-2
 #                            poisoned DuckDB connection spuriously
 #                            OOMed/stalled (fresh-con fix); wins over P2
+P4 = ".sf10_phase4.json"   # re-run of the 6 queries phase 3 failed on
+#                            PROCESS resource exhaustion ("can't start
+#                            new thread"/malloc) — fresh process, sf10
+#                            rebuilt; wins over P3
 OUT = "CORRECTNESS_SF10_r09.json"
 
 records: dict[str, dict] = {}
@@ -59,6 +63,12 @@ p3 = json.load(open(P3))
 for k, v in p3["queries"].items():
     v["phase"] = 3
     records[k] = v
+import os
+if os.path.exists(P4):
+    p4 = json.load(open(P4))
+    for k, v in p4["queries"].items():
+        v["phase"] = 4
+        records[k] = v
 
 n_pass = sum(1 for v in records.values()
              if v["status"] in ("pass", "pass_sliced"))
@@ -79,7 +89,10 @@ out = {
              "the slice-phase watchdog but its long-lived DuckDB "
              "connection degraded into spurious OOMs after the qa7 "
              "interrupt, phase 3 re-ran those 7 with a fresh "
-             "connection per oracle (the shipped fix)"),
+             "connection per oracle (the shipped fix), phase 4 re-ran "
+             "the 6 queries phase 3 failed on process resource "
+             "exhaustion (fresh process; all 5 runnable green, q9d's "
+             "oracle over the 600s budget with the engine finished)"),
     "n_pass": n_pass, "n_rows_only": n_rows, "n_fail": n_fail,
     "n_capacity": n_cap, "queries": records,
 }
