@@ -832,6 +832,114 @@ def _crcperm_fused_udf(k: int, num_hashes: int):
     return pandas_udf("array<long>")(_sig_fn)
 
 
+# Vectorized portable-hash power tables: pows[i] = 31^i mod p and
+# ipows[i] = 31^-i mod p, grown on demand.  Construction is block-
+# decomposed (pows[i] = big[i//B]·small[i%B] mod p) so growing to any
+# length is a handful of numpy ops, never a per-index Python loop —
+# the tables must reach the total shingle-char count of an Arrow batch.
+_PH_POW_BLOCK = 4096
+_PH_POW_TABS: list = [None, None]  # [pows, ipows] int64 arrays
+
+
+def _ph_pow_tables(n: int):
+    import numpy as np
+    tabs = _PH_POW_TABS
+    if tabs[0] is None or len(tabs[0]) < n:
+        m = max(n, _PH_POW_BLOCK,
+                2 * (0 if tabs[0] is None else len(tabs[0])))
+        B = _PH_POW_BLOCK
+        nblk = -(-m // B)
+        ginv = pow(31, _P31 - 2, _P31)
+        for slot, g in ((0, 31), (1, ginv)):
+            small = np.empty(B, dtype=np.int64)
+            v = 1
+            for j in range(B):          # one-time, B steps
+                small[j] = v
+                v = (v * g) % _P31
+            gB = pow(g, B, _P31)
+            big = np.empty(nblk, dtype=np.int64)
+            v = 1
+            for j in range(nblk):        # m/B steps
+                big[j] = v
+                v = (v * gB) % _P31
+            # big, small < p < 2^31 → product < 2^62, exact in int64
+            tabs[slot] = (np.repeat(big, B)[:m] * np.tile(small, nblk)[:m]) \
+                % _P31
+    return tabs[0], tabs[1]
+
+
+def _ph_hash_slices(cp, starts, ends):
+    """portable_hash of each codepoint slice cp[s:e) — the fold
+    h = (h·31 + c) mod p rewritten as ((S[e]−S[s]) mod p)·31^(e−1) mod p
+    with S the prefix sum of c_m·31^(−m) mod p: term-exact in int64
+    (cp < 2^21, table entries < 2^31 → products < 2^52/2^62; the cumsum
+    of <2^31 terms stays exact far past any batch length).  Bit-identical
+    to the char fold — property-tested incl. unicode/astral/empty."""
+    import numpy as np
+    L = len(cp)
+    pows, ipows = _ph_pow_tables(L + 1)
+    S = np.empty(L + 1, dtype=np.int64)
+    S[0] = 0
+    np.cumsum(cp * ipows[:L] % _P31, out=S[1:])
+    S %= _P31
+    # empty slice (e == s): diff is 0, so the wrapped pows index is moot
+    return (S[ends] - S[starts]) % _P31 * pows[ends - 1] % _P31
+
+
+def _portable_sets_udf(num_hashes: int):
+    """Per-doc portable-family MinHash signature from an (id, shset)
+    frame: ONE Arrow pass — no explode, no groupBy, ZERO exchanges —
+    the crc32perm fusion (VERDICT r9 #1) applied to the oracle-checkable
+    char-fold base.  All shingles of a batch concatenate into one
+    codepoint array (utf-32-le decode = Spark `ascii` per char, astral
+    included) and `_ph_hash_slices` hashes every shingle in a few
+    vector ops; mins are the shared `_sig_mins` segmented pass.
+    Bit-identical to the explode + portable_hash + 32-min aggregation
+    (`_signature_portable_expr`, kept for the differential test)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    a_, b_ = perm_constants(num_hashes)
+
+    def _sig_fn(col):
+        lens, parts, slens = [], [], []
+        for shset in col:
+            if shset is None or len(shset) == 0:
+                lens.append(0)
+                continue
+            lens.append(len(shset))
+            for s in shset:
+                parts.append(s)
+                slens.append(len(s))
+        if not parts:
+            return pd.Series([None] * len(col))
+        cp = np.frombuffer(
+            "".join(parts).encode("utf-32-le", "surrogatepass"),
+            dtype="<u4").astype(np.int64)
+        sl = np.asarray(slens, dtype=np.int64)
+        ends = np.cumsum(sl)
+        starts = ends - sl
+        hb = _ph_hash_slices(cp, starts, ends)
+        return pd.Series(_sig_mins(hb, lens, num_hashes, a_, b_))
+
+    _sig_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf("array<long>")(_sig_fn)
+
+
+def _signature_portable_expr(sets_: DataFrame, num_hashes: int) -> DataFrame:
+    """JVM expression twin of the portable Arrow signature (explode +
+    portable_hash base + min aggregation — the pre-r10 shipped shape);
+    kept ONLY for the bit-parity differential test."""
+    a_, b_ = perm_constants(num_hashes)
+    sh = (sets_.select("id", F.explode("shset").alias("sh"))
+          .select("id", portable_hash(F.col("sh")).alias("hb")))
+    mins = [F.expr(f"min(({a_[i]} * hb + {b_[i]}) % {_P31})")
+            .alias(f"h{i}") for i in range(num_hashes)]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)])
+                      .alias("signature"))
+
+
 def _signature_crcperm_expr(sets_: DataFrame, num_hashes: int) -> DataFrame:
     """JVM expression twin of the crc32perm Arrow signature (explode +
     F.crc32 base + 32-min aggregation, the classic shape) — kept ONLY
@@ -866,22 +974,27 @@ def _signature_from_sets(sets_: DataFrame, num_hashes: int,
     "portable" is the same linear-permutation family over the
     oracle-reproducible char-fold base so DuckDB can re-derive
     signatures value-for-value (q67)."""
+    # Zero-shingle docs are dropped with a NATIVE pre-filter, never by
+    # filtering the UDF's output: Catalyst pushes a filter on a
+    # UDF-computed column below the projection by DUPLICATING the
+    # ArrowEvalPython node (guide §4.4) — the r9 qb0 plan ran _sig_fn
+    # TWICE per row (ops 10/13 in plans/r10/qb0_..._before.txt).
+    # size(shset) > 0 is exactly the condition under which the UDFs
+    # return a non-null signature, so output is identical.
     if hash_family == "crc32perm":
         sig_udf = _crcperm_sets_udf(num_hashes)
-        return (sets_.select("id", sig_udf(F.col("shset"))
-                             .alias("signature"))
-                .filter(F.col("signature").isNotNull()))
-    sh = sets_.select("id", F.explode("shset").alias("sh"))
+        return (sets_.filter(F.size("shset") > 0)
+                .select("id", sig_udf(F.col("shset")).alias("signature")))
     if hash_family == "portable":
-        a_, b_ = perm_constants(num_hashes)
-        sh = sh.select("id", portable_hash(F.col("sh")).alias("hb"))
-        # one F.expr parse per permutation instead of ~8 py4j calls
-        # (arithmetic identical: int literal × bigint hb, one mod)
-        mins = [F.expr(f"min(({a_[i]} * hb + {b_[i]}) % {_P31})")
-                .alias(f"h{i}") for i in range(num_hashes)]
-    else:
-        mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
-                for i in range(num_hashes)]
+        # r10: fused single Arrow pass (VERDICT r9 #1) — no explode, no
+        # groupBy exchange, no per-shingle 193-term CASE polynomial;
+        # bit-identical to _signature_portable_expr (differential test)
+        sig_udf = _portable_sets_udf(num_hashes)
+        return (sets_.filter(F.size("shset") > 0)
+                .select("id", sig_udf(F.col("shset")).alias("signature")))
+    sh = sets_.select("id", F.explode("shset").alias("sh"))
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+            for i in range(num_hashes)]
     sig = sh.groupBy("id").agg(*mins)
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)])
                       .alias("signature"))
@@ -928,11 +1041,15 @@ def minhash_signature_rowwise(df: DataFrame, id_col: str,
     if hash_family == "crc32perm":
         from juliadb_jl_spark.functions.text import tokens
         sig_udf = _crcperm_fused_udf(k, num_hashes)
+        # native token-count pre-filter == the UDF's null condition
+        # (n_tokens < k); filtering the UDF output instead makes
+        # Catalyst evaluate the UDF twice (guide §4.4, see
+        # _signature_from_sets)
         return (_spread(df)
+                .filter(F.size(tokens(F.col(text_col))) >= k)
                 .select(F.col(id_col).alias("id"),
                         sig_udf(tokens(F.col(text_col)))
-                        .alias("signature"))
-                .filter(F.col("signature").isNotNull()))
+                        .alias("signature")))
     if hash_family != "xxhash64":
         raise ValueError("rowwise signatures support hash_family "
                          "'crc32perm' or 'xxhash64'")
@@ -965,11 +1082,13 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str = "text",
     if hash_family == "crc32perm":
         from juliadb_jl_spark.functions.text import tokens
         sig_udf = _crcperm_fused_udf(k, num_hashes)
+        # native pre-filter, not a filter on the UDF output — see
+        # minhash_signature_rowwise (guide §4.4 duplication)
         return (_spread(df)
+                .filter(F.size(tokens(F.col(text_col))) >= k)
                 .select(F.col(id_col).alias("id"),
                         sig_udf(tokens(F.col(text_col)))
-                        .alias("signature"))
-                .filter(F.col("signature").isNotNull()))
+                        .alias("signature")))
     return _signature_from_sets(_shingle_sets(df, id_col, text_col, k),
                                 num_hashes, hash_family)
 
