@@ -19,10 +19,22 @@ Two concerns live here:
 
 from __future__ import annotations
 
+import math
 import re
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# Non-deterministic builtins that must never enter a flat kernel: the
+# kernels splice the input's SQL text once per term (up to ~193 copies
+# in _ph_sql, 2·dim in flat_dot_sql) and each copy would re-evaluate
+# independently — silently diverging from the single-evaluation fold
+# branch (ADVICE r9).  The SQL texts of unresolved trees don't expose
+# a determinism flag pre-analysis, so guard by name.
+_NONDET_RE = re.compile(
+    r"\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id|"
+    r"rand_str|uniform|randstr|current_timestamp|now|"
+    r"current_date|spark_partition_id|input_file_name)\s*\(", re.I)
 
 
 def col_sql(col: Column) -> str | None:
@@ -48,13 +60,27 @@ def col_sql(col: Column) -> str | None:
         return None
     if re.search(r"\b[xyz]_\d+\b", sql):
         return None
+    if _NONDET_RE.search(sql):
+        # a non-deterministic input spliced N times would evaluate N
+        # ways; the Column fold path evaluates it once — reject so both
+        # constructions always agree (rejection only costs speed)
+        return None
     return sql
 
 
 def dlit(x: float) -> str:
     """Shortest-round-trip double literal with the D suffix (plain
-    decimal literals parse as DECIMAL and would change arithmetic)."""
-    return repr(float(x)) + "D"
+    decimal literals parse as DECIMAL and would change arithmetic).
+    Non-finite values have no literal form (`infD`/`nanD` would fail at
+    parse time — ADVICE r9: a NaN centroid from an empty k-means
+    cluster); they emit the CAST-from-string spelling Spark folds to
+    the same constant."""
+    x = float(x)
+    if not math.isfinite(x):
+        s = "NaN" if math.isnan(x) else \
+            ("Infinity" if x > 0 else "-Infinity")
+        return f"CAST('{s}' AS DOUBLE)"
+    return repr(x) + "D"
 
 
 def flat_dot_sql(asql: str, bsql: str, dim: int) -> str:

@@ -472,6 +472,11 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     Returns (id_col, n_paras, n_kept, text_dedup) for EVERY input
     document (fully-deduped docs get text_dedup = '').
 
+    Precondition: `id_col` is unique per row (every call site feeds a
+    primary-keyed corpus).  Duplicate ids would fan out the final
+    counts⋈recon join — the pre-r9 groupBy(id) shape summed them
+    instead (ADVICE r9); de-dup ids first if that ever changes.
+
     Scale (100 TB): keeper election is a groupBy(min(struct(id,pos)))
     on (fingerprint, paragraph) — partial aggregation combines map-side,
     so a paragraph duplicated across millions of documents (the skew

@@ -698,7 +698,10 @@ def embedding_against_ivf(new_df: DataFrame, tagged_corpus: DataFrame,
         top = np.argsort(-sims, axis=1)[:, :np_].astype("int32")
         return pd.Series([list(t) for t in top])
 
-    route = F.pandas_udf(_route, T.ArrayType(T.IntegerType()))
+    # fence (§4.4): the explode below otherwise infers a size filter
+    # that re-evaluates the routing UDF per row
+    route = F.pandas_udf(_route, T.ArrayType(T.IntegerType())) \
+        .asNondeterministic()
     n = (new_df.select(F.col(id_col).alias("id"),
                        F.col(vec_col).cast("array<double>").alias("v"))
          .withColumn("cell", F.explode(route(F.col("v")))))

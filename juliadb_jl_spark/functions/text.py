@@ -446,11 +446,16 @@ def _gram_join_udf(n: int, drop_empty: bool = True):
         return pd.Series(out)
 
     _fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
-    return pandas_udf("array<string>")(_fn)
-
-
-# ---------------------------------------------------------------------------
-# Fused 128-bit gram keys (r8): two vectorized polynomial lanes over a
+    # asNondeterministic is an optimizer FENCE, not a semantics change
+    # (the function is pure): without it, any predicate that references
+    # the gram array — a caller's size(shset) > 0, or the size > 0 /
+    # isnotnull filter InferFiltersFromGenerate derives from a
+    # downstream explode — is pushed below the projection by
+    # DUPLICATING the ArrowEvalPython node, and every doc pays the
+    # gram build twice (guide §4.4; seen in the r10 baseline plans of
+    # q35 and qb0).  Every call site uses the result in a Project /
+    # Generate, where non-deterministic expressions are allowed.
+    return pandas_udf("array<string>")(_fn).asNondeterministic()
 # 64-bit per-token crc base — the crc32perm-minhash lesson (dedup.py
 # `_crcperm_fused_udf`) applied to the hashed-gram-key family that
 # novelty_scores / frequent_phrases / split_leakage's shuffle tier ride.

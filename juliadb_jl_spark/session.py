@@ -65,12 +65,23 @@ def get_spark(app_name: str = "juliadb_jl_spark",
     # applies before caller extra_conf — used for A/B measurement and for
     # cluster-side overrides of any scale-dependent default without code
     # edits (the bench contract keeps local defaults; production values
-    # ride this knob).
+    # ride this knob).  Caveats (ADVICE r9): values may not contain ';'
+    # (no escaping — a ';' inside a value splits the pair), and like any
+    # builder conf the knob only applies when getOrCreate CREATES the
+    # session, not when it reuses a live one.  Fragments without '=' are
+    # warned about, never silently dropped; the bench stamps the raw env
+    # value into its artifact so an override can't hide.
     env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
     for pair in env_conf.split(";"):
         if "=" in pair:
             k, v = pair.split("=", 1)
             builder = builder.config(k.strip(), v.strip())
+        elif pair.strip():
+            import warnings
+            warnings.warn(
+                f"SPARK_GRAFT_EXTRA_CONF fragment {pair!r} has no '=' "
+                "(a ';' inside a conf value? no escaping is supported) "
+                "— ignored", stacklevel=2)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -192,6 +192,14 @@ def test_portable_hash_sql_vs_column_construction(spark):
     cases = ["x" * 63, "y" * 64, "z" * 65, "中" * 64, "中" * 65,
              "", "a", "it's \"quoted\"", "back\\slash", "x" * 200]
     df = spark.createDataFrame([(s,) for s in cases], ["s"])
+    # the F.expr fast path must actually ENGAGE for a plain column
+    # (ADVICE r9: if col_sql silently always returned None, both
+    # columns below would take the Column path and the comparison
+    # would pass while the perf win silently died)
+    assert DD._col_sql(F.col("s")) is not None
+    # and non-deterministic inputs must be REJECTED (they would be
+    # spliced — and re-evaluated — once per polynomial term)
+    assert DD._col_sql(F.concat(F.col("s"), F.rand())) is None
     rows = df.select(
         DD.portable_hash(F.col("s")).alias("sql_path"),
         DD._ph_column(F.col("s")).alias("col_path"),
