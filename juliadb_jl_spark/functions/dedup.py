@@ -492,28 +492,59 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
         # same class as the prefix join's and keeps the same guards
         # (unique-text lift, df_cap, explicit spread).
         #
-        # Index construction: with no df_cap there is no hs array at
-        # all — explode the shingle SET and hash natively per row
-        # (codegen xxhash64; no interpreted transform-HOF, no
-        # array_sort).  The flat index is persisted POST-repartition so
-        # the Arrow shingle pass runs once and both self-join sides
-        # read the cache already hash-partitioned on h (zero further
-        # exchanges; identical-subtree aliases do NOT get exchange
-        # reuse in the AQE initial plan — measured 3× CPU without the
-        # persist).  24 B/row, ~1-2 % of corpus bytes.
+        # Index construction: explode the shingle SET in a global total
+        # order (lexicographic via array_sort; the df_cap branch's hs is
+        # already hash-sorted) with each element's 1-based POSITION, and
+        # hash natively per row (codegen xxhash64, no interpreted
+        # transform-HOF).  The flat index is persisted so the Arrow
+        # shingle pass runs once (identical-subtree aliases do NOT get
+        # exchange reuse in the AQE initial plan — measured 3× CPU
+        # without the persist); it is NOT pre-repartitioned: with
+        # canChangeCachedPlanOutputPartitioning=true (session default,
+        # r9) a cached plan's output partitioning is invisible to
+        # downstream planning, so the r9 repartition(p, "h") bought
+        # nothing — both self-join sides were re-exchanged with
+        # ENSURE_REQUIREMENTS anyway (r10 before-plan, ops 12/15/19)
+        # and it is now dropped: one full exchange of the index saved.
+        # 28 B/row, ~1-2 % of corpus bytes.
         if hashed is not None:
-            flat = hashed.select("id", "n", F.explode("hs").alias("h"))
+            flat = hashed.select("id", "n",
+                                 F.posexplode("hs").alias("i", "h"))
         else:
             flat = (sets_.select("id", F.size("shset").alias("n"),
-                                 F.explode("shset").alias("sh"))
-                    .select("id", "n", F.xxhash64("sh").alias("h")))
-        flat = scratch.register(flat.repartition(p, "h").persist())
+                                 F.posexplode(F.array_sort("shset"))
+                                 .alias("i", "sh"))
+                    .select("id", "n", "i",
+                            F.xxhash64("sh").alias("h")))
+        flat = flat.select("id", "n",
+                           (F.col("i") + 1).cast("int").alias("pos"), "h")
+        flat = scratch.register(flat.persist())
         fa, fb = flat.alias("a"), flat.alias("b")
+        # PPJoin-style positional filter, generalized soundly to the
+        # count formulation (VERDICT r9 #2): for a common shingle at
+        # sorted positions (pa, pb), the pair's total intersection is
+        # ≤ min(pa,pb) + min(na-pa, nb-pb) — common elements at-or-
+        # before this one number ≤ min(pa,pb), strictly-after ones
+        # ≤ min(na-pa,nb-pb).  Jaccard ≥ t needs inter ≥ t(na+nb)/(1+t),
+        # so rows whose bound falls short are PRUNED BEFORE the count
+        # aggregation.  Exact by a one-sided argument: a pair at/above
+        # threshold has inter ≥ the requirement, hence EVERY bound ≥
+        # inter ≥ requirement and no row of it is dropped; a pruned row
+        # belongs to a provably-below-threshold pair, whose undercounted
+        # jaccard only drops further below the final ≥ t filter it
+        # already fails.  The 1e-3 slack absorbs double rounding (the
+        # products round at ~1e-6 for 2^31-sized n) and can only ADMIT
+        # extra rows, never prune a passing pair's row.
+        posf = (F.least(F.col("a.pos"), F.col("b.pos"))
+                + F.least(F.col("a.n") - F.col("a.pos"),
+                          F.col("b.n") - F.col("b.pos")))
         pc = (fa.join(fb.hint("shuffle_hash"),
                       (F.col("a.h") == F.col("b.h")) &
                       (F.col("a.id") < F.col("b.id")) &
                       (F.col("b.n") >= F.col("a.n") * t) &
-                      (F.col("a.n") >= F.col("b.n") * t))
+                      (F.col("a.n") >= F.col("b.n") * t) &
+                      (posf * (1.0 + t) >=
+                       (F.col("a.n") + F.col("b.n")) * t - 1e-3))
               .groupBy(F.col("a.id").alias("id_a"),
                        F.col("b.id").alias("id_b"),
                        F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
@@ -778,7 +809,10 @@ def _crcperm_sets_udf(num_hashes: int):
         return pd.Series(_sig_mins(hb, lens, num_hashes, a_, b_))
 
     _sig_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
-    return pandas_udf("array<long>")(_sig_fn)
+    # optimizer fence (guide §4.4): a downstream posexplode(signature)
+    # infers size/isnotnull filters that would re-evaluate the whole
+    # signature pass (seen in q67's r10 plan); the function is pure
+    return pandas_udf("array<long>")(_sig_fn).asNondeterministic()
 
 
 def _crcperm_fused_udf(k: int, num_hashes: int):
@@ -829,7 +863,10 @@ def _crcperm_fused_udf(k: int, num_hashes: int):
         return pd.Series(_sig_mins(hb, lens, num_hashes, a_, b_))
 
     _sig_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
-    return pandas_udf("array<long>")(_sig_fn)
+    # optimizer fence (guide §4.4): a downstream posexplode(signature)
+    # infers size/isnotnull filters that would re-evaluate the whole
+    # signature pass (seen in q67's r10 plan); the function is pure
+    return pandas_udf("array<long>")(_sig_fn).asNondeterministic()
 
 
 # Vectorized portable-hash power tables: pows[i] = 31^i mod p and
@@ -923,7 +960,10 @@ def _portable_sets_udf(num_hashes: int):
         return pd.Series(_sig_mins(hb, lens, num_hashes, a_, b_))
 
     _sig_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
-    return pandas_udf("array<long>")(_sig_fn)
+    # optimizer fence (guide §4.4): a downstream posexplode(signature)
+    # infers size/isnotnull filters that would re-evaluate the whole
+    # signature pass (seen in q67's r10 plan); the function is pure
+    return pandas_udf("array<long>")(_sig_fn).asNondeterministic()
 
 
 def _signature_portable_expr(sets_: DataFrame, num_hashes: int) -> DataFrame:
@@ -1489,8 +1529,10 @@ def _window_fps(df: DataFrame, id_col: str, text_col: str, k: int,
         _fps_fn.__annotations__ = {"col": pd.Series,
                                    "return": pd.DataFrame}
         ftype = {"hex": "string", "bin": "binary", "u64": "long"}[fmt]
+        # fence: explode(arrays_zip(...)) otherwise duplicates the pass
         _fps = pandas_udf(
-            f"struct<fps:array<{ftype}>,poss:array<int>>")(_fps_fn)
+            f"struct<fps:array<{ftype}>,poss:array<int>>")(_fps_fn) \
+            .asNondeterministic()
         return (_spread(df)
                 .select(F.col(id_col).alias("id"),
                         _fps(tokens(F.col(text_col))).alias("r"))
@@ -1541,7 +1583,8 @@ def _window_fp_set(df: DataFrame, text_col: str, k: int,
 
     _set_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
     ftype = "binary" if raw else "string"
-    _fps = pandas_udf(f"array<{ftype}>")(_set_fn)
+    # fence: the explode below otherwise duplicates the pass (§4.4)
+    _fps = pandas_udf(f"array<{ftype}>")(_set_fn).asNondeterministic()
     return (_spread(df)
             .select(_fps(tokens(F.col(text_col))).alias("fps"))
             .select(F.explode("fps").alias("fp")))
@@ -2114,8 +2157,10 @@ def winnow_fingerprints(df: DataFrame, id_col: str,
         # hints arrive as strings pyspark can't resolve — set real ones
         _winnow_sel_fn.__annotations__ = {"col": pd.Series,
                                           "return": pd.DataFrame}
+        # fence: explode(arrays_zip(...)) otherwise duplicates the pass
         _winnow_sel = pandas_udf(
-            "struct<fps:array<string>,poss:array<int>>")(_winnow_sel_fn)
+            "struct<fps:array<string>,poss:array<int>>")(_winnow_sel_fn) \
+            .asNondeterministic()
 
         sel = _winnow_sel(tokens(F.col(text_col)))
         return (_spread(df)
