@@ -90,6 +90,22 @@ HEADLINE = [
 ]
 
 
+# --sf1-rung subset (VERDICT r9 #4): the 5 heaviest document ops, run
+# at sf1 (10x sf0.1, tools/make_sf.py) so the tracked artifact can SEE
+# parallelism regressions — at sf0.1 every row is sub-second and 8
+# cores ties 32, so a lost _spread or a single-partition window would
+# be invisible in the main bench.  Same methodology (load gate, noop
+# sink, warm-up + runs, min/median/cpu), same one-line JSON, stamped
+# "rung": "sf1".  Tracked as BENCH_SF1_r10.json.
+SF1_RUNG = [
+    "q35_ngram_jaccard",
+    "q36_minhash_lsh",
+    "qb0_minhash_lsh_scale",
+    "qa4_split_leakage",
+    "q9h_dsir_scores",
+]
+
+
 # Idle-host minimum of the control op (q29_stack) on this 32-CPU box,
 # from the judge's round-8 idle re-run (VERDICT r8: 0.09 s) and the r8
 # tracked artifact (0.0936 at load 11 — the op is too short to inflate
@@ -166,6 +182,22 @@ def main():
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     only = sys.argv[sys.argv.index("--one") + 1] \
         if "--one" in sys.argv else None
+    headline = HEADLINE
+    rung = None
+    if "--sf1-rung" in sys.argv:
+        # sf1 rung: the 5 heaviest ops at 10x data.  The directory is
+        # NOT built here — a bench must never silently spend minutes
+        # generating data; build it once with tools/make_sf.py.
+        headline = SF1_RUNG
+        rung = "sf1"
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_SF1_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".testdata", "sf1"))
+        if not os.path.isdir(sf_dir):
+            print(f"sf1 rung data missing at {sf_dir}; run "
+                  "`python tools/make_sf.py 10` first", file=sys.stderr)
+            sys.exit(2)
 
     if only is None and \
             os.environ.get("SPARK_GRAFT_BENCH_ISOLATED") == "1":
@@ -176,9 +208,10 @@ def main():
         # default protocol.
         import subprocess
         agg: dict[str, dict] = {}
-        for name in HEADLINE:
+        for name in headline:
             env = dict(os.environ)
             env.pop("SPARK_GRAFT_BENCH_ISOLATED", None)
+            env["SPARK_GRAFT_SF_DIR"] = sf_dir  # rung mode resolves its own
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", name],
                 capture_output=True, text=True, env=env)
@@ -254,7 +287,7 @@ def main():
     results: dict[str, float] = {}
     minima: dict[str, float] = {}
     cpus_med: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = qs[name]
         try:
             run_once(fn)  # warm-up (JIT, broadcast, file listing caches)
@@ -304,7 +337,13 @@ def main():
         "control": control,
         "runs": runs,
         "sf": sf_val,
+        # VERDICT r9 #5: an env conf override must be visible IN the
+        # artifact — empty string in clean (driver) runs.
+        "extra_conf": os.environ.get("SPARK_GRAFT_EXTRA_CONF", ""),
+        "cpus": cpus,
     }
+    if rung:
+        full["rung"] = rung
     # The driver records only the LAST ~2000 chars of stdout, and the
     # three per-query dicts overflow that (VERDICT r7 #4: BENCH_r0N
     # `parsed` was null every round, tail mid-object).  Write the full
@@ -312,13 +351,14 @@ def main():
     # per-query MINIMA only (the load-robust cross-round statistic) —
     # that fits the capture window.
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_SF1_FULL.json" if rung else "BENCH_FULL.json")
     try:
         with open(full_path, "w") as fh:
             json.dump(full, fh, indent=1)
     except OSError:
         full_path = None
-    print(json.dumps({
+    line = {
         "metric": "total_min_sec",
         "value": full["total_min_sec"],
         "unit": "sec",
@@ -331,8 +371,13 @@ def main():
         "control": control,
         "runs": runs,
         "sf": sf_val,
+        "extra_conf": full["extra_conf"],
+        "cpus": cpus,
         "full_report": full_path,
-    }, separators=(",", ":")))
+    }
+    if rung:
+        line["rung"] = rung
+    print(json.dumps(line, separators=(",", ":")))
 
 
 if __name__ == "__main__":
