@@ -492,59 +492,43 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
         # same class as the prefix join's and keeps the same guards
         # (unique-text lift, df_cap, explicit spread).
         #
-        # Index construction: explode the shingle SET in a global total
-        # order (lexicographic via array_sort; the df_cap branch's hs is
-        # already hash-sorted) with each element's 1-based POSITION, and
-        # hash natively per row (codegen xxhash64, no interpreted
-        # transform-HOF).  The flat index is persisted so the Arrow
-        # shingle pass runs once (identical-subtree aliases do NOT get
-        # exchange reuse in the AQE initial plan — measured 3× CPU
-        # without the persist); it is NOT pre-repartitioned: with
-        # canChangeCachedPlanOutputPartitioning=true (session default,
-        # r9) a cached plan's output partitioning is invisible to
-        # downstream planning, so the r9 repartition(p, "h") bought
-        # nothing — both self-join sides were re-exchanged with
-        # ENSURE_REQUIREMENTS anyway (r10 before-plan, ops 12/15/19)
-        # and it is now dropped: one full exchange of the index saved.
-        # 28 B/row, ~1-2 % of corpus bytes.
+        # Index construction: with no df_cap there is no hs array at
+        # all — explode the shingle SET and hash natively per row
+        # (codegen xxhash64; no interpreted transform-HOF, no
+        # array_sort).  The flat index is persisted POST-repartition so
+        # the Arrow shingle pass runs once and the self-join fanout
+        # stays spread (identical-subtree aliases do NOT get exchange
+        # reuse in the AQE initial plan — measured 3× CPU without the
+        # persist; and although canChangeCachedPlanOutputPartitioning
+        # =true means both join sides re-exchange the cache with
+        # ENSURE_REQUIREMENTS, dropping this repartition measured 60%
+        # WORSE CPU in r10 — the cache-build layout matters even when
+        # its partitioning is invisible to downstream planning).
+        # 24 B/row, ~1-2 % of corpus bytes.
+        #
+        # Examined and REJECTED (r10, VERDICT r9 #2): a PPJoin-style
+        # positional filter in the join condition — index each
+        # shingle's 1-based position in a global order and prune rows
+        # where min(pa,pb)+min(na-pa,nb-pb) < t(na+nb)/(1+t) (sound:
+        # at-or-above-threshold pairs keep every row since the bound
+        # dominates their true intersection).  Measured at sf0.1:
+        # prunes 0.3% of join rows (candidate pairs here are
+        # overwhelmingly TRUE near-dup pairs, which positional bounds
+        # cannot prune) while the array_sort+posexplode index build
+        # costs ~10% CPU — net loss 0.83→0.87 s wall, 7.5→8.3 CPU-s.
         if hashed is not None:
-            flat = hashed.select("id", "n",
-                                 F.posexplode("hs").alias("i", "h"))
+            flat = hashed.select("id", "n", F.explode("hs").alias("h"))
         else:
             flat = (sets_.select("id", F.size("shset").alias("n"),
-                                 F.posexplode(F.array_sort("shset"))
-                                 .alias("i", "sh"))
-                    .select("id", "n", "i",
-                            F.xxhash64("sh").alias("h")))
-        flat = flat.select("id", "n",
-                           (F.col("i") + 1).cast("int").alias("pos"), "h")
-        flat = scratch.register(flat.persist())
+                                 F.explode("shset").alias("sh"))
+                    .select("id", "n", F.xxhash64("sh").alias("h")))
+        flat = scratch.register(flat.repartition(p, "h").persist())
         fa, fb = flat.alias("a"), flat.alias("b")
-        # PPJoin-style positional filter, generalized soundly to the
-        # count formulation (VERDICT r9 #2): for a common shingle at
-        # sorted positions (pa, pb), the pair's total intersection is
-        # ≤ min(pa,pb) + min(na-pa, nb-pb) — common elements at-or-
-        # before this one number ≤ min(pa,pb), strictly-after ones
-        # ≤ min(na-pa,nb-pb).  Jaccard ≥ t needs inter ≥ t(na+nb)/(1+t),
-        # so rows whose bound falls short are PRUNED BEFORE the count
-        # aggregation.  Exact by a one-sided argument: a pair at/above
-        # threshold has inter ≥ the requirement, hence EVERY bound ≥
-        # inter ≥ requirement and no row of it is dropped; a pruned row
-        # belongs to a provably-below-threshold pair, whose undercounted
-        # jaccard only drops further below the final ≥ t filter it
-        # already fails.  The 1e-3 slack absorbs double rounding (the
-        # products round at ~1e-6 for 2^31-sized n) and can only ADMIT
-        # extra rows, never prune a passing pair's row.
-        posf = (F.least(F.col("a.pos"), F.col("b.pos"))
-                + F.least(F.col("a.n") - F.col("a.pos"),
-                          F.col("b.n") - F.col("b.pos")))
         pc = (fa.join(fb.hint("shuffle_hash"),
                       (F.col("a.h") == F.col("b.h")) &
                       (F.col("a.id") < F.col("b.id")) &
                       (F.col("b.n") >= F.col("a.n") * t) &
-                      (F.col("a.n") >= F.col("b.n") * t) &
-                      (posf * (1.0 + t) >=
-                       (F.col("a.n") + F.col("b.n")) * t - 1e-3))
+                      (F.col("a.n") >= F.col("b.n") * t))
               .groupBy(F.col("a.id").alias("id_a"),
                        F.col("b.id").alias("id_b"),
                        F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
