@@ -971,11 +971,18 @@ def split_leakage(df: DataFrame, id_col: str = "doc_id",
             prune = "broadcast"
         # else stay "auto": the fused tier below keeps its cap guard
 
+    # Per-task doc budget: ~300 µs/doc of string-built Python gram work
+    # on the broadcast/bloom/shuffle tiers (→ 4000 docs ≈ 1.2 s, well
+    # above the exchange+stage overhead an extra task buys back); the
+    # fused tier's lane-vectorized pass measured ~120 µs/doc (r10), so
+    # a fused side tolerates 2.5× more docs before an exchange pays —
+    # and a single-task train side also skips the distinct exchange
+    # below (its per-task dedup IS global), saving a whole stage.
+    per_task = 10_000 if prune in ("auto", "fused") else 4_000
+
     def _nparts(rows):
-        # ~4000 docs/task (~300 µs/doc of Python gram work ≈ 1.2 s —
-        # well above the exchange+stage overhead it buys back); a side
-        # that fits one such task skips its exchange entirely
-        return 1 if rows <= 4000 else min(par, -(-rows // 4000))
+        # a side that fits one task skips its exchange entirely
+        return 1 if rows <= per_task else min(par, -(-rows // per_task))
 
     def _side(flt, rows):
         side = df.filter(flt)
@@ -987,7 +994,11 @@ def split_leakage(df: DataFrame, id_col: str = "doc_id",
     tr = _side(is_train, n_tr)
 
     if prune in ("auto", "fused"):
+        import numpy as np
         from pyspark.sql import types as T
+
+        from juliadb_jl_spark.functions.text import (_doc_unique_pairs,
+                                                     _gram_lanes_flat)
         sc = df.sparkSession.sparkContext
         # Per-task cap: "auto" bounds every task's emitted rows — and so
         # the worst-case transient driver collect on the overflow path
@@ -997,50 +1008,63 @@ def split_leakage(df: DataFrame, id_col: str = "doc_id",
         # correctness.
         cap = (max(max_eval_grams // _nparts(n_ev), 50_000)
                if prune == "auto" else (1 << 62))
+        # r10: both fused jobs ride the 128-bit hashed gram keys of
+        # `_gram_lanes_flat` (the same vectorized lane pass — and the
+        # same 2⁻¹²⁸ exactness class — the shuffle tier has scored on
+        # since r8): no gram STRING is ever built, per-doc dedup is a
+        # bytes-view np.unique, and the per-gram Python loop that
+        # dominated the train side (~1 µs × every train gram) becomes
+        # numpy.  The long columns carry NO nulls — a nullable int64
+        # degrades to float64 in toPandas and would corrupt hashes
+        # above 2⁵³ — so zero-gram docs ride an __m=0 marker row and
+        # cap overflow an __m=-1 sentinel row instead.
         out_schema = T.StructType([
             T.StructField("__id", df.schema[id_col].dataType),
             T.StructField("__split", df.schema[split_col].dataType),
-            T.StructField("__g", T.StringType())])
+            T.StructField("__h1", T.LongType()),
+            T.StructField("__h2", T.LongType()),
+            T.StructField("__m", T.IntegerType())])
 
         def _eval_doc_grams(it):
-            # Job 1: one row per (eval doc, distinct gram) — per-doc
-            # dedup happens HERE, so no JVM distinct exchange and no
-            # per-doc array materialization. A gram-NULL row keeps
-            # zero-gram docs visible; an id-NULL sentinel row signals
-            # cap overflow.
+            # Job 1: one row per (eval doc, distinct hashed gram) —
+            # per-doc dedup happens HERE (np.unique over the lane
+            # pairs), so no JVM distinct exchange and no per-doc array
+            # materialization.
             emitted = 0
             for pdf in it:
-                ids, sps, gs = [], [], []
-                for di, sp_, toks in zip(pdf["__id"], pdf["__split"],
-                                         pdf["__toks"]):
-                    ts = list(toks) if toks is not None else []
-                    nn = len(ts)
-                    if nn < n:
+                h1a, h2a, counts = _gram_lanes_flat(pdf["__toks"], n)
+                ids, sps, g1, g2, ms = [], [], [], [], []
+                for di, sp_, (u1, u2) in zip(
+                        pdf["__id"], pdf["__split"],
+                        _doc_unique_pairs(h1a, h2a, counts)):
+                    m_ = len(u1)
+                    if m_ == 0:
                         ids.append(di)
                         sps.append(sp_)
-                        gs.append(None)
+                        g1.append(0)
+                        g2.append(0)
+                        ms.append(0)
                         continue
-                    js, off = _doc_gram_offsets(ts, n)
-                    seen = {js[off[i]:off[i + n] - 1]
-                            for i in range(nn - n + 1)}
-                    emitted += len(seen)
+                    emitted += m_
                     if emitted > cap:
                         yield pd.DataFrame(
-                            {"__id": [None], "__split": [None],
-                             "__g": [None]})
+                            {"__id": [di], "__split": [sp_],
+                             "__h1": [0], "__h2": [0], "__m": [-1]})
                         return
-                    ids.extend([di] * len(seen))
-                    sps.extend([sp_] * len(seen))
-                    gs.extend(seen)
+                    ids.extend([di] * m_)
+                    sps.extend([sp_] * m_)
+                    g1.extend(u1.view(np.int64).tolist())
+                    g2.extend(u2.view(np.int64).tolist())
+                    ms.extend([1] * m_)
                 yield pd.DataFrame({"__id": ids, "__split": sps,
-                                    "__g": gs})
+                                    "__h1": g1, "__h2": g2, "__m": ms})
 
         ev_toks = ev.select(F.col(id_col).alias("__id"),
                             F.col(split_col).alias("__split"),
                             tokens(F.col(text_col)).alias("__toks"))
         ev_pdf = ev_toks.mapInPandas(_eval_doc_grams,
                                      out_schema).toPandas()
-        overflow = (ev_pdf["__id"].isna().any()
+        overflow = ((ev_pdf["__m"] == -1).any()
                     or len(ev_pdf) > max_eval_grams)
         if prune == "auto" and overflow:
             prune = None            # scale-safe shuffle shape below
@@ -1050,39 +1074,48 @@ def split_leakage(df: DataFrame, id_col: str = "doc_id",
     if prune == "fused":
         docs: dict = {}
         se: set = set()
-        for di, sp_, g in zip(ev_pdf["__id"], ev_pdf["__split"],
-                              ev_pdf["__g"]):
+        for di, sp_, a1, a2, m_ in zip(ev_pdf["__id"], ev_pdf["__split"],
+                                       ev_pdf["__h1"], ev_pdf["__h2"],
+                                       ev_pdf["__m"]):
             rec = docs.get(di)
             if rec is None:
                 rec = docs[di] = (sp_, set())
-            if g is not None:
-                rec[1].add(g)
-                se.add(g)
-        bc_se = sc.broadcast(frozenset(se))
+            if m_ > 0:
+                key = (int(a1), int(a2))
+                rec[1].add(key)
+                se.add(key)
+        bc_se = sc.broadcast((np.sort(np.fromiter(
+            (k[0] for k in se), dtype=np.int64, count=len(se))),
+            frozenset(se)))
 
         def _matched(it):
-            # Job 2: each train gram is built and S_e-tested BEFORE
-            # emission — only candidate grams (task-deduped, ⊆ S_e)
-            # cross the Arrow boundary.
-            se_ = bc_se.value
+            # Job 2: every train gram is lane-hashed vectorized and
+            # S_e-tested BEFORE emission — np.isin on the h1 lane does
+            # the coarse cut, the exact (h1, h2) pair set confirms, so
+            # only candidate keys (task-deduped, ⊆ S_e) ever cross the
+            # Arrow boundary.
+            s1_cand, pair_set = bc_se.value
             emitted: set = set()
             for pdf in it:
-                new = []
-                for toks in pdf["__toks"]:
-                    ts = list(toks) if toks is not None else []
-                    nn = len(ts)
-                    if nn < n:
-                        continue
-                    js, off = _doc_gram_offsets(ts, n)
-                    for i in range(nn - n + 1):
-                        g = js[off[i]:off[i + n] - 1]
-                        if g in se_ and g not in emitted:
-                            emitted.add(g)
-                            new.append(g)
-                yield pd.DataFrame({"__g": new})
+                h1a, h2a, _ = _gram_lanes_flat(pdf["__toks"], n)
+                if not len(h1a):
+                    continue
+                s1 = h1a.view(np.int64)
+                s2 = h2a.view(np.int64)
+                o1, o2 = [], []
+                for i in np.nonzero(np.isin(s1, s1_cand))[0]:
+                    key = (int(s1[i]), int(s2[i]))
+                    if key in pair_set and key not in emitted:
+                        emitted.add(key)
+                        o1.append(key[0])
+                        o2.append(key[1])
+                if o1:
+                    yield pd.DataFrame(
+                        {"__h1": np.array(o1, dtype=np.int64),
+                         "__h2": np.array(o2, dtype=np.int64)})
 
         m = tr.select(tokens(F.col(text_col)).alias("__toks")) \
-            .mapInPandas(_matched, "__g string")
+            .mapInPandas(_matched, "__h1 long, __h2 long")
         if _nparts(n_tr) > 1:
             # multi-task train side: per-task dedup is not global — on
             # a heavily-leaking corpus every task emits ~|S_e| rows, so
@@ -1091,7 +1124,8 @@ def split_leakage(df: DataFrame, id_col: str = "doc_id",
             # skip the exchange: their per-task dedup IS global.
             m = m.distinct()
         hits = m.toPandas()
-        h = frozenset(hits["__g"])
+        h = frozenset(zip((int(x) for x in hits["__h1"]),
+                          (int(x) for x in hits["__h2"])))
         rows = []
         for di, (sp_, grams) in docs.items():
             ng = len(grams)
