@@ -267,13 +267,18 @@ FROM a ASOF LEFT JOIN b ON a.user_id = b.uid AND a.ts >= b.bts
 """)
 def q11(spark, sf_dir):
     """asofjoin (reference src/join.jl:232-243): last purchase value at or
-    before each click, per user."""
+    before each click, per user.  r10: both sides filter the SAME events
+    table on disjoint event_type values, so the single-scan
+    asofjoin_cosourced form applies — identical result (equivalence test
+    in test_join.py; same oracle), one parquet scan instead of two
+    (measured 1.5× at sf0.1)."""
     ev = _t(spark, sf_dir, "events")
-    clicks = jdb.table(ev.df.filter(F.col("event_type") == "click")
-                       .select("user_id", "ts", "event_id"))
-    buys = jdb.table(ev.df.filter(F.col("event_type") == "purchase")
-                     .select("user_id", "ts", F.col("value").alias("last_purchase")))
-    return jdb.asofjoin(clicks, buys, by="user_id", on="ts").df
+    return jdb.asofjoin_cosourced(
+        ev, by="user_id", on="ts",
+        lpred=F.col("event_type") == "click",
+        rpred=F.col("event_type") == "purchase",
+        lselect=["event_id"],
+        rselect=[("value", "last_purchase")]).df
 
 
 @_q("q12_merge", """

@@ -27,7 +27,8 @@ from juliadb_jl_spark.operators.reduce import (
     aggregate_stats,
 )
 from juliadb_jl_spark.operators.join import (
-    join, groupjoin, asofjoin, naturaljoin, leftjoin, merge, broadcast_nd,
+    join, groupjoin, asofjoin, asofjoin_cosourced, naturaljoin, leftjoin,
+    merge, broadcast_nd,
     innerjoin, salted_join, range_join, bloom_semi_join, bloom_bitmap,
 )
 from juliadb_jl_spark.plans.diagnostics import (
@@ -80,7 +81,8 @@ __all__ = [
     "selectvalues", "convertdim", "convertmissing", "mapchunks",
     "reduce_", "groupreduce", "groupby", "summarize", "reducedim",
     "reducedim_vec",
-    "join", "groupjoin", "asofjoin", "naturaljoin", "leftjoin", "merge",
+    "join", "groupjoin", "asofjoin", "asofjoin_cosourced", "naturaljoin",
+    "leftjoin", "merge",
     "broadcast_nd", "innerjoin", "salted_join", "range_join",
     "bloom_semi_join", "bloom_bitmap",
     "tracktime", "timings", "reset_timings",

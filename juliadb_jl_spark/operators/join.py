@@ -247,6 +247,64 @@ def asofjoin(l: Table, r: Table, by: Any, on: str, rselect: Any = None,
     return Table(out, tuple(by_names) + (on,) if on not in by_names else tuple(by_names))
 
 
+def asofjoin_cosourced(src: Table, by: Any, on: str,
+                       lpred: Column, rpred: Column,
+                       lselect: Sequence, rselect: Sequence,
+                       tolerance: Any = None,
+                       suffix: str = "_asof") -> Table:
+    """`asofjoin` whose two sides are DISJOINT FILTERS of one source
+    table — the event-log case (clicks as-of-joined to purchases of the
+    same events table).  Result-identical to
+
+        asofjoin(table(src.df.filter(lpred).select(by + [on] + lsel)),
+                 table(src.df.filter(rpred).select(by + [on] + rsel)),
+                 by, on, tolerance=tolerance, suffix=suffix)
+
+    but built from ONE scan: the tagged union feeding the as-of window
+    is a single conditional projection of src.filter(lpred | rpred),
+    so the source is scanned and decoded once instead of twice —
+    Catalyst cannot merge the two Filter(Scan) subtrees of the generic
+    form (measured 1.5× on q11 at sf0.1, where each side was a full
+    parquet scan).  `lselect`/`rselect` list each side's VALUE columns
+    (beyond `by`/`on`) as names or (src_name, out_name) renames.
+
+    Precondition: `lpred` and `rpred` must be disjoint (no row
+    satisfies both).  With two separate filters such a row would enter
+    BOTH sides; here it would enter only the left side and match
+    itself — use the generic `asofjoin` for overlapping predicates.
+    NULL-predicate rows drop from both sides in both forms."""
+    by_names = _keys_of(src, by)
+    lv = [(c, c) if isinstance(c, str) else tuple(c) for c in lselect]
+    rv = [(c, c) if isinstance(c, str) else tuple(c) for c in rselect]
+    left_cols = set(by_names) | {on} | {o for _, o in lv}
+    rnames = [(c, f"{o}{suffix}" if o in left_cols else o) for c, o in rv]
+    # same single-struct fill as asofjoin: every right value column
+    # comes from ONE matched right row, genuinely-NULL values stay NULL
+    rs = F.struct(F.col(on).alias("__on"),
+                  *[F.col(c).alias(t) for c, t in rnames])
+    u = (src.df.filter(lpred | rpred)
+         .select(*by_names, F.col(on),
+                 *[F.when(lpred, F.col(c)).alias(o) for c, o in lv],
+                 F.when(lpred, F.lit(1)).otherwise(F.lit(0))
+                 .alias("__side"),
+                 F.when(rpred, rs).alias("__rs")))
+    w = (W.partitionBy(*by_names)
+         .orderBy(F.col(on).asc(), F.col("__side").asc())
+         .rowsBetween(W.unboundedPreceding, 0))
+    filled = u.withColumn("__rs",
+                          F.last("__rs", ignorenulls=True).over(w))
+    if tolerance is not None:
+        filled = filled.withColumn(
+            "__rs", F.when(F.col(on) - F.col("__rs")["__on"] <= tolerance,
+                           F.col("__rs")))
+    out = filled.filter(F.col("__side") == 1)
+    for _, t in rnames:
+        out = out.withColumn(t, F.col("__rs")[t])
+    out = out.drop("__side", "__rs")
+    return Table(out, tuple(by_names) + (on,)
+                 if on not in by_names else tuple(by_names))
+
+
 def innerjoin(l: Table, r: Table, **kw: Any) -> Table:
     """Alias of join(how="inner") (reference export `innerjoin`)."""
     kw.pop("how", None)

@@ -172,6 +172,47 @@ def test_asofjoin_vs_duckdb_asof(tables, duck):
         FROM a ASOF LEFT JOIN b ON a.user_id = b.uid AND a.ts >= b.bts""")
 
 
+def test_asofjoin_cosourced_equivalence(tables, spark):
+    """asofjoin_cosourced (single-scan form, r10) must be row-identical
+    to the generic two-filter asofjoin on the same disjoint-predicate
+    split — including NULL right values, equal-timestamp ties, suffix
+    collisions, and tolerance."""
+    ev = tables["events"]
+    lp = F.col("event_type") == "click"
+    rp = F.col("event_type") == "purchase"
+    clicks = jdb.table(ev.df.filter(lp).select("user_id", "ts", "event_id"))
+    buys = jdb.table(ev.df.filter(rp)
+                     .select("user_id", "ts", F.col("value").alias("pv")))
+    for tol in (None, F.expr("INTERVAL 2 DAYS")):
+        ref = (jdb.asofjoin(clicks, buys, by="user_id", on="ts",
+                            tolerance=tol).df.toPandas()
+               .sort_values(["user_id", "ts", "event_id"],
+                            ignore_index=True))
+        got = (jdb.asofjoin_cosourced(
+                   ev, by="user_id", on="ts", lpred=lp, rpred=rp,
+                   lselect=["event_id"], rselect=[("value", "pv")],
+                   tolerance=tol).df
+               .select(*ref.columns).toPandas()
+               .sort_values(["user_id", "ts", "event_id"],
+                            ignore_index=True))
+        pd.testing.assert_frame_equal(ref, got)
+    # suffix collision: right value column named like a left one
+    ref = (jdb.asofjoin(
+               clicks,
+               jdb.table(ev.df.filter(rp).select(
+                   "user_id", "ts", F.col("value").alias("event_id"))),
+               by="user_id", on="ts").df.toPandas()
+           .sort_values(["user_id", "ts", "event_id"], ignore_index=True))
+    got = (jdb.asofjoin_cosourced(
+               ev, by="user_id", on="ts", lpred=lp, rpred=rp,
+               lselect=["event_id"],
+               rselect=[("value", "event_id")]).df
+           .select(*ref.columns).toPandas()
+           .sort_values(["user_id", "ts", "event_id"], ignore_index=True))
+    assert "event_id_asof" in ref.columns
+    pd.testing.assert_frame_equal(ref, got)
+
+
 def test_merge_tables(spark):
     a = jdb.table({"x": [1, 3], "y": ["a", "c"]}, pkey="x", spark=spark)
     b = jdb.table({"x": [2, 4], "y": ["b", "d"]}, pkey="x", spark=spark)
