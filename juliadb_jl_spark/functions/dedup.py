@@ -590,12 +590,18 @@ def verify_pairs_jaccard(df: DataFrame, cand: DataFrame, id_col: str,
         sets = scratch.register(
             _shingle_sets(df, id_col, text_col, k).persist())
     sets_ = sets  # feeds both join sides
-    a = sets_.select(F.col("id").alias("id_a"), F.col("shset").alias("sh_a"))
-    b = sets_.select(F.col("id").alias("id_b"), F.col("shset").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    a = sets_.selectExpr("id AS id_a", "shset AS sh_a")
+    b = sets_.selectExpr("id AS id_b", "shset AS sh_b")
+    # one-parse jaccard projection (VERDICT r9 #6): the Column-built
+    # form cost ~0.1 s of py4j round trips per construction; the SQL
+    # parses to the identical tree (`inter` was already referenced
+    # twice as the same duplicated subtree in the Column form)
     return (cand.join(a, "id_a").join(b, "id_b")
-            .withColumn("jaccard", inter / union)
+            .selectExpr(
+                "id_a", "id_b",
+                "size(array_intersect(sh_a, sh_b)) / "
+                "(size(sh_a) + size(sh_b) "
+                "- size(array_intersect(sh_a, sh_b))) AS jaccard")
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
 
@@ -763,6 +769,13 @@ def _sig_mins(hb, lens, num_hashes: int, a_, b_):
 
 
 def _crcperm_sets_udf(num_hashes: int):
+    # session-keyed wrapper memo — see text._memo_udf (r10)
+    from juliadb_jl_spark.functions.text import _memo_udf
+    return _memo_udf(("crcperm_sets", num_hashes),
+                     lambda: _crcperm_sets_udf_build(num_hashes))
+
+
+def _crcperm_sets_udf_build(num_hashes: int):
     """Per-doc crc32perm MinHash signature from an (id, shset) frame:
     ONE Arrow pass — no explode, no groupBy, ZERO exchanges.  The base
     hash is zlib.crc32 over the shingle's UTF-8 bytes — C-speed per
@@ -800,6 +813,13 @@ def _crcperm_sets_udf(num_hashes: int):
 
 
 def _crcperm_fused_udf(k: int, num_hashes: int):
+    # session-keyed wrapper memo — see text._memo_udf (r10)
+    from juliadb_jl_spark.functions.text import _memo_udf
+    return _memo_udf(("crcperm_fused", k, num_hashes),
+                     lambda: _crcperm_fused_udf_build(k, num_hashes))
+
+
+def _crcperm_fused_udf_build(k: int, num_hashes: int):
     """tokens → crc32perm MinHash signature, FULLY fused: per doc, the
     k-shingles are byte slices of the pre-joined UTF-8 text (the
     `_md5_window_digs` offset walk), crc32-hashed and deduped as a set
@@ -908,6 +928,13 @@ def _ph_hash_slices(cp, starts, ends):
 
 
 def _portable_sets_udf(num_hashes: int):
+    # session-keyed wrapper memo — see text._memo_udf (r10)
+    from juliadb_jl_spark.functions.text import _memo_udf
+    return _memo_udf(("portable_sets", num_hashes),
+                     lambda: _portable_sets_udf_build(num_hashes))
+
+
+def _portable_sets_udf_build(num_hashes: int):
     """Per-doc portable-family MinHash signature from an (id, shset)
     frame: ONE Arrow pass — no explode, no groupBy, ZERO exchanges —
     the crc32perm fusion (VERDICT r9 #1) applied to the oracle-checkable
@@ -1033,15 +1060,23 @@ def band_buckets(sig: DataFrame, bands: int, r: int,
     xxhash64 family buckets on xxhash64(band, sig slice); the portable
     family buckets on the raw r-value slice (array equality) so the
     whole construction stays oracle-reproducible."""
+    # One-parse construction (VERDICT r9 #6, the q36 col_sql lesson):
+    # the Column-API form of this banding (bands × (lit + r getItem +
+    # hash) builder calls) cost ~0.16 s of synchronous py4j round trips
+    # per query CONSTRUCTION at bands=16 — a third of q36's off-plan
+    # driver time.  The SQL text parses in one call and resolves to the
+    # identical expression tree: integer literals ≤ 2³¹ parse as INT
+    # exactly like F.lit(int), and signature[i] is the same 0-based
+    # GetArrayItem (bit-parity pinned by test_band_buckets_one_parse).
     if hash_family == "portable":
-        band_exprs = [F.array(*[F.col("signature")[bi * r + j]
-                                for j in range(r)]) for bi in range(bands)]
+        bexpr = [f"array({', '.join(f'signature[{bi * r + j}]' for j in range(r))})"
+                 for bi in range(bands)]
     else:
-        band_exprs = [F.xxhash64(F.lit(bi), *[F.col("signature")[bi * r + j]
-                                              for j in range(r)])
-                      for bi in range(bands)]
-    return sig.select(
-        "id", F.posexplode(F.array(*band_exprs)).alias("band", "bucket"))
+        bexpr = [f"xxhash64({bi}, "
+                 f"{', '.join(f'signature[{bi * r + j}]' for j in range(r))})"
+                 for bi in range(bands)]
+    return sig.selectExpr(
+        "id", f"posexplode(array({', '.join(bexpr)})) AS (band, bucket)")
 
 
 def minhash_signature_rowwise(df: DataFrame, id_col: str,

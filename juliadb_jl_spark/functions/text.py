@@ -408,7 +408,34 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("fingerprint", fingerprint(c)))
 
 
+# Session-keyed pandas_udf wrapper memo (r10): a UserDefinedFunction
+# caches its JVM registration (_judf) after first use, so reusing ONE
+# wrapper across query constructions skips ~20-30 synchronous py4j
+# round trips per call site per construction (VERDICT r9 #6 — the same
+# measured loop as q36's one-parse fix).  Keyed on applicationId so a
+# restarted session can never see a wrapper bound to a dead JVM judf;
+# performance-only (the factories below are pure functions of the key).
+_UDF_MEMO: dict = {}
+
+
+def _memo_udf(key: tuple, maker):
+    from pyspark import SparkContext
+    sc = SparkContext._active_spark_context
+    k = (sc.applicationId if sc is not None else None,) + key
+    u = _UDF_MEMO.get(k)
+    if u is None:
+        if len(_UDF_MEMO) > 256:
+            _UDF_MEMO.clear()
+        u = _UDF_MEMO[k] = maker()
+    return u
+
+
 def _gram_join_udf(n: int, drop_empty: bool = True):
+    return _memo_udf(("gram_join", n, drop_empty),
+                     lambda: _gram_join_udf_build(n, drop_empty))
+
+
+def _gram_join_udf_build(n: int, drop_empty: bool = True):
     """pandas_udf: token array → word n-gram array, built as byte
     slices of the pre-joined text (one join + offset walk per doc,
     ~0.3 µs/gram) instead of the interpreted `transform`+`slice`+
