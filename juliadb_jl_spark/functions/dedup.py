@@ -1258,16 +1258,24 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text",
         h = portable_hash(F.col("t"))
     else:
         h = F.xxhash64(F.col("t"))
-    # shiftleft, not python 1<<i — 1<<63 overflows a JVM long literal
-    mask = lambda i: F.shiftleft(F.lit(1).cast("long"), i)  # noqa: E731
-    bit_sums = [F.sum(F.when(h.bitwiseAND(mask(i)) != 0, 1)
-                      .otherwise(-1)).alias(f"b{i}") for i in range(bits)]
-    agg = tok.groupBy("id").agg(*bit_sums)
-    sig = None
-    for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, mask(i)).otherwise(F.lit(0).cast("long"))
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-    return agg.select("id", sig.alias("simhash"))
+    # One-parse construction (VERDICT r9 #6): the Column-API form of the
+    # per-bit sums + OR chain was ~750 synchronous py4j builder calls at
+    # bits=64 (~0.5 s per CONSTRUCTION — the dominant cost of the
+    # 5-doc simhash tests and a third of q37's driver time).  The SQL
+    # texts parse to the identical trees: shiftleft(CAST(1 AS BIGINT),i)
+    # ≡ F.shiftleft(F.lit(1).cast("long"), i) (never a python 1<<63
+    # literal, which overflows a JVM long), & ≡ bitwiseAND, CASE ≡
+    # F.when.otherwise with the same INT literals.  Parity pinned by
+    # test_simhash_one_parse_bit_parity.
+    hashed = tok.select("id", h.alias("__h"))
+    bit_sums = [F.expr(
+        f"sum(CASE WHEN (__h & shiftleft(CAST(1 AS BIGINT), {i})) != 0 "
+        f"THEN 1 ELSE -1 END)").alias(f"b{i}") for i in range(bits)]
+    agg = hashed.groupBy("id").agg(*bit_sums)
+    sig = " | ".join(
+        f"(CASE WHEN b{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        f"ELSE CAST(0 AS BIGINT) END)" for i in range(bits))
+    return agg.selectExpr("id", f"({sig}) AS simhash")
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text",

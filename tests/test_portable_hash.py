@@ -365,3 +365,35 @@ def test_band_buckets_one_parse_bit_parity(spark):
         a = sorted(map(tuple, new.collect()))
         b = sorted(map(tuple, old.collect()))
         assert a == b and len(a) == 200, fam
+
+
+def test_simhash_one_parse_bit_parity(spark):
+    """r10: simhash builds its per-bit sums + OR chain via one-parse
+    SQL; pin bit-parity against the Column-API construction it
+    replaced, for both families (long-literal shifting, CASE typing,
+    inline-h vs projected-h)."""
+    from juliadb_jl_spark.functions import dedup as DD
+    from juliadb_jl_spark.functions.dedup import _spread, portable_hash
+    from juliadb_jl_spark.functions.text import tokens
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    for fam, bits in (("portable", 31), ("xxhash64", 64)):
+        new = {r["id"]: r["simhash"] for r in
+               DD.simhash(df, "doc_id", bits=bits,
+                          hash_family=fam).collect()}
+        tok = _spread(df).select(F.col("doc_id").alias("id"),
+                                 F.explode(tokens(F.col("text"))).alias("t"))
+        h = portable_hash(F.col("t")) if fam == "portable" \
+            else F.xxhash64(F.col("t"))
+        mask = lambda i: F.shiftleft(F.lit(1).cast("long"), i)  # noqa: E731
+        bit_sums = [F.sum(F.when(h.bitwiseAND(mask(i)) != 0, 1)
+                          .otherwise(-1)).alias(f"b{i}")
+                    for i in range(bits)]
+        agg = tok.groupBy("id").agg(*bit_sums)
+        sig = None
+        for i in range(bits):
+            bit = F.when(F.col(f"b{i}") > 0, mask(i)) \
+                .otherwise(F.lit(0).cast("long"))
+            sig = bit if sig is None else sig.bitwiseOR(bit)
+        old = {r["id"]: r["simhash"] for r in
+               agg.select("id", sig.alias("simhash")).collect()}
+        assert new == old and len(new) == 5, fam
