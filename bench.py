@@ -223,7 +223,7 @@ def main():
                       file=sys.stderr)
                 agg[name] = {"median": -1.0, "min": -1.0}
         ok = {k: v["median"] for k, v in agg.items() if v["median"] >= 0}
-        print(json.dumps({
+        iso = {
             "metric": "total_median_sec_isolated",
             "value": round(sum(ok.values()), 4), "unit": "sec",
             "queries": {k: v.get("median") for k, v in agg.items()},
@@ -232,7 +232,14 @@ def main():
                             if v.get("cpu") is not None},
             "isolated": True, "runs": runs,
             "sf": os.path.basename(sf_dir.rstrip("/")).replace("sf", ""),
-        }))
+            # same no-invisible-override stamps as the main artifact
+            # (VERDICT r9 #5)
+            "extra_conf": os.environ.get("SPARK_GRAFT_EXTRA_CONF", ""),
+            "cpus": cpus,
+        }
+        if rung:
+            iso["rung"] = rung
+        print(json.dumps(iso))
         return
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -1068,6 +1068,14 @@ def split_leakage(df: DataFrame, id_col: str = "doc_id",
                     or len(ev_pdf) > max_eval_grams)
         if prune == "auto" and overflow:
             prune = None            # scale-safe shuffle shape below
+            # the sides were spread with the fused tier's 10k-docs/task
+            # lane budget; the shuffle tier's string-gram build is
+            # ~2.5× the per-doc work, so rebuild them on its 4k budget
+            # (r10 review finding — the overflow corpora are exactly
+            # the ones big enough for the difference to matter)
+            per_task = 4_000
+            ev = _side(~is_train, n_ev)
+            tr = _side(is_train, n_tr)
         else:
             prune = "fused"
 

@@ -188,6 +188,30 @@ def groupjoin(l: Table, r: Table, how: str = "inner", lkey: Any = None,
     return Table(out, tuple(lk))
 
 
+def _asof_window_tail(unioned: DataFrame, by_names: list[str], on: str,
+                      out_names: list[str], tolerance: Any) -> Table:
+    """Shared as-of core: last-ignorenulls window over the tagged union
+    (__side 1 = left, 0 = right; __rs = the right row's struct), then
+    keep left rows and extract `out_names` from the matched struct.
+    One implementation so asofjoin and asofjoin_cosourced can never
+    diverge on tie ordering, tolerance, or the fill semantics."""
+    w = (W.partitionBy(*by_names)
+         .orderBy(F.col(on).asc(), F.col("__side").asc())
+         .rowsBetween(W.unboundedPreceding, 0))
+    filled = unioned.withColumn(
+        "__rs", F.last("__rs", ignorenulls=True).over(w))
+    if tolerance is not None:
+        filled = filled.withColumn(
+            "__rs", F.when(F.col(on) - F.col("__rs")["__on"] <= tolerance,
+                           F.col("__rs")))
+    out = filled.filter(F.col("__side") == 1)
+    for c in out_names:
+        out = out.withColumn(c, F.col("__rs")[c])
+    out = out.drop("__side", "__rs")
+    return Table(out, tuple(by_names) + (on,)
+                 if on not in by_names else tuple(by_names))
+
+
 def asofjoin(l: Table, r: Table, by: Any, on: str, rselect: Any = None,
              tolerance: Any = None, suffix: str = "_asof") -> Table:
     """As-of join: for each left row, the right row with the greatest `on`
@@ -231,20 +255,7 @@ def asofjoin(l: Table, r: Table, by: Any, on: str, rselect: Any = None,
     lt = (l.df.withColumn("__side", F.lit(1))
           .withColumn("__rs", F.lit(None).cast(rt.schema["__rs"].dataType)))
     unioned = lt.unionByName(rt.select(*lt.columns))
-
-    w = (W.partitionBy(*by_names)
-         .orderBy(F.col(on).asc(), F.col("__side").asc())
-         .rowsBetween(W.unboundedPreceding, 0))
-    filled = unioned.withColumn("__rs", F.last("__rs", ignorenulls=True).over(w))
-    if tolerance is not None:
-        filled = filled.withColumn(
-            "__rs", F.when(F.col(on) - F.col("__rs")["__on"] <= tolerance,
-                           F.col("__rs")))
-    out = filled.filter(F.col("__side") == 1)
-    for c in rnames:
-        out = out.withColumn(c, F.col("__rs")[c])
-    out = out.drop("__side", "__rs")
-    return Table(out, tuple(by_names) + (on,) if on not in by_names else tuple(by_names))
+    return _asof_window_tail(unioned, by_names, on, rnames, tolerance)
 
 
 def asofjoin_cosourced(src: Table, by: Any, on: str,
@@ -288,21 +299,8 @@ def asofjoin_cosourced(src: Table, by: Any, on: str,
                  F.when(lpred, F.lit(1)).otherwise(F.lit(0))
                  .alias("__side"),
                  F.when(rpred, rs).alias("__rs")))
-    w = (W.partitionBy(*by_names)
-         .orderBy(F.col(on).asc(), F.col("__side").asc())
-         .rowsBetween(W.unboundedPreceding, 0))
-    filled = u.withColumn("__rs",
-                          F.last("__rs", ignorenulls=True).over(w))
-    if tolerance is not None:
-        filled = filled.withColumn(
-            "__rs", F.when(F.col(on) - F.col("__rs")["__on"] <= tolerance,
-                           F.col("__rs")))
-    out = filled.filter(F.col("__side") == 1)
-    for _, t in rnames:
-        out = out.withColumn(t, F.col("__rs")[t])
-    out = out.drop("__side", "__rs")
-    return Table(out, tuple(by_names) + (on,)
-                 if on not in by_names else tuple(by_names))
+    return _asof_window_tail(u, by_names, on,
+                             [t for _, t in rnames], tolerance)
 
 
 def innerjoin(l: Table, r: Table, **kw: Any) -> Table:

@@ -1040,9 +1040,10 @@ def test_jaccard_count_vs_arrays_verify_differential(spark):
              (102, "xq yq zq unique island doc"), (103, "shrt")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     import pandas as pd
-    # t=0.9 exercises the r10 positional filter hardest (tight required
-    # overlap prunes most join rows — exact-dup pairs at jaccard 1.0
-    # must keep EVERY row or their count undercounts below threshold)
+    # t=0.9 stresses the boundary where a count undercount would flip a
+    # pair below threshold (added in r10 while evaluating a positional
+    # filter that was ultimately REJECTED — the coverage stays: any
+    # future row-pruning idea on the count path must survive it)
     for t in (0.2, 0.5, 0.9):
         cnt = DD.ngram_jaccard_pairs(df, "doc_id", k=3, threshold=t,
                                      unique_lift=False,
@@ -1055,9 +1056,8 @@ def test_jaccard_count_vs_arrays_verify_differential(spark):
         arr = arr.sort_values(key, ignore_index=True)
         assert len(cnt) > 0
         pd.testing.assert_frame_equal(cnt, arr)
-    # df_cap routes the count path through the hashed posexplode("hs")
-    # branch (hash-sorted positions instead of lexicographic) — the
-    # positional bound only needs SOME consistent global order
+    # df_cap routes the count path through the hashed-array ("hs")
+    # index branch — differential coverage for the capped shape
     cnt = DD.ngram_jaccard_pairs(df, "doc_id", k=3, threshold=0.5,
                                  unique_lift=False, df_cap=50,
                                  verify="count").toPandas()

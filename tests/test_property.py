@@ -444,6 +444,30 @@ def test_minhash_crcperm_fused_matches_expr_on_nasty_text(spark, rows):
     assert fused == expr
 
 
+@given(rows=nasty_docs())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_minhash_portable_fused_matches_expr_on_nasty_text(spark, rows):
+    """portable-family fused signature ≡ its JVM expression twin
+    (_signature_portable_expr, the pre-r10 shipped shape) on exotic
+    whitespace/unicode/empty docs — the r10 fused pass re-implements
+    the 31-bit char-fold + permutation mins in vectorized numpy, and
+    the q36/q67 ORACLE contract depends on this family bit-for-bit, so
+    the parity the docstrings promise is pinned here example by
+    example (r10 review finding: the test was claimed but absent)."""
+    from juliadb_jl_spark.functions import dedup as DD
+    df = spark.createDataFrame([(i, t) for i, _, t in rows],
+                               "doc_id long, text string")
+    fused = {r["id"]: tuple(r["signature"])
+             for r in DD.minhash_signature(
+                 df, "doc_id", k=2, num_hashes=8,
+                 hash_family="portable").collect()}
+    sets_ = DD._shingle_sets(df, "doc_id", "text", 2)
+    expr = {r["id"]: tuple(r["signature"])
+            for r in DD._signature_portable_expr(sets_, 8).collect()}
+    assert fused == expr
+
+
 @given(rows=nasty_docs(), mc=st.integers(1, 3), k=st.integers(1, 8))
 @settings(max_examples=6, deadline=None,
           suppress_health_check=list(HealthCheck))
