@@ -2835,19 +2835,23 @@ GROUP BY f.fp
 def q9b(spark, sf_dir):
     """Exact incremental dedup: batch rows surviving (a) the anti-join
     against the corpus fingerprint index and (b) min-id dedup within the
-    batch. Both steps key on the same fingerprint, so they share one
-    hash partitioning; the index is joined, never re-scanned. The
-    append-equivalence contract (incremental ≡ one-shot dedup of the
-    union when batch ids sort last) is property-tested in
-    tests/test_incremental.py."""
+    batch. Corpus and batch here are disjoint halves of one table, so
+    the cosourced fast path fuses both steps into a single fp-keyed
+    aggregation over one scan (r10). The append-equivalence contract
+    (incremental ≡ one-shot dedup of the union when batch ids sort
+    last) is property-tested in tests/test_incremental.py."""
     d = read_table(spark, sf_dir, "documents")
-    old = d.filter(F.col("doc_id") % 2 == 0)
-    new = d.filter(F.col("doc_id") % 2 == 1)
-    idx = INC.dedup_index(old, "doc_id")
-    # keys_only: the query returns keeper ids only, so the operator's
-    # row-recovery semi-join (one more corpus scan + exchange) is dead
-    # weight here (r9 optimization; id set identical by construction)
-    return INC.dedup_exact_against(new, idx, "doc_id", keys_only=True)
+    # corpus and batch are disjoint filters of ONE table, so the
+    # cosourced form applies (r10): one scan + one fp-keyed aggregation
+    # instead of two scans + distinct index + broadcast anti-join —
+    # identical result (equivalence test in tests/test_incremental.py).
+    # keys_only: the query returns keeper ids only, so the row-recovery
+    # semi-join (one more corpus scan + exchange) is dead weight (r9).
+    return INC.dedup_exact_cosourced(
+        d, "doc_id",
+        corpus_pred=F.col("doc_id") % 2 == 0,
+        batch_pred=F.col("doc_id") % 2 == 1,
+        keys_only=True)
 
 
 @_q("q9c_minhash_incremental", f"""

@@ -719,3 +719,55 @@ def test_dedup_exact_against_keys_only_matches_full(spark):
     assert keys.columns == ["doc_id"]
     assert (sorted(r["doc_id"] for r in full.select("doc_id").collect())
             == sorted(r["doc_id"] for r in keys.collect()))
+
+
+def test_dedup_exact_cosourced_matches_two_operator_path(spark):
+    """The single-scan cosourced form (r10) is result-identical to
+    dedup_index + dedup_exact_against over disjoint filters of one
+    table — on the real testdata corpus (both keys_only modes) and on
+    an adversarial inline frame (cross-half dups, intra-batch dups,
+    normalized dups, NULL texts in both halves, which exercise the
+    NULL-fp anti-join semantics the fused aggregation must reproduce:
+    NULL fingerprints never match the corpus, dedup only intra-batch)."""
+    def both(df, corpus_pred, batch_pred, keys_only):
+        idx = INC.dedup_index(df.filter(corpus_pred), "doc_id")
+        generic = INC.dedup_exact_against(df.filter(batch_pred), idx,
+                                          "doc_id", keys_only=keys_only)
+        fused = INC.dedup_exact_cosourced(df, "doc_id", corpus_pred,
+                                          batch_pred, keys_only=keys_only)
+        assert fused.columns == generic.columns
+        assert (sorted(map(tuple, generic.collect()))
+                == sorted(map(tuple, fused.collect())))
+        return fused
+
+    docs = read_table(spark, SF_DIR, "documents")
+    even, odd = F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1
+    got = both(docs, even, odd, keys_only=True)
+    assert got.count() > 0
+    both(docs, even, odd, keys_only=False)
+
+    nasty = spark.createDataFrame(
+        [(0, "same text"), (2, None), (4, "corpus only"),
+         (1, "SAME  text"),          # normalized dup of corpus 0 -> dropped
+         (3, None), (5, None),       # NULL fps: survive corpus, dedup intra
+         (7, "fresh batch text"),
+         (9, "fresh  BATCH text"),   # normalized intra-batch dup of 7
+         ], "doc_id long, text string")
+    got = both(nasty, even, odd, keys_only=True)
+    assert sorted(r["doc_id"] for r in got.collect()) == [3, 7]
+    # empty batch and empty corpus degenerate cases
+    both(nasty, even, F.lit(False), keys_only=True)
+    got = both(nasty, F.lit(False), odd, keys_only=True)
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 3, 7]
+
+
+def test_dedup_exact_cosourced_single_scan_plan(spark):
+    """The cosourced form's plan scans the source ONCE (the generic
+    two-operator path scans it twice) and keeps hash aggregation —
+    the shape the q9b optimization claims."""
+    docs = read_table(spark, SF_DIR, "documents")
+    fused = INC.dedup_exact_cosourced(
+        docs, "doc_id", F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1,
+        keys_only=True)
+    p = fused._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Scan parquet") == 1 and "Join" not in p
