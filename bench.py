@@ -230,7 +230,7 @@ def main():
             "queries_min": {k: v.get("min") for k, v in agg.items()},
             "queries_cpu": {k: v.get("cpu") for k, v in agg.items()
                             if v.get("cpu") is not None},
-            "isolated": True, "runs": runs,
+            "isolated": True, "runs": runs, "scratch_released": True,
             "sf": os.path.basename(sf_dir.rstrip("/")).replace("sf", ""),
             # same no-invisible-override stamps as the main artifact
             # (VERDICT r9 #5)
@@ -268,6 +268,8 @@ def main():
 
     me = os.getpid()
 
+    from juliadb_jl_spark.functions import scratch
+
     def run_once(fn) -> tuple[float, float | None]:
         c0 = _proc_tree_cpu(me)
         t0 = time.time()
@@ -275,6 +277,24 @@ def main():
         wall = time.time() - t0
         c1 = _proc_tree_cpu(me)
         cpu = round(c1 - c0, 4) if c0 is not None and c1 is not None else None
+        # Measurement-bug fix (r10): drop the operator-persisted
+        # intermediates (scratch registry) after EVERY run, outside the
+        # timed region.  Without this, Spark's CacheManager plan-matches
+        # a rebuilt run's deterministic subtrees against the previous
+        # run's persisted blocks and serves them — runs 2..n of
+        # q35/q36/qb0/q9h were NOT recomputing their lift/DSIR
+        # intermediates from the parquet inputs (measured at sf0.1:
+        # q9h 2.4 CPU-s served vs ~20 honest; q35 10 vs 21; q36 9 vs
+        # 25), which both violates the compute-from-inputs contract and
+        # leaks storage until heap pressure destabilizes large-SF runs
+        # (q36 at sf1: 3.1 s isolated vs 13.5 s late in an unreleased
+        # rung sequence).  The sanctioned INPUT-table cache
+        # (SPARK_GRAFT_CACHE_INPUT, r4 protocol) lives in
+        # sources/testdata._CACHE and is deliberately NOT touched.
+        # Affected rows' seconds RISE vs BENCH_r09 by construction —
+        # see OPTIMIZATION_r10.md ("Bench protocol fix") for the
+        # old-vs-new table.
+        scratch.release_scratch(blocking=True)
         return wall, cpu
 
     if only is not None:
@@ -348,6 +368,11 @@ def main():
         # artifact — empty string in clean (driver) runs.
         "extra_conf": os.environ.get("SPARK_GRAFT_EXTRA_CONF", ""),
         "cpus": cpus,
+        # r10 protocol fix self-description: per-run scratch release
+        # (see run_once) — rows that persist intermediates are NOT
+        # comparable to pre-r10 artifacts, which served runs 2..n from
+        # run 1's cache blocks (q35/q36/qb0/q9h).
+        "scratch_released": True,
     }
     if rung:
         full["rung"] = rung
@@ -380,6 +405,7 @@ def main():
         "sf": sf_val,
         "extra_conf": full["extra_conf"],
         "cpus": cpus,
+        "scratch_released": True,
         "full_report": full_path,
     }
     if rung:
