@@ -77,7 +77,7 @@ HEADLINE = [
     "q99_shipping_priority",  # TPC-H Q3 shape: 3-table join + agg + top-10
     "q9a_regional_supplier_volume",  # TPC-H Q5 shape: 6-table join chain
     "q9g_market_share",  # TPC-H Q8 shape: 8 relations, CASE agg, 1 shuffle
-    "q9b_dedup_incremental",  # batch anti-join vs corpus fingerprint index
+    "q9b_dedup_incremental",  # cosourced single-scan fp-keyed dedup election
     "q9h_dsir_scores",        # DSIR hashed-ngram importance scoring
     "q9j_paragraph_dedup",    # paragraph keeper election + reconstruction
     "q9t_chunk_documents",    # token-window chunking (serving handoff)
@@ -273,7 +273,15 @@ def main():
     def run_once(fn) -> tuple[float, float | None]:
         c0 = _proc_tree_cpu(me)
         t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            # a failing query must not bequeath its persisted
+            # intermediates to the NEXT query's runs (review finding:
+            # without this, a failed q36's shingle frame could be
+            # cache-served to qb0's warm-up)
+            scratch.release_scratch(blocking=True)
+            raise
         wall = time.time() - t0
         c1 = _proc_tree_cpu(me)
         cpu = round(c1 - c0, 4) if c0 is not None and c1 is not None else None

@@ -120,9 +120,12 @@ def dedup_exact_cosourced(df: DataFrame, id_col: str,
                             dedup_index(df.filter(corpus_pred), id_col),
                             id_col, ...)
 
-    but built from ONE scan and ONE exchange: every row carries its
-    fingerprint plus two predicate tags, and a single fp-keyed
-    aggregation elects ``min(batch id)`` while testing corpus presence
+    but built from ONE scan and ONE exchange in ``keys_only=True`` mode
+    (``keys_only=False`` adds the row-recovery semi-join back onto the
+    batch filter — one more scan + exchange, still one fewer than the
+    generic pair): every row carries its fingerprint plus two predicate
+    tags, and a single fp-keyed aggregation elects ``min(batch id)``
+    while testing corpus presence
     — instead of scanning/decoding the source twice, distinct-agg'ing
     the corpus fingerprints, and broadcast-anti-joining (the generic
     form, whose two Filter(Scan) subtrees Catalyst cannot merge;
@@ -144,6 +147,9 @@ def dedup_exact_cosourced(df: DataFrame, id_col: str,
     generic pair when the index is persisted (the 100-TB ingest path:
     the corpus is never re-scanned at all)."""
     fp = _fp(text_col, normalized)
+    # __hb (batch presence) rather than __bmin IS NOT NULL: a batch
+    # group whose ids are all NULL must still emit its (NULL-id) keeper
+    # row, exactly as the generic path's min-id groupBy does.
     elected = (df.filter(corpus_pred | batch_pred)
                .select(F.col(id_col), fp.alias("fp"),
                        corpus_pred.alias("__c"), batch_pred.alias("__b"))
@@ -152,9 +158,11 @@ def dedup_exact_cosourced(df: DataFrame, id_col: str,
                     .alias("__bmin"),
                     F.max(F.when(F.col("__c") & F.col("fp").isNotNull(),
                                  F.lit(1)).otherwise(F.lit(0)))
-                    .alias("__hc")))
+                    .alias("__hc"),
+                    F.max(F.when(F.col("__b"), F.lit(1)).otherwise(F.lit(0)))
+                    .alias("__hb")))
     keep = (elected
-            .filter((F.col("__hc") == 0) & F.col("__bmin").isNotNull())
+            .filter((F.col("__hc") == 0) & (F.col("__hb") == 1))
             .select(F.col("__bmin").alias(id_col)))
     if keys_only:
         return keep

@@ -736,8 +736,9 @@ def test_dedup_exact_cosourced_matches_two_operator_path(spark):
         fused = INC.dedup_exact_cosourced(df, "doc_id", corpus_pred,
                                           batch_pred, keys_only=keys_only)
         assert fused.columns == generic.columns
-        assert (sorted(map(tuple, generic.collect()))
-                == sorted(map(tuple, fused.collect())))
+        key = repr  # None-safe total order (NULL ids sort as 'None')
+        assert (sorted(map(tuple, generic.collect()), key=key)
+                == sorted(map(tuple, fused.collect()), key=key))
         return fused
 
     docs = read_table(spark, SF_DIR, "documents")
@@ -755,19 +756,40 @@ def test_dedup_exact_cosourced_matches_two_operator_path(spark):
          ], "doc_id long, text string")
     got = both(nasty, even, odd, keys_only=True)
     assert sorted(r["doc_id"] for r in got.collect()) == [3, 7]
-    # empty batch and empty corpus degenerate cases
+    both(nasty, even, odd, keys_only=False)
+    # empty batch and empty corpus degenerate cases, both modes
     both(nasty, even, F.lit(False), keys_only=True)
+    both(nasty, even, F.lit(False), keys_only=False)
     got = both(nasty, F.lit(False), odd, keys_only=True)
     assert sorted(r["doc_id"] for r in got.collect()) == [1, 3, 7]
+    # NULL batch ids: the generic min-id groupBy emits a NULL-id keeper
+    # row for an all-NULL-id batch group; the fused form must match
+    # (batch-presence tag, not __bmin IS NOT NULL — review finding)
+    nullid = spark.createDataFrame(
+        [(0, "corpus text"), (None, "corpus text"),
+         (None, "batch only text"), (None, "batch  ONLY text"),
+         (1, "batch second text")],
+        "doc_id long, text string")
+    is_corpus = F.col("text").startswith("corpus")
+    is_batch = ~F.col("text").startswith("corpus")
+    got = both(nullid, is_corpus, is_batch, keys_only=True)
+    assert sorted((r["doc_id"] is None) for r in got.collect()) \
+        == [False, True]
 
 
 def test_dedup_exact_cosourced_single_scan_plan(spark):
-    """The cosourced form's plan scans the source ONCE (the generic
-    two-operator path scans it twice) and keeps hash aggregation —
-    the shape the q9b optimization claims."""
+    """keys_only=True: plan scans the source ONCE, no join (the generic
+    two-operator path scans it twice) — the shape the q9b optimization
+    claims. keys_only=False adds the row-recovery semi-join (2 scans,
+    still one fewer than the generic pair's 3-subtree shape), as the
+    docstring qualifies."""
     docs = read_table(spark, SF_DIR, "documents")
-    fused = INC.dedup_exact_cosourced(
-        docs, "doc_id", F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1,
-        keys_only=True)
+    even, odd = F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1
+    fused = INC.dedup_exact_cosourced(docs, "doc_id", even, odd,
+                                      keys_only=True)
     p = fused._jdf.queryExecution().executedPlan().toString()
     assert p.count("Scan parquet") == 1 and "Join" not in p
+    full = INC.dedup_exact_cosourced(docs, "doc_id", even, odd,
+                                     keys_only=False)
+    p = full._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Scan parquet") == 2 and "LeftSemi" in p
